@@ -1,0 +1,255 @@
+"""Declared-schema catalog.
+
+The reference's source of truth is 37 Postgres DDL files reflected at
+runtime (reference src/neynar_parquet_importer/db.py:285-313 `get_tables`);
+JSON-typed columns are detected by the reflected JSONB type
+(db.py:874-879) with a hardcoded hint list JSON_COLUMNS (db.py:45-51).
+
+Here the catalog is declarative Python: every table is a ``TableSpec``
+carrying its StructType, primary key, JSON columns and soft-delete flag.
+Spark reads parquet with the declared schema (schema-on-read, vectorized)
+instead of reflecting a live database.
+
+Two registries:
+- ``REFERENCE_TABLES``: the Farcaster tables the reference imports
+  (v2 + v3), transcribed from its schema/*.sql DDL (types per SURVEY §1.2).
+- ``TESTDATA_TABLES``: the driver's synthetic TPC-H-ish tables used by
+  the correctness/bench harness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    schema: T.StructType
+    primary_key: tuple[str, ...]
+    json_columns: tuple[str, ...] = ()
+    soft_delete: bool = False  # has deleted_at, derived views filter IS NULL
+    version_column: str = "updated_at"  # recency guard for upserts (db.py:887-891)
+
+    def columns(self) -> list[str]:
+        return [f.name for f in self.schema.fields]
+
+
+def _ts() -> T.TimestampType:
+    # "timestamp without time zone", semantically UTC (settings.py:112-114);
+    # session TZ is forced UTC in session.get_spark so LTZ == the wire value.
+    return T.TimestampType()
+
+
+def _common_v3(*fields: T.StructField) -> T.StructType:
+    """v3 (nindexer) tables share: uuid PK id + created/updated/deleted_at."""
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType()),  # uuid16 normalized to hyphenated string
+            T.StructField("created_at", _ts()),
+            T.StructField("updated_at", _ts()),
+            T.StructField("deleted_at", _ts()),
+            *fields,
+        ]
+    )
+
+
+def _f(name: str, dtype: T.DataType) -> T.StructField:
+    return T.StructField(name, dtype)
+
+
+REFERENCE_TABLES: dict[str, TableSpec] = {
+    # v3 nindexer tables (reference schema/024-037; uuid PKs, SURVEY §1.2)
+    "follows": TableSpec(
+        "follows",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("target_fid", T.LongType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "verifications": TableSpec(
+        "verifications",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("address", T.BinaryType()),
+            _f("protocol", T.ShortType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "fids": TableSpec(
+        "fids",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("registered_at", _ts()),
+            _f("custody_address", T.BinaryType()),
+            _f("recovery_address", T.BinaryType()),
+        ),
+        primary_key=("id",),
+    ),
+    "profiles": TableSpec(
+        "profiles",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("username", T.StringType()),
+            _f("display_name", T.StringType()),
+            _f("pfp_url", T.StringType()),
+            _f("bio", T.StringType()),
+            _f("url", T.StringType()),
+            _f("location", T.StringType()),
+            _f("latitude", T.FloatType()),
+            _f("longitude", T.FloatType()),
+        ),
+        primary_key=("id",),
+    ),
+    "casts": TableSpec(
+        "casts",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("hash", T.BinaryType()),
+            _f("parent_hash", T.BinaryType()),
+            _f("parent_fid", T.LongType()),
+            _f("parent_url", T.StringType()),
+            _f("text", T.StringType()),
+            _f("embeds", T.StringType()),  # jsonb as raw string; parse via functions.json_clean
+            _f("mentions", T.ArrayType(T.LongType())),
+            _f("mentions_positions", T.ArrayType(T.ShortType())),
+            _f("embedded_urls", T.ArrayType(T.StringType())),
+            _f("embedded_casts", T.ArrayType(T.BinaryType())),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        json_columns=("embeds",),
+        soft_delete=True,
+    ),
+    "reactions": TableSpec(
+        "reactions",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("reaction_type", T.ShortType()),
+            _f("hash", T.BinaryType()),
+            _f("target_hash", T.BinaryType()),
+            _f("target_fid", T.LongType()),
+            _f("target_url", T.StringType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "channels": TableSpec(
+        "channels",
+        _common_v3(
+            _f("channel_id", T.StringType()),
+            _f("url", T.StringType()),
+            _f("name", T.StringType()),
+            _f("description", T.StringType()),
+            _f("image_url", T.StringType()),
+            _f("lead_fid", T.LongType()),
+            _f("moderator_fids", T.ArrayType(T.LongType())),
+            _f("follower_count", T.IntegerType()),
+            _f("member_count", T.IntegerType()),
+            _f("public_casting", T.BooleanType()),
+        ),
+        primary_key=("id",),
+        json_columns=("moderator_fids",),
+    ),
+    "follow_counts": TableSpec(
+        "follow_counts",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("follower_count", T.LongType()),
+            _f("following_count", T.LongType()),
+        ),
+        primary_key=("id",),
+    ),
+    "neynar_user_scores": TableSpec(
+        "neynar_user_scores",
+        _common_v3(_f("fid", T.LongType()), _f("score", T.FloatType())),
+        primary_key=("id",),
+    ),
+    "profile_with_addresses": TableSpec(
+        # the only table the reference dedups in-batch by PK (db.py:800-820)
+        "profile_with_addresses",
+        T.StructType(
+            [
+                _f("fid", T.LongType()),
+                _f("username", T.StringType()),
+                _f("display_name", T.StringType()),
+                _f("pfp_url", T.StringType()),
+                _f("bio", T.StringType()),
+                _f("verified_addresses", T.StringType()),  # jsonb string
+                _f("updated_at", _ts()),
+            ]
+        ),
+        primary_key=("fid",),
+        json_columns=("verified_addresses",),
+    ),
+}
+
+# Tracking ledger (reference schema/000_00_all_parquet_import_tracking.sql:1-12)
+LEDGER_SCHEMA = T.StructType(
+    [
+        _f("file_name", T.StringType()),
+        _f("file_type", T.StringType()),  # 'full' | 'incremental'
+        _f("file_version", T.StringType()),  # 'v2' | 'v3'
+        _f("file_duration_s", T.LongType()),
+        _f("start_timestamp", T.LongType()),
+        _f("end_timestamp", T.LongType()),
+        _f("imported_at", _ts()),
+        _f("last_row_group_imported", T.LongType()),
+        _f("total_row_groups", T.LongType()),
+        _f("completed", T.BooleanType()),
+        _f("backfill", T.BooleanType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Driver synthetic testdata (TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Vectorized parquet scan; Catalyst prunes columns/filters from here.
+
+    The events table carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects by default; read nanos as long and convert to a microsecond
+    timestamp with integer `div` (double math would lose precision above
+    2^53 ns)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TESTDATA_TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

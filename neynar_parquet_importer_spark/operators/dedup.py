@@ -1,0 +1,291 @@
+"""Deduplication operators.
+
+The reference has two dedup mechanisms (SURVEY §2.4): D1 in-batch
+last-wins PK dedup (db.py:800-820, a Python dict overwrite) and D2
+cross-batch dedup via the recency-guarded upsert sink (db.py:887-891).
+Both are generalized here, plus the content-dedup family a training-data
+pipeline needs at 100 TB scale: exact text dedup, MinHash+LSH near-dup,
+SimHash near-dup, and exact n-gram Jaccard verification.
+
+Scale notes:
+- everything is expressed as DataFrame ops (hash/groupBy/join) so shuffles
+  are the only data movement and AQE can coalesce/skew-split them;
+- MinHash signatures are computed with JVM-side ``xxhash64`` inside
+  higher-order functions — no Python in the hot path;
+- LSH banding turns the O(n^2) pair problem into a shuffle on band keys;
+  only same-bucket pairs are joined, which is the standard
+  Broder/Indyk-Motwani construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# PK dedup / last-writer-wins (reference D1/D2)
+# --------------------------------------------------------------------------
+
+def last_writer_wins(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep one row per key tuple, the first under ``order_by``.
+
+    Robust form of the reference's D1 dict-overwrite dedup (db.py:800-820):
+    the reference keeps the *last occurrence in file order*; a distributed
+    engine has no stable file order, so the recency column(s) (typically
+    ``updated_at DESC`` plus a unique tiebreak) define the winner — the
+    same ordering the upsert guard (db.py:887-891) enforces across batches.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: one group per distinct content value, keeping
+    the minimum id as the canonical representative + the duplicate count.
+
+    Grouping on a 128-bit content hash instead of the raw (potentially
+    megabyte) content keeps shuffle rows small at scale; md5 collisions are
+    negligible at 100 TB (~2^-64 at 10^12 docs).
+    """
+    return (
+        df.select(
+            F.md5(F.col(content_col)).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# --------------------------------------------------------------------------
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
+    # slide an n-window over the token array with transform over indices
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.array_distinct(
+        F.when(k > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))))
+        .otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) via k independent hash fns.
+
+    Each hash family member is ``xxhash64(seed_i, shingle)``; the signature
+    element is the min over shingles — all JVM-side higher-order functions,
+    no shuffle until LSH banding.
+    """
+    sh = _shingles(F.col(text_col), shingle_n).alias("shingles")
+
+    def member(i: int):
+        # closure (NOT a default-arg lambda: pyspark would treat a 2-arg
+        # lambda as wanting the array index and shadow the seed)
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    sig = F.array(*[member(i) for i in range(num_hashes)]).alias("signature")
+    return df.select(F.col(id_col).alias("id"), sh).select("id", sig)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: same band-slice hash => candidate pair.
+
+    Explodes each signature into ``bands`` (band_idx, band_hash) keys and
+    self-joins per bucket. The join is an equi-join on (band, hash): a
+    single shuffle, skew-handled by AQE; output is distinct unordered
+    pairs with the estimated Jaccard from full-signature agreement.
+    """
+    n = bands * rows_per_band
+    banded = signatures.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.size("sig_a"), 6).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (the rerank step after
+    LSH). Joins shingle sets back onto the candidate pairs — candidates are
+    assumed small relative to the corpus, so this is two hash joins."""
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over word tokens, fully JVM-side.
+
+    For each bit position, sum +-1 over token hashes' bit values; the
+    sign vector packs into one long. Expressed with higher-order array
+    functions so whole-stage codegen applies per row (no shuffle).
+    """
+    tokens = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_sum(i: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.getbit(h, F.lit(i)) == 1, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(i) for i in range(bits)]
+    packed = None
+    for i, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
+            1 << i
+        ).cast("long") if i < 63 else F.when(s > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    sim: DataFrame, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks; any
+    pair within distance ``max_hamming < blocks`` must agree on >=1 chunk,
+    so candidates come from equi-joins on chunk values (one shuffle),
+    then exact popcount verification on the candidate set.
+    """
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunked = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.blk", "bc.chunk")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

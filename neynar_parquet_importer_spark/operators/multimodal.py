@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libs in this
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector derived from the payload bytes. Everything Spark-side — schema,
+batch iteration, partitioning, UDF signatures — is real and tested, so
+swapping in a real decoder (PIL/torchaudio/ffmpeg) is a one-function
+change at the marked point.
+
+At scale: mapInPandas streams Arrow batches through the Python worker;
+binary payloads never materialize on the driver, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds worker memory.
+Partition by a size-aware key (e.g. bytes // 256MB) before heavy decode
+stages so task runtimes stay balanced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """STUB: real deployments plug PIL/torchvision here.
+
+    ``fake=True`` yields a deterministic 8-dim feature from the sha256 of
+    the payload so the distributed plumbing is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "container; call with fake=True for the deterministic stub"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Binary media rows -> feature rows via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": payloads.map(
+                        lambda b: decode_image(b, fake=fake) if b is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: explode a (media_id, frame_ts_ms) row
+    per sample point from the metadata — pure JVM (sequence+explode); the
+    actual frame extraction would be a mapInPandas decode over this plan."""
+    return df.filter(F.col("duration_ms").isNotNull()).select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter used by tests/bench: treat document text bytes as an opaque
+    payload so the media pipeline can run on the synthetic testdata."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

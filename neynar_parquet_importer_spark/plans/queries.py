@@ -1,0 +1,709 @@
+"""The engine's query surface: every operator family from SURVEY §2 plus
+the training-data-pipeline extensions, each as a (spark, sf_dir) ->
+DataFrame plan with a DuckDB oracle twin in ``ORACLE_SQL``.
+
+Conventions (driver contract):
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the correctness hash sorts columns by name);
+- float aggregates are rounded (2 decimals for money, 4-6 for ratios) on
+  BOTH sides so cross-engine summation order can't flip the hash;
+- timestamps are projected as dates or epoch bigints (the events table is
+  nanosecond-precision parquet, which Spark truncates to micros — raw
+  timestamp output would hash-mismatch by design, not by bug);
+- queries with no SQL-expressible oracle (MinHash/SimHash/LSH/multimodal)
+  are registered without an ORACLE_SQL entry -> driver rows-only check.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..filters import compile_filter
+from ..functions.scalars import window_start
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..operators.multimodal import documents_as_media, extract_features
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.5/§2.6/§2.7: joins, aggs, sorts — the general
+# surface Spark gives for free, exercised TPC-H-style)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; Catalyst plans a
+    partial (map-side) + final hash aggregate, so the shuffle carries only
+    group rows, not data rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10.
+    customer is small -> broadcast into the orders/lineitem join; the
+    top-10 plans as TakeOrderedAndProject (no global sort)."""
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where supplier/customer nation must
+    match. region/nation/supplier/customer are dims -> broadcast; only
+    orders⋈lineitem shuffles."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter DSL (SURVEY §2.2 F1-F10)
+# ---------------------------------------------------------------------------
+
+def filter_dsl_in_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 ($in) + F3 ($gt) + implicit AND across keys, compiled to Columns
+    that Catalyst pushes into the parquet scan."""
+    pred = compile_filter(
+        {
+            "data.c_mktsegment": {"$in": ["BUILDING", "MACHINERY"]},
+            "data.c_acctbal": {"$gt": 1000.0},
+        }
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(pred)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+def filter_dsl_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 ($and inside $or) + F2/F4 on the events stream table."""
+    pred = compile_filter(
+        {
+            "$or": [
+                {
+                    "data.event_type": {"$eq": "purchase"},
+                    "data.value": {"$gte": 100.0},
+                },
+                {"data.event_type": {"$in": ["error"]}},
+            ]
+        }
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(pred)
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+def backfill_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: inclusive time-range predicate (cli/backfill.py:130-131 analog)
+    on the orders table, projected to date granularity."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between(F.lit("1997-01-01"), F.lit("1997-12-31")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderstatus",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/A1: the reference's one real view — left join + ordered agg
+# (schema/023 profiles_with_verifications, re-shaped onto customer/orders)
+# ---------------------------------------------------------------------------
+
+def join_left_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profiles_with_verifications shape (schema/023:9-53): left join each
+    customer to the DESC-ordered aggregate of its non-'deleted' orders.
+    The correlated subquery the reference's view uses decorrelates to
+    aggregate-then-join; aggregating *before* the join keeps the shuffle
+    on the small aggregated side."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    agg = orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey"), asc=False),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_ids"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return cust.join(agg, cust.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.col("order_ids"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1/D2: dedup + last-writer-wins (SURVEY §2.4) and window functions
+# ---------------------------------------------------------------------------
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on documents (hash-groupBy)."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's last-occurrence-wins dedup in its robust distributed form:
+    row_number over an explicit arrival order (event_id) instead of
+    nondeterministic file position (db.py:800-820 deviation noted in
+    SURVEY §7.3)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dd.last_writer_wins(ev, ["user_id"], [F.desc("event_id")])
+    return out.select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 customers by balance per nation."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 top-1 lookup shape (db.py:177-191): ORDER BY ... DESC LIMIT 1
+    with a deterministic tiebreak -> TakeOrderedAndProject."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8 — absent in reference, table stakes for the engine)
+# ---------------------------------------------------------------------------
+
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big_buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return building.intersect(big_buyers)
+
+
+def set_except_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    machinery = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    have_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return machinery.exceptAll(have_orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.3): JSON extraction, hex projection
+# ---------------------------------------------------------------------------
+
+def json_extract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 shape: JSON payload column -> typed value -> aggregate.
+    get_json_object is JVM-side; no UDF in the path."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def hex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 hex-encode projection ('0x' || hex(payload)), the address
+    rendering at the reference's graph edge (transformers/verifications.py:17-23)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("0x"), F.lower(F.hex(F.col("source")))).alias("source_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-semantics batch twins (§2.8 W1/W8): tumbling windows
+# ---------------------------------------------------------------------------
+
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 tumbling windows (main.py:286-291's ts//dur*dur alignment) as a
+    grouped agg on the events stream table; the same expression drives the
+    Structured Streaming variant in streaming/pipeline.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("window_start", window_start("ts", 3600))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data extensions)
+# ---------------------------------------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.token_count("text", mode="bpe").alias("n_bpe_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.language_id("text").alias("lang_pred"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup (rows-only oracle: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    return cands.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates reranked by exact shingle Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).select(
+        "id_a", "id_b"
+    )
+    return dd.ngram_jaccard_pairs(docs, cands, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_duplicates(dd.simhash(docs), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q")))
+
+
+def _cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, raw cosine vs vec_id=0) via broadcast one-row cross join —
+    no driver collect; the dot/norm fold is a sequential JVM left-fold so
+    it matches the oracle's list_dot_product bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = emb.crossJoin(_query_vec_df(spark, sf_dir))
+    dot = sim._dot(F.col("embedding"), F.col("q"))
+    denom = sim._norm(F.col("embedding")) * sim._norm(F.col("q"))
+    score = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    return joined.select("vec_id", score.alias("cos_raw"))
+
+
+def embedding_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine of every vector against vec_id=0 (the exact
+    baseline for similarity search; one narrow projection, no shuffle)."""
+    return _cosine_to_query(spark, sf_dir).select(
+        "vec_id", F.round("cos_raw", 6).alias("cos_sim")
+    )
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 by cosine: TakeOrderedAndProject (per-partition heap,
+    k-row driver merge — no global sort even at 100 TB)."""
+    return (
+        _cosine_to_query(spark, sf_dir)
+        .orderBy(F.desc("cos_raw"), F.col("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 via random-hyperplane LSH bucket pruning
+    (rows-only oracle: bucket membership isn't SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = sim.lsh_bucketed_topk(emb, list(qvec), k=20, n_planes=8)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Graph projection (§2.9 U4-U6 shape on the events table)
+# ---------------------------------------------------------------------------
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 FollowsGraphTransformer shape: interaction rows -> typed edges."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("dst_id"),
+        F.col("event_type").alias("rel_type"),
+    ).filter(F.col("dst_id").isNotNull())
+
+
+def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 endpoint resolution: node set = distinct union of edge endpoints
+    (neo4j_queries.py:88-93's implicit MERGE-created endpoints)."""
+    e = graph_edges(spark, sf_dir)
+    return (
+        e.select(F.col("src_id").alias("node_id"))
+        .union(e.select(F.col("dst_id").alias("node_id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only; decode stubbed per container limits)
+# ---------------------------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs), fake=True)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q1_pricing_summary(spark, sf_dir)
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_nation_revenue": q5_region_nation_revenue,
+    "filter_dsl_in_gt": filter_dsl_in_gt,
+    "filter_dsl_and_or": filter_dsl_and_or,
+    "backfill_time_range": backfill_time_range,
+    "join_left_ordered_agg": join_left_ordered_agg,
+    "dedup_exact_documents": dedup_exact_documents,
+    "latest_event_per_user": latest_event_per_user,
+    "window_topn_per_group": window_topn_per_group,
+    "top1_order": top1_order,
+    "set_intersect_buyers": set_intersect_buyers,
+    "set_except_no_orders": set_except_no_orders,
+    "json_extract_sum": json_extract_sum,
+    "hex_projection": hex_projection,
+    "tumbling_event_counts": tumbling_event_counts,
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "embedding_cosine_scores": embedding_cosine_scores,
+    "embedding_topk": embedding_topk,
+    "embedding_lsh_topk": embedding_lsh_topk,
+    "graph_edges": graph_edges,
+    "graph_nodes": graph_nodes,
+    "multimodal_features": multimodal_features,
+}
+
+# DuckDB oracle twins. Keys missing here (minhash/simhash/LSH/multimodal)
+# are intentionally rows-only: their bucketing depends on engine hash
+# functions and is not ANSI-SQL-expressible.
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_region_nation_revenue": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+    """,
+    "filter_dsl_in_gt": """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 1000.0
+    """,
+    "filter_dsl_and_or": """
+        SELECT event_id, user_id, event_type, round(value, 2) AS value
+        FROM events
+        WHERE (event_type = 'purchase' AND value >= 100.0)
+           OR event_type IN ('error')
+    """,
+    "backfill_time_range": """
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+    """,
+    "join_left_ordered_agg": """
+        SELECT c_custkey, c_name, oa.order_ids, COALESCE(oa.n_orders, 0) AS n_orders
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey DESC) AS order_ids,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE o_orderstatus <> 'F'
+            GROUP BY o_custkey
+        ) oa ON c_custkey = oa.o_custkey
+    """,
+    "dedup_exact_documents": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type, round(value, 2) AS value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    "window_topn_per_group": """
+        SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        )
+        WHERE rn <= 3
+    """,
+    "top1_order": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+    """,
+    "set_intersect_buyers": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+    "set_except_no_orders": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    "json_extract_sum": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "hex_projection": """
+        SELECT doc_id, '0x' || lower(hex(source)) AS source_hex FROM documents
+    """,
+    "tumbling_event_counts": """
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id, round((
+                 least(1.0, n_tokens / 20.0)
+                 + alpha / (CASE WHEN nonspace > 0 THEN nonspace ELSE 1.0 END)
+                 + (1.0 - punct / (CASE WHEN nonspace > 0 THEN nonspace ELSE 1.0 END))
+                 + least(1.0, 5.0 * sw / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1.0 END))
+               ) / 4.0, 6) AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS DOUBLE) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                   CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+                   CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b')) AS DOUBLE) AS sw
+            FROM documents
+        )
+    """,
+    "text_lang_id": """
+        SELECT doc_id,
+               CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                    WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                    WHEN de > 0 AND de >= fr THEN 'de'
+                    WHEN fr > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|un|por|con|los)\\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|mit|den|nicht|ein)\\b')) AS de,
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|en|un|du|que|pour)\\b')) AS fr
+            FROM documents
+        )
+    """,
+    "text_fingerprint": """
+        SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "embedding_cosine_scores": """
+        SELECT vec_id, round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS cos_sim
+        FROM (
+            SELECT e.vec_id,
+                   list_dot_product(e.embedding::DOUBLE[], q.q) AS num,
+                   sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(q.q, q.q)) AS den
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0) q
+        )
+    """,
+    "embedding_topk": """
+        SELECT vec_id, round(cos_raw, 6) AS cos_sim
+        FROM (
+            SELECT vec_id, CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS cos_raw
+            FROM (
+                SELECT e.vec_id,
+                       list_dot_product(e.embedding::DOUBLE[], q.q) AS num,
+                       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(q.q, q.q)) AS den
+                FROM embeddings e
+                CROSS JOIN (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0) q
+            )
+        )
+        ORDER BY cos_raw DESC, vec_id
+        LIMIT 20
+    """,
+    "graph_edges": """
+        SELECT user_id AS src_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst_id,
+               event_type AS rel_type
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    "graph_nodes": """
+        SELECT user_id AS node_id FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        UNION
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS node_id FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+}

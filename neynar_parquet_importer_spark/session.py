@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The reference forces TZ=UTC process-wide (settings.py:112-114) because
+its tables use ``timestamp without time zone`` that is semantically UTC.
+We encode the same decision as session configs instead of mutating the
+environment, and turn on the Spark features a large cluster needs:
+AQE (runtime coalesce/skew-join), Arrow for any pandas-UDF hops, and a
+shuffle-partition count sized for the local test harness (on a real
+cluster AQE coalesces these; the initial number should be ~2-3x cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "neynar-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # 128 MiB splits: one task per HDFS-block-sized slice of parquet;
+        # at 100 TB this yields ~800k tasks, the right granularity for a
+        # 1000-executor cluster (not config'd per-file like the reference's
+        # one-thread-per-row-group model).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

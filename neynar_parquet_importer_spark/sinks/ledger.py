@@ -1,0 +1,125 @@
+"""Import-tracking ledger (reference S11, schema/000 + db.py:365-642).
+
+One row per window file: file name/type/version, window bounds,
+row-group progress, completed flag, backfill flag. The reference keeps
+it in Postgres and advances ``last_row_group_imported`` monotonically;
+with Spark's atomic micro-batch/task retry we only need file-granularity
+idempotency (SURVEY W6), so the ledger records files and completion.
+
+Storage here is a JSON-lines file updated read-modify-write — the ledger
+is control-plane metadata (KBs), not data; a production deployment can
+point the same interface at a JDBC table. In-order completion (W7) is
+preserved: ``advance_completed_through`` only marks a file completed if
+every earlier window for the table is completed, mirroring the ordered
+futures queue (main.py:303-338, db.py:543-549).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class LedgerEntry:
+    file_name: str
+    file_type: str  # 'full' | 'incremental'
+    file_version: str
+    file_duration_s: int
+    start_timestamp: int
+    end_timestamp: int
+    total_row_groups: int = 0
+    last_row_group_imported: int = -1
+    completed: bool = False
+    backfill: bool = False
+    imported_at: float = field(default_factory=lambda: time.time())
+
+
+class ImportLedger:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._entries: dict[str, LedgerEntry] = {}
+        self._load()
+
+    def _load(self) -> None:
+        if not os.path.exists(self.path):
+            return
+        with open(self.path) as f:
+            for line in f:
+                if line.strip():
+                    e = LedgerEntry(**json.loads(line))
+                    self._entries[e.file_name] = e
+
+    def _flush(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w") as f:
+            for e in self._entries.values():
+                f.write(json.dumps(asdict(e)) + "\n")
+        os.replace(tmp, self.path)  # atomic swap, crash-safe
+
+    # -- upsert / progress (db.py:365-392, 527-566, 621-642 semantics) -----
+    def record_file(self, entry: LedgerEntry) -> LedgerEntry:
+        """Idempotent upsert keyed on file_name; an existing row wins
+        (the reference's ON CONFLICT DO UPDATE no-op + RETURNING)."""
+        existing = self._entries.get(entry.file_name)
+        if existing is not None:
+            return existing
+        self._entries[entry.file_name] = entry
+        self._flush()
+        return entry
+
+    def mark_completed(self, file_name: str) -> None:
+        e = self._entries[file_name]
+        e.completed = True
+        e.last_row_group_imported = max(e.total_row_groups - 1, 0)
+        self._flush()
+
+    def is_completed(self, file_name: str) -> bool:
+        e = self._entries.get(file_name)
+        return e is not None and e.completed
+
+    # -- resume probes (db.py:165-258 semantics) ----------------------------
+    def newest_completed_incremental(self) -> LedgerEntry | None:
+        done = [
+            e
+            for e in self._entries.values()
+            if e.completed and e.file_type == "incremental"
+        ]
+        return max(done, key=lambda e: e.end_timestamp, default=None)
+
+    def newest_full(self) -> LedgerEntry | None:
+        fulls = [e for e in self._entries.values() if e.file_type == "full"]
+        return max(fulls, key=lambda e: e.end_timestamp, default=None)
+
+    def resume_point(self) -> int | None:
+        """Preference order (main.py:132-297): newest completed incremental,
+        else newest full's end_timestamp, else None (fresh start)."""
+        inc = self.newest_completed_incremental()
+        if inc is not None:
+            return inc.end_timestamp
+        full = self.newest_full()
+        if full is not None:
+            return full.end_timestamp
+        return None
+
+    def is_stale(self, now: float, max_age_s: float = 21 * 24 * 3600) -> bool:
+        """W4 retention watermark (db.py:704-710): if the newest imported
+        state is older than the retention horizon, re-snapshot."""
+        point = self.resume_point()
+        return point is None or (now - point) > max_age_s
+
+    def advance_completed_through(self, ordered_file_names: list[str], done: set[str]) -> list[str]:
+        """W7 in-order commit: walk the window sequence, completing files
+        only while the contiguous prefix is done; return newly completed."""
+        completed: list[str] = []
+        for name in ordered_file_names:
+            if name not in done:
+                break
+            if not self.is_completed(name):
+                self.mark_completed(name)
+                completed.append(name)
+        return completed

@@ -1,0 +1,125 @@
+"""Window planning & discovery (reference S4-S6, W1/W4/W5).
+
+The reference walks time forward one `incremental_duration` window at a
+time, fetching `{schema}-{table}-{start}-{start+dur}` from S3
+(s3.py:163-245) after an initial "full" snapshot chosen as the
+lexicographic-max key (s3.py:94-160), restarting from a fresh snapshot
+when local state is older than the retention horizon (main.py:157-169).
+
+Spark-side, discovery is driver-side listing (cheap: one listing per
+trigger, no data movement) and the *read* is a single
+``spark.read.parquet(paths...)`` over all selected windows — the engine
+reads N window files as one distributed scan instead of N sequential
+imports, which is the main structural speedup over the reference at
+backfill time.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .filenames import ParquetFileMeta, parse_parquet_filename, window_file_name
+
+
+@dataclass(frozen=True)
+class WindowPlan:
+    """One catch-up plan: full snapshot (optional) + incremental windows
+    (present files), with expected-but-missing and empty windows called out
+    (the reference's W2/W3 arrival-tracking surface)."""
+
+    full_path: str | None
+    incremental_paths: list[str]
+    empty_windows: list[int]
+    missing_windows: list[int]
+    next_start: int
+
+
+def _listing(directory: str) -> list[str]:
+    try:
+        return sorted(os.listdir(directory))
+    except FileNotFoundError:
+        return []
+
+
+def discover_latest_full(directory: str, schema_name: str, table_name: str) -> str | None:
+    """S4: newest full snapshot = lexicographic max among start_ts=0 files
+    (s3.py:118-124's max-key rule; lexicographic==numeric for equal-width
+    epoch timestamps)."""
+    best: str | None = None
+    for name in _listing(directory):
+        try:
+            meta = parse_parquet_filename(name)
+        except ValueError:
+            continue
+        if meta.schema_name == schema_name and meta.table_name == table_name and meta.is_full and not meta.empty:
+            if best is None or name > best:
+                best = name
+    return os.path.join(directory, best) if best else None
+
+
+def plan_windows(
+    directory: str,
+    schema_name: str,
+    table_name: str,
+    start_timestamp: int,
+    end_timestamp: int,
+    duration_s: int,
+    include_full: bool = True,
+) -> WindowPlan:
+    """Enumerate expected windows in [start, end) aligned to
+    ``ts // dur * dur`` (main.py:286-291) and classify each as present /
+    empty-sentinel / missing."""
+    full_path = discover_latest_full(directory, schema_name, table_name) if include_full else None
+    aligned = start_timestamp // duration_s * duration_s
+    present: list[str] = []
+    empty: list[int] = []
+    missing: list[int] = []
+    t = aligned
+    while t < end_timestamp:
+        fname = window_file_name(schema_name, table_name, t, duration_s)
+        ename = window_file_name(schema_name, table_name, t, duration_s, empty=True)
+        fpath = os.path.join(directory, fname)
+        epath = os.path.join(directory, ename)
+        if os.path.exists(fpath) and os.path.getsize(fpath) > 0:
+            present.append(fpath)
+        elif os.path.exists(epath):
+            empty.append(t)  # S3 .empty sentinel: ledger row, zero rows
+        else:
+            missing.append(t)  # W2/W3: not yet published
+        t += duration_s
+    return WindowPlan(
+        full_path=full_path,
+        incremental_paths=present,
+        empty_windows=empty,
+        missing_windows=missing,
+        next_start=t,
+    )
+
+
+def read_windows(spark: SparkSession, plan: WindowPlan, schema=None) -> DataFrame | None:
+    """One distributed scan over every selected window file. Returns None
+    when the plan has no non-empty files (the all-.empty case)."""
+    paths = ([plan.full_path] if plan.full_path else []) + plan.incremental_paths
+    if not paths:
+        return None
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+def attach_file_metadata(df: DataFrame) -> DataFrame:
+    """Expose the filename window coordinates as columns
+    (S8 as `regexp_extract(input_file_name())`), so window-range predicates
+    become partition-ish pruning and provenance survives into sinks."""
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    pat = r"(.+)-(.+)-(\d+)-(\d+)\.(parquet|empty)$"
+    return (
+        df.withColumn("_source_file", fname)
+        .withColumn("_window_start", F.regexp_extract(fname, pat, 3).cast("long"))
+        .withColumn("_window_end", F.regexp_extract(fname, pat, 4).cast("long"))
+    )

@@ -1,0 +1,185 @@
+"""Streaming import pipeline: the reference's daemon loop (entry point
+3.1) re-expressed on Spark.
+
+Reference behavior being preserved (SURVEY §2.8):
+- W1 tumbling file windows: one file per `incremental_duration` window;
+- W5 full-then-incremental handoff with ledger-driven resume;
+- W4 staleness restart (retention watermark);
+- S3 `.empty` sentinels: a ledger row with zero data rows;
+- W7 in-order completion: a window is only marked completed when every
+  earlier window is;
+- W10 sink-as-state: latest-row-per-PK state lives in the sink via the
+  recency-guarded upsert, not in an engine state store.
+
+Two execution modes:
+- ``ImportPipeline.run_catchup``: batch catch-up — ONE distributed scan
+  over all pending window files, filter -> clean -> upsert, then ledger
+  commit. This replaces the reference's file-at-a-time thread pools; at
+  100 TB the backfill is a single parquet scan job whose parallelism is
+  file-splits, not Python threads.
+- ``streaming_window_counts``: Structured Streaming file-source variant
+  (readStream + tumbling window + watermark) for continuously-arriving
+  files, with ``Trigger.AvailableNow`` for catch-up and foreachBatch for
+  upsert sinks.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..filters import compile_filter
+from ..functions.json_clean import clean_json_columns
+from ..catalog import TableSpec
+from ..sinks.lake_upsert import LakeUpsertSink
+from ..sinks.ledger import ImportLedger, LedgerEntry
+from ..sources.filenames import parse_parquet_filename, window_file_name
+from ..sources.windows import plan_windows, read_windows
+
+
+@dataclass
+class ImportReport:
+    files_imported: int
+    empty_windows: int
+    missing_windows: int
+    rows_upserted: int
+    next_start: int
+
+
+class ImportPipeline:
+    """Per-table pipeline: scan -> dedup -> filter -> clean -> upsert with
+    ledger bookkeeping (the fixed operator chain of SURVEY §3)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: TableSpec,
+        source_dir: str,
+        sink_root: str,
+        schema_name: str = "nindexer",
+        file_version: str = "v3",
+        incremental_duration: int = 1,
+        filter_doc: dict | None = None,
+    ) -> None:
+        self.spark = spark
+        self.spec = spec
+        self.source_dir = source_dir
+        self.schema_name = schema_name
+        self.file_version = file_version
+        self.duration = incremental_duration
+        self.predicate: Column = compile_filter(filter_doc)
+        self.sink = LakeUpsertSink(
+            spark, f"{sink_root}/{spec.name}", spec.primary_key, spec.version_column
+        )
+        self.ledger = ImportLedger(f"{sink_root}/{spec.name}/ledger.jsonl")
+
+    # -- the per-batch body shared by batch and streaming (SURVEY §7.1) ----
+    def transform(self, df: DataFrame) -> DataFrame:
+        out = df.filter(self.predicate)
+        out = clean_json_columns(out, self.spec.json_columns)
+        return out
+
+    def run_catchup(
+        self,
+        start_timestamp: int | None = None,
+        end_timestamp: int | None = None,
+        now: float | None = None,
+        max_age_s: float = 21 * 24 * 3600,
+    ) -> ImportReport:
+        """Import everything pending: full snapshot if state is missing or
+        stale (W4/W5), then all published incremental windows, as one job."""
+        now = time.time() if now is None else now
+        end_timestamp = int(now) if end_timestamp is None else end_timestamp
+
+        resume = self.ledger.resume_point()
+        include_full = resume is None or self.ledger.is_stale(now, max_age_s)
+        if start_timestamp is None:
+            start_timestamp = resume if (resume is not None and not include_full) else 0
+
+        plan = plan_windows(
+            self.source_dir,
+            self.schema_name,
+            self.spec.name,
+            start_timestamp or 0,
+            end_timestamp,
+            self.duration,
+            include_full=include_full,
+        )
+
+        # skip files the ledger already committed (idempotent re-run, W6)
+        pending = [
+            p
+            for p in ([plan.full_path] if plan.full_path else []) + plan.incremental_paths
+            if not self.ledger.is_completed(p.rsplit("/", 1)[-1])
+        ]
+
+        rows = 0
+        if pending:
+            df = self.spark.read.schema(self.spec.schema).parquet(*pending)
+            out = self.transform(df)
+            rows = out.count()
+            self.sink.upsert(out, epoch=int(now))
+
+        # ledger: record data files + empty sentinels, then commit in order
+        ordered_names: list[str] = []
+        for path in pending:
+            name = path.rsplit("/", 1)[-1]
+            meta = parse_parquet_filename(name)
+            self.ledger.record_file(
+                LedgerEntry(
+                    file_name=name,
+                    file_type="full" if meta.is_full else "incremental",
+                    file_version=self.file_version,
+                    file_duration_s=meta.duration_s,
+                    start_timestamp=meta.start_timestamp,
+                    end_timestamp=meta.end_timestamp,
+                )
+            )
+            ordered_names.append(name)
+        for t in plan.empty_windows:
+            name = window_file_name(self.schema_name, self.spec.name, t, self.duration, empty=True)
+            self.ledger.record_file(
+                LedgerEntry(
+                    file_name=name,
+                    file_type="incremental",
+                    file_version=self.file_version,
+                    file_duration_s=self.duration,
+                    start_timestamp=t,
+                    end_timestamp=t + self.duration,
+                )
+            )
+            ordered_names.append(name)
+
+        # in-order commit (W7): everything in this batch succeeded together
+        ordered_names.sort(key=lambda n: parse_parquet_filename(n).end_timestamp)
+        self.ledger.advance_completed_through(ordered_names, set(ordered_names))
+
+        return ImportReport(
+            files_imported=len(pending),
+            empty_windows=len(plan.empty_windows),
+            missing_windows=len(plan.missing_windows),
+            rows_upserted=rows,
+            next_start=plan.next_start,
+        )
+
+
+def streaming_window_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_col: str = "timestamp",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate over a directory of
+    arriving parquet files — the W1 windows + W3 late-data story on
+    Spark's own primitives (watermark instead of max_wait polling)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .count()
+    )

@@ -1,0 +1,85 @@
+"""Filter-DSL compiler tests — mirrors the reference's
+tests/test_filters.py cases (casts $in, reactions $or, channel_members
+$in) on synthetic DataFrames, plus edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.filters import compile_filter, time_range_filter
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10, "a", 5.0),
+            (2, 20, "b", 15.0),
+            (3, 30, "c", 25.0),
+            (4, 20, "a", 35.0),
+        ],
+        "fid long, target_fid long, channel_id string, value double",
+    )
+
+
+def _ids(df):
+    return sorted(r.fid for r in df.collect())
+
+
+def test_empty_filter_includes_everything(rows):
+    assert _ids(rows.filter(compile_filter(None))) == [1, 2, 3, 4]
+    assert _ids(rows.filter(compile_filter({}))) == [1, 2, 3, 4]
+
+
+def test_in_nin(rows):
+    assert _ids(rows.filter(compile_filter({"data.fid": {"$in": [1, 3]}}))) == [1, 3]
+    assert _ids(rows.filter(compile_filter({"data.fid": {"$nin": [1, 3]}}))) == [2, 4]
+
+
+def test_comparisons(rows):
+    assert _ids(rows.filter(compile_filter({"data.value": {"$lt": 15.0}}))) == [1]
+    assert _ids(rows.filter(compile_filter({"data.value": {"$lte": 15.0}}))) == [1, 2]
+    assert _ids(rows.filter(compile_filter({"data.value": {"$gt": 15.0}}))) == [3, 4]
+    assert _ids(rows.filter(compile_filter({"data.value": {"$gte": 15.0}}))) == [2, 3, 4]
+    assert _ids(rows.filter(compile_filter({"data.channel_id": {"$eq": "a"}}))) == [1, 4]
+    assert _ids(rows.filter(compile_filter({"data.channel_id": {"$ne": "a"}}))) == [2, 3]
+
+
+def test_multi_key_leaf_is_anded(rows):
+    doc = {"data.channel_id": {"$eq": "a"}, "data.value": {"$gt": 10.0}}
+    assert _ids(rows.filter(compile_filter(doc))) == [4]
+
+
+def test_or_of_leaves(rows):
+    # the reference's reactions example: match on fid OR target_fid
+    doc = {"$or": [{"data.fid": {"$in": [1]}}, {"data.target_fid": {"$in": [20]}}]}
+    assert _ids(rows.filter(compile_filter(doc))) == [1, 2, 4]
+
+
+def test_and_combinator(rows):
+    doc = {"$and": [{"data.value": {"$gt": 10.0}}, {"data.value": {"$lt": 30.0}}]}
+    assert _ids(rows.filter(compile_filter(doc))) == [2, 3]
+
+
+def test_unknown_key_raises():
+    with pytest.raises(ValueError, match="unknown filter key"):
+        compile_filter({"bogus": {"$eq": 1}})
+
+
+def test_unknown_operator_raises():
+    with pytest.raises(ValueError, match="unknown filter operator"):
+        compile_filter({"data.fid": {"$regex": ".*"}})
+
+
+def test_time_range_filter(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, i + 1)) for i in range(5)],
+        "id long, updated_at timestamp",
+    )
+    pred = time_range_filter(
+        "updated_at", datetime.datetime(2024, 1, 2), datetime.datetime(2024, 1, 4)
+    )
+    assert sorted(r.id for r in df.filter(pred).collect()) == [1, 2, 3]

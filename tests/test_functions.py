@@ -1,0 +1,67 @@
+"""Scalar function tests: JSON cleanup (incl. the Python-repr fallback
+the reference unit-tests in tests/test_db.py:4-12), hex projection,
+window alignment."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.functions import (
+    clean_jsonb_string,
+    hex0x,
+    parse_json_column,
+    window_start,
+)
+
+
+def test_clean_jsonb_string_json():
+    assert clean_jsonb_string('{"a": 1}') == '{"a":1}'
+    assert clean_jsonb_string(None) is None
+
+
+def test_clean_jsonb_string_python_repr():
+    # the reference's escaped-quote case (tests/test_db.py:4-12 analog)
+    raw = "[{'type': 'url', 'value': \"it's\"}]"
+    out = clean_jsonb_string(raw)
+    assert json.loads(out) == [{"type": "url", "value": "it's"}]
+
+
+def test_clean_jsonb_string_bad_raises():
+    with pytest.raises(ValueError, match="mycol"):
+        clean_jsonb_string("{not json", "mycol")
+
+
+def test_parse_json_column(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1}',),
+            ("[{'type': 'url'}]",),
+            (None,),
+        ],
+        "payload string",
+    )
+    got = [r[0] for r in df.select(parse_json_column("payload")).collect()]
+    assert got[0] == '{"a": 1}'  # real JSON untouched (fast path)
+    assert json.loads(got[1]) == [{"type": "url"}]
+    assert got[2] is None
+
+
+def test_hex0x(spark):
+    df = spark.createDataFrame([(bytearray(b"\x00\xab"),), (None,)], "address binary")
+    got = [r[0] for r in df.select(hex0x("address")).collect()]
+    assert got == ["0x00ab", None]
+
+
+def test_window_start(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 59, 59),), (datetime.datetime(2024, 1, 1, 1, 0, 0),)],
+        "ts timestamp",
+    )
+    got = [r[0] for r in df.select(window_start("ts", 3600)).collect()]
+    assert got[1] - got[0] == 3600
+    assert got[0] % 3600 == 0

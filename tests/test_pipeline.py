@@ -1,0 +1,129 @@
+"""End-to-end window-file import pipeline tests: full+incremental
+handoff, .empty sentinels, idempotent re-run, filters, resume — the
+reference's test_parquet_direct.py scenarios on the lake sink."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from neynar_parquet_importer_spark.catalog import TableSpec
+from neynar_parquet_importer_spark.sources import parse_parquet_filename, window_file_name
+from neynar_parquet_importer_spark.sources.windows import plan_windows
+from neynar_parquet_importer_spark.streaming import ImportPipeline
+
+SPEC = TableSpec(
+    name="follows",
+    schema=T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("fid", T.LongType()),
+            T.StructField("target_fid", T.LongType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    ),
+    primary_key=("id",),
+)
+
+
+def _write_window(spark, directory, start, dur, rows):
+    name = window_file_name("nindexer", "follows", start, dur)
+    df = spark.createDataFrame(rows, SPEC.schema)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(directory, "_tmp"))
+    # single-file window like the reference's exports
+    part = [f for f in os.listdir(os.path.join(directory, "_tmp")) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(directory, "_tmp", part), os.path.join(directory, name))
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def _row(i, fid, target, s):
+    return (f"id-{i}", fid, target, _ts(s))
+
+
+def test_filename_roundtrip():
+    meta = parse_parquet_filename("/x/nindexer-follows-100-101.parquet")
+    assert (meta.schema_name, meta.table_name) == ("nindexer", "follows")
+    assert (meta.start_timestamp, meta.end_timestamp) == (100, 101)
+    assert not meta.empty and not meta.is_full
+    empty = parse_parquet_filename("a-b-c-5-10.empty")
+    assert empty.empty and (empty.schema_name, empty.table_name) == ("a-b", "c")
+    with pytest.raises(ValueError):
+        parse_parquet_filename("nonsense.txt")
+
+
+def test_plan_windows_classification(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 100, [_row(1, 10, 20, 50)])  # full (start=0)
+    _write_window(spark, src, 100, 1, [_row(2, 11, 21, 100)])
+    open(os.path.join(src, window_file_name("nindexer", "follows", 101, 1, empty=True)), "w").close()
+    plan = plan_windows(src, "nindexer", "follows", 100, 103, 1)
+    assert plan.full_path and plan.full_path.endswith("nindexer-follows-0-100.parquet")
+    assert len(plan.incremental_paths) == 1
+    assert plan.empty_windows == [101]
+    assert plan.missing_windows == [102]
+    assert plan.next_start == 103
+
+
+@pytest.fixture()
+def pipeline_env(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink_root = str(tmp_path / "lake")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 1000, [_row(1, 10, 20, 500), _row(2, 11, 21, 600)])
+    _write_window(spark, src, 1000, 1, [_row(2, 11, 99, 1000), _row(3, 12, 22, 1000)])
+    open(os.path.join(src, window_file_name("nindexer", "follows", 1001, 1, empty=True)), "w").close()
+    pipe = ImportPipeline(
+        spark, SPEC, src, sink_root, incremental_duration=1
+    )
+    return pipe, src
+
+
+def test_catchup_full_then_incremental(pipeline_env):
+    pipe, src = pipeline_env
+    report = pipe.run_catchup(end_timestamp=1002, now=1002)
+    assert report.files_imported == 2
+    assert report.empty_windows == 1
+    state = {r.id: r.target_fid for r in pipe.sink.read().collect()}
+    # id-2 was updated by the incremental window (newer updated_at)
+    assert state == {"id-1": 20, "id-2": 99, "id-3": 22}
+    assert pipe.ledger.is_completed("nindexer-follows-0-1000.parquet")
+    assert pipe.ledger.is_completed("nindexer-follows-1000-1001.parquet")
+    assert pipe.ledger.is_completed("nindexer-follows-1001-1002.empty")
+
+
+def test_catchup_idempotent_rerun(pipeline_env):
+    pipe, src = pipeline_env
+    pipe.run_catchup(end_timestamp=1002, now=1002)
+    first = sorted((r.id, r.target_fid) for r in pipe.sink.read().collect())
+    report2 = pipe.run_catchup(end_timestamp=1002, now=1002)
+    assert report2.files_imported == 0  # ledger short-circuits completed files
+    assert sorted((r.id, r.target_fid) for r in pipe.sink.read().collect()) == first
+
+
+def test_catchup_picks_up_new_window(pipeline_env, spark):
+    pipe, src = pipeline_env
+    pipe.run_catchup(end_timestamp=1002, now=1002)
+    _write_window(spark, src, 1002, 1, [_row(4, 13, 23, 1002)])
+    report = pipe.run_catchup(end_timestamp=1003, now=1003)
+    assert report.files_imported == 1
+    assert pipe.sink.read().count() == 4
+
+
+def test_pipeline_filter_dsl(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 100, [_row(1, 10, 20, 50), _row(2, 999, 21, 60)])
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake2"),
+        incremental_duration=1,
+        filter_doc={"data.fid": {"$in": [10]}},
+    )
+    pipe.run_catchup(end_timestamp=100, now=100)
+    assert [r.id for r in pipe.sink.read().collect()] == ["id-1"]

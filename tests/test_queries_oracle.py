@@ -1,0 +1,67 @@
+"""Oracle-parity harness: run every registered query on Spark and its
+DuckDB oracle twin on the same parquet, compare row count, column names,
+and an order-insensitive value multiset — a local replica of the
+driver's CORRECTNESS gate (at sf0.001 for speed; the driver uses sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from neynar_parquet_importer_spark.catalog import TESTDATA_TABLE_NAMES
+from neynar_parquet_importer_spark.plans.queries import ORACLE_SQL, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def _multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    rel = duck.sql(ORACLE_SQL[name])
+    duck_rows = rel.fetchall()
+    duck_cols = rel.columns
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    sm, dm = _multiset(spark_rows, spark_cols), _multiset(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sm, dm) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
