@@ -48,8 +48,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
-    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    # warmup: run every bench query once at the smallest sf so JVM/codegen
+    # compilation and Python-worker spin-up are paid before timing starts —
+    # the timed runs then measure data-proportional execution at the target
+    # sf, which is the number that extrapolates to cluster scale.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        try:
+            QUERIES[name](spark, warm_dir).count()
+        except Exception:
+            pass  # a warmup failure surfaces in the timed run with a real trace
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -74,14 +74,22 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _shingles(text_col: Column, n: int) -> Column:
-    """Word n-gram shingles as an array<string> (distinct)."""
+    """Word n-gram shingles as an array<string> (distinct).
+
+    Built with element_at references rather than per-index ``slice`` —
+    slice allocates an array per shingle and made this O(tokens²) with
+    heavy interpreter overhead."""
     tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
-    # slide an n-window over the token array with transform over indices
     k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
+
     return F.array_distinct(
-        F.when(k > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))))
-        .otherwise(F.array(F.concat_ws(" ", tokens)))
+        F.when(k > 0, F.transform(idx, shingle_at)).otherwise(
+            F.array(F.concat_ws(" ", tokens))
+        )
     )
 
 
@@ -92,23 +100,50 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) via k independent hash fns.
+    """(id, signature array<long>[num_hashes]) via k universal-hash members.
 
-    Each hash family member is ``xxhash64(seed_i, shingle)``; the signature
-    element is the min over shingles — all JVM-side higher-order functions,
-    no shuffle until LSH banding.
+    Execution shape chosen for whole-stage codegen (higher-order array
+    lambdas are interpreted in Spark and were ~40x slower here):
+    explode shingles -> ONE codegen'd xxhash64 per shingle -> hash
+    aggregate computing min(xxhash64(h, seed_i)) for each family member i
+    (re-hashing the 64-bit shingle hash with a per-member seed; pure
+    codegen, no ANSI overflow concerns). One shuffle on id; partial
+    aggregation runs map-side, so the shuffle carries at most one 64-long
+    signature per (id, partition).
     """
-    sh = _shingles(F.col(text_col), shingle_n).alias("shingles")
-
-    def member(i: int):
-        # closure (NOT a default-arg lambda: pyspark would treat a 2-arg
-        # lambda as wanting the array index and shadow the seed)
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
-        )
-
-    sig = F.array(*[member(i) for i in range(num_hashes)]).alias("signature")
-    return df.select(F.col(id_col).alias("id"), sh).select("id", sig)
+    # shingle stream via posexplode + lead() instead of an array-lambda
+    # build (higher-order exprs are interpreted; this path is ~10x faster
+    # and its window shuffle on id is reused by the final aggregation)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, shingle_n)]
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    shingled = tok.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", *leads).alias("shingle"),  # concat_ws skips trailing nulls
+        leads[-1].isNotNull().alias("full"),
+        n_tok.alias("n_tok"),
+    ).filter(
+        # complete n-grams, or the single whole-text shingle for short docs
+        F.col("full") | ((F.col("n_tok") < shingle_n) & (F.col("pos") == 0))
+    )
+    # duplicate shingles don't change a min, so no distinct pass is needed
+    base = shingled.select("id", F.xxhash64(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        base.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -124,6 +159,9 @@ def minhash_lsh_candidates(
     pairs with the estimated Jaccard from full-signature agreement.
     """
     n = bands * rows_per_band
+    # the banding self-join reads signatures twice; persist so the
+    # signature aggregation (the expensive stage) runs once
+    signatures = signatures.persist()
     banded = signatures.select(
         "id",
         "signature",
@@ -183,8 +221,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (the rerank step after
     LSH). Joins shingle sets back onto the candidate pairs — candidates are
-    assumed small relative to the corpus, so this is two hash joins."""
-    sh = df.select(
+    assumed small relative to the corpus, so this is two hash joins.
+
+    Shingling is restricted to documents that actually appear in a
+    candidate pair (semi-join first): at 100 TB the candidate set is a
+    vanishing fraction of the corpus and shingling everything would
+    dominate the query."""
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    needed = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi"
+    )
+    sh = needed.select(
         F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh")
     )
     out = (
@@ -216,26 +268,26 @@ def simhash(
     sign vector packs into one long. Expressed with higher-order array
     functions so whole-stage codegen applies per row (no shuffle).
     """
-    tokens = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_sum(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.getbit(h, F.lit(i)) == 1, 1).otherwise(-1),
-        )
-
-    bit_sums = [bit_sum(i) for i in range(bits)]
+    # Same codegen-friendly shape as minhash_signatures: explode tokens,
+    # hash each once (codegen), then a hash aggregate with one signed
+    # bit-vote sum per bit position; pack the sign vector driver-free in a
+    # final projection. Distinct powers of two can't overflow the sum;
+    # bit 63 lands on Long.MIN_VALUE which is exactly the sign-bit encoding.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).select("id", F.xxhash64(F.coalesce(F.col("tok"), F.lit(""))).alias("h"))
+    votes = [
+        F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
     packed = None
-    for i, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
-            1 << i
-        ).cast("long") if i < 63 else F.when(s > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
-    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+    return base.groupBy("id").agg(*votes).select("id", packed.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -1,0 +1,74 @@
+"""Import metrics & cost metering (reference A2/W8/C7).
+
+The reference increments Datadog counters per batch
+(num_parquet_rows_imported/filtered, parquet_bytes_imported;
+db.py:918-936, 859-863), emits freshness gauges (file_age/row_age,
+db.py:895-917) and meters "compute unit" cost with a
+filtered_row_multiplier applied to all scanned rows when filters are
+active (db.py:442-479, 844-856; settings.py:47).
+
+Spark-side, per-batch row counts come from ``DataFrame.observe`` — a
+zero-cost aggregate piggybacked on the job, no extra scan — and the
+same cost arithmetic runs on the observed values.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BatchMetrics:
+    rows_scanned: int
+    rows_imported: int
+    rows_filtered: int
+    file_age_s: float | None = None
+    row_age_s: float | None = None
+
+
+def observe_filter(
+    df: DataFrame, predicate, obs_scanned: Observation, obs_kept: Observation
+) -> DataFrame:
+    """filter + observed pre/post counts in one pass (F10's counting,
+    db.py:827-867, without the reference's per-row Python loop)."""
+    observed = df.observe(obs_scanned, F.count(F.lit(1)).alias("n"))
+    return observed.filter(predicate).observe(obs_kept, F.count(F.lit(1)).alias("n"))
+
+
+def collect_metrics(
+    obs_scanned: Observation,
+    obs_kept: Observation,
+    window_end_ts: float | None = None,
+    max_updated_at_ts: float | None = None,
+    now: float | None = None,
+) -> BatchMetrics:
+    now = time.time() if now is None else now
+    scanned = int(obs_scanned.get["n"])
+    kept = int(obs_kept.get["n"])
+    return BatchMetrics(
+        rows_scanned=scanned,
+        rows_imported=kept,
+        rows_filtered=scanned - kept,
+        # W8 freshness: file age from the window end, row age from the
+        # newest row's updated_at (db.py:895-917)
+        file_age_s=None if window_end_ts is None else now - window_end_ts,
+        row_age_s=None if max_updated_at_ts is None else now - max_updated_at_ts,
+    )
+
+
+def compute_unit_cost(
+    metrics: BatchMetrics,
+    cost_per_row: float,
+    filters_active: bool,
+    filtered_row_multiplier: float = 1.1,
+) -> float:
+    """C7 cost arithmetic (db.py:844-856): with filters active, bill all
+    *scanned* rows at multiplier x unit price (and imported rows are then
+    free); without filters, bill imported rows at unit price."""
+    if filters_active:
+        return metrics.rows_scanned * filtered_row_multiplier * cost_per_row
+    return metrics.rows_imported * cost_per_row

@@ -166,6 +166,31 @@ class ImportPipeline:
         )
 
 
+    def run_streaming(self, checkpoint_dir: str, available_now: bool = True):
+        """Structured Streaming leg: file source over the window directory,
+        the same ``transform`` body, foreachBatch -> recency-guarded upsert
+        (exactly-once end state = checkpoint replay + idempotent MERGE,
+        the two-system story of SURVEY §7.3 hard part 2). `.empty` sentinel
+        files are not valid parquet, so the glob selects only ``*.parquet``;
+        empty windows are a ledger-only concern handled by run_catchup."""
+        stream = (
+            self.spark.readStream.schema(self.spec.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.source_dir)
+        )
+
+        def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.sink.upsert(self.transform(batch_df), epoch=batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 def streaming_window_counts(
     spark: SparkSession,
     source_dir: str,

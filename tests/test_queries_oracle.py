@@ -14,7 +14,9 @@ import pytest
 from neynar_parquet_importer_spark.catalog import TESTDATA_TABLE_NAMES
 from neynar_parquet_importer_spark.plans.queries import ORACLE_SQL, QUERIES
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
