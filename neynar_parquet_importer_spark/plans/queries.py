@@ -243,6 +243,113 @@ def top1_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag) over the event stream: per-user
+    value delta in arrival order."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (subtotals + grand total)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def semi_join_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one urgent order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def anti_join_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: line items shipped within 30 days after
+    their order date. Catalyst plans equi-key (orderkey) + range residual,
+    so this stays a hash join with a post-filter, not a nested loop."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_fast_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("fast_revenue"),
+        )
+    )
+
+
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each purchase
+    event, the most recent order of the matching customer at or before the
+    event time — expressed as equi-join on key + range predicate + top-1
+    per event via row_number (SURVEY §2.5's composition strategy (a))."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    orders = _t(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("o_orderdate"), F.desc_nulls_last("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey")
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.5, id_a < id_b).
+
+    Exact all-pairs via a broadcast cross join; the dot product is a
+    JVM fold. At 100 TB the same plan shape holds with the corpus blocked:
+    broadcast one block, stream the other (O(n^2/B) per executor-resident
+    block), or pre-prune with the hyperplane-LSH bucketer in
+    operators.similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    dot = sim._dot(F.col("e_a"), F.col("e_b"))
+    denom = sim._norm(F.col("e_a")) * sim._norm(F.col("e_b"))
+    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (§2.8 — absent in reference, table stakes for the engine)
 # ---------------------------------------------------------------------------
@@ -466,6 +573,13 @@ QUERIES = {
     "filter_dsl_and_or": filter_dsl_and_or,
     "backfill_time_range": backfill_time_range,
     "join_left_ordered_agg": join_left_ordered_agg,
+    "events_value_delta": events_value_delta,
+    "rollup_revenue": rollup_revenue,
+    "semi_join_buyers": semi_join_buyers,
+    "anti_join_never_urgent": anti_join_never_urgent,
+    "range_join_shipments": range_join_shipments,
+    "asof_latest_order_per_event": asof_latest_order_per_event,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "dedup_exact_documents": dedup_exact_documents,
     "latest_event_per_user": latest_event_per_user,
     "window_topn_per_group": window_topn_per_group,
@@ -562,6 +676,64 @@ ORACLE_SQL: dict[str, str] = {
             WHERE o_orderstatus <> 'F'
             GROUP BY o_custkey
         ) oa ON c_custkey = oa.o_custkey
+    """,
+    "events_value_delta": """
+        SELECT user_id, event_id,
+               round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS value_delta
+        FROM events
+    """,
+    "rollup_revenue": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "semi_join_buyers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "anti_join_never_urgent": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "range_join_shipments": """
+        SELECT o_orderpriority,
+               count(*) AS n_fast_lines,
+               round(sum(l_extendedprice), 2) AS fast_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+                   AND l_shipdate >= o_orderdate
+                   AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderpriority
+    """,
+    "asof_latest_order_per_event": """
+        SELECT event_id, user_id, o_orderkey
+        FROM (
+            SELECT e.event_id, e.user_id, o.o_orderkey,
+                   row_number() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC NULLS LAST,
+                                               o.o_orderkey DESC NULLS LAST) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            WHERE e.event_type = 'purchase'
+        )
+        WHERE rn = 1
+    """,
+    "embedding_near_dup_pairs": """
+        SELECT id_a, id_b,
+               round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 4) AS cos_sim
+        FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS num,
+                   sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS den
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        WHERE CASE WHEN den > 0 THEN num / den ELSE 0.0 END >= 0.5
     """,
     "dedup_exact_documents": """
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

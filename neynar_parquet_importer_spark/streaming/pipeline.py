@@ -25,6 +25,8 @@ Two execution modes:
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -88,6 +90,7 @@ class ImportPipeline:
         end_timestamp: int | None = None,
         now: float | None = None,
         max_age_s: float = 21 * 24 * 3600,
+        backfill: bool = False,
     ) -> ImportReport:
         """Import everything pending: full snapshot if state is missing or
         stale (W4/W5), then all published incremental windows, as one job."""
@@ -136,6 +139,7 @@ class ImportPipeline:
                     file_duration_s=meta.duration_s,
                     start_timestamp=meta.start_timestamp,
                     end_timestamp=meta.end_timestamp,
+                    backfill=backfill,
                 )
             )
             ordered_names.append(name)
@@ -149,6 +153,7 @@ class ImportPipeline:
                     file_duration_s=self.duration,
                     start_timestamp=t,
                     end_timestamp=t + self.duration,
+                    backfill=backfill,
                 )
             )
             ordered_names.append(name)
@@ -165,6 +170,67 @@ class ImportPipeline:
             next_start=plan.next_start,
         )
 
+
+    def run_backfill(
+        self,
+        start: "object",
+        end: "object",
+        end_timestamp: int,
+        now: float | None = None,
+    ) -> ImportReport:
+        """Entry point 3.3 (cli/backfill.py): re-import history with the
+        inclusive updated_at range predicate (F9) layered on top of the
+        table filter; ledger rows are flagged backfill."""
+        from ..filters import time_range_filter
+
+        saved = self.predicate
+        self.predicate = saved & time_range_filter("updated_at", start, end)
+        try:
+            # force a fresh pass over everything (backfill ignores resume)
+            return self.run_catchup(
+                start_timestamp=0, end_timestamp=end_timestamp, now=now, backfill=True
+            )
+        finally:
+            self.predicate = saved
+
+    def wait_for_window(
+        self,
+        window_start: int,
+        now_fn=time.time,
+        sleep_fn=time.sleep,
+        shutdown: threading.Event | None = None,
+        max_wait: float | None = None,
+        exit_after_max_wait: bool = False,
+    ) -> str | None:
+        """W2/W3: block until the window's file (or .empty sentinel) is
+        published. Expected publish time is start+dur+1; until then sleep
+        the ETA, afterwards poll every max(1, dur/10) s (main.py:461-501).
+        Give up after max_wait = max(90, 4*dur) (main.py:299,421-449) —
+        warn (return None) or raise if exit_after_max_wait.
+
+        Clock and sleep are injectable so tests don't wait wall-clock.
+        """
+        dur = self.duration
+        max_wait = max(90.0, 4.0 * dur) if max_wait is None else max_wait
+        deadline = now_fn() + max_wait
+        eta = window_start + dur + 1
+        fname = window_file_name(self.schema_name, self.spec.name, window_start, dur)
+        ename = window_file_name(self.schema_name, self.spec.name, window_start, dur, empty=True)
+        while True:
+            if shutdown is not None and shutdown.is_set():
+                raise InterruptedError("shutdown requested")  # W9 fencing
+            for name in (fname, ename):
+                path = os.path.join(self.source_dir, name)
+                if os.path.exists(path):
+                    return path
+            now = now_fn()
+            if now >= deadline:
+                if exit_after_max_wait:
+                    raise TimeoutError(
+                        f"window {window_start} not published after {max_wait}s"
+                    )
+                return None
+            sleep_fn(min(max(1.0, dur / 10.0), max(0.0, eta - now)) or 1.0)
 
     def run_streaming(self, checkpoint_dir: str, available_now: bool = True):
         """Structured Streaming leg: file source over the window directory,

@@ -1,0 +1,91 @@
+"""Backfill entry point (F9 range + backfill-flagged ledger rows) and
+window arrival polling / watchdog / shutdown fencing (W2/W3/W9)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import threading
+
+import pytest
+
+from neynar_parquet_importer_spark.streaming import ImportPipeline
+from tests.test_pipeline import SPEC, _row, _write_window
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_run_backfill_range_and_flag(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(
+        spark, src, 0, 100,
+        [_row(1, 10, 20, 10), _row(2, 11, 21, 50), _row(3, 12, 22, 90)],
+    )
+    pipe = ImportPipeline(spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=1)
+    report = pipe.run_backfill(_ts(40), _ts(60), end_timestamp=100, now=100)
+    assert report.files_imported == 1
+    # only the row inside [40, 60] lands (inclusive bounds)
+    assert [r.id for r in pipe.sink.read().collect()] == ["id-2"]
+    entry = pipe.ledger._entries["nindexer-follows-0-100.parquet"]
+    assert entry.backfill and entry.completed
+
+
+@pytest.fixture()
+def poll_pipe(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    return ImportPipeline(spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=10), src
+
+
+def test_wait_for_window_file_appears(poll_pipe):
+    pipe, src = poll_pipe
+    clock = {"t": 1000.0}
+
+    def now():
+        return clock["t"]
+
+    def sleep(s):
+        clock["t"] += s
+        if clock["t"] >= 1012:  # file published at ETA+1
+            open(os.path.join(src, "nindexer-follows-1000-1010.parquet"), "w").close()
+
+    got = pipe.wait_for_window(1000, now_fn=now, sleep_fn=sleep)
+    assert got is not None and got.endswith("nindexer-follows-1000-1010.parquet")
+
+
+def test_wait_for_window_empty_sentinel(poll_pipe):
+    pipe, src = poll_pipe
+    open(os.path.join(src, "nindexer-follows-1000-1010.empty"), "w").close()
+    got = pipe.wait_for_window(1000, now_fn=lambda: 1000.0, sleep_fn=lambda s: None)
+    assert got.endswith(".empty")
+
+
+def test_wait_for_window_max_wait_warns(poll_pipe):
+    pipe, src = poll_pipe
+    clock = {"t": 0.0}
+
+    def now():
+        return clock["t"]
+
+    def sleep(s):
+        clock["t"] += max(s, 1.0)
+
+    # default max_wait = max(90, 4*10) = 90 -> returns None (warn path)
+    assert pipe.wait_for_window(0, now_fn=now, sleep_fn=sleep) is None
+    assert clock["t"] >= 90
+
+    # exit_after_max_wait raises instead (W3 strict mode)
+    clock["t"] = 0.0
+    with pytest.raises(TimeoutError):
+        pipe.wait_for_window(0, now_fn=now, sleep_fn=sleep, exit_after_max_wait=True)
+
+
+def test_wait_for_window_shutdown_fencing(poll_pipe):
+    pipe, src = poll_pipe
+    ev = threading.Event()
+    ev.set()
+    with pytest.raises(InterruptedError):
+        pipe.wait_for_window(0, shutdown=ev)
