@@ -26,6 +26,11 @@ BENCH_QUERIES = [
     "join_left_ordered_agg",
     "latest_event_per_user",
     "tumbling_event_counts",
+    "sessionize_events",
+    "rollup_revenue",
+    "range_join_shipments",
+    "asof_latest_order_per_event",
+    "embedding_near_dup_pairs",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -61,6 +66,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        spark.catalog.clearCache()  # queries are timed independently
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
