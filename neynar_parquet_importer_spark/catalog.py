@@ -34,6 +34,9 @@ class TableSpec:
     json_columns: tuple[str, ...] = ()
     soft_delete: bool = False  # has deleted_at, derived views filter IS NULL
     version_column: str = "updated_at"  # recency guard for upserts (db.py:887-891)
+    # parquet-side fixed_size_binary[16] uuid columns (every v3 PK);
+    # normalized to canonical hyphenated strings in the pipeline
+    uuid_columns: tuple[str, ...] = ()
 
     def columns(self) -> list[str]:
         return [f.name for f in self.schema.fields]
@@ -46,10 +49,12 @@ def _ts() -> T.TimestampType:
 
 
 def _common_v3(*fields: T.StructField) -> T.StructType:
-    """v3 (nindexer) tables share: uuid PK id + created/updated/deleted_at."""
+    """v3 (nindexer) tables share: uuid PK id + created/updated/deleted_at.
+    The wire type of id is fixed_size_binary[16] (arrow.uuid); the pipeline
+    normalizes it to a hyphenated string via functions.uuid16_to_string."""
     return T.StructType(
         [
-            T.StructField("id", T.StringType()),  # uuid16 normalized to hyphenated string
+            T.StructField("id", T.BinaryType()),
             T.StructField("created_at", _ts()),
             T.StructField("updated_at", _ts()),
             T.StructField("deleted_at", _ts()),
@@ -70,8 +75,10 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("fid", T.LongType()),
             _f("target_fid", T.LongType()),
             _f("timestamp", _ts()),
+            _f("display_timestamp", _ts()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
         soft_delete=True,
     ),
     "verifications": TableSpec(
@@ -83,6 +90,7 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("timestamp", _ts()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
         soft_delete=True,
     ),
     "fids": TableSpec(
@@ -94,6 +102,7 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("recovery_address", T.BinaryType()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
     ),
     "profiles": TableSpec(
         "profiles",
@@ -109,6 +118,7 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("longitude", T.FloatType()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
     ),
     "casts": TableSpec(
         "casts",
@@ -127,6 +137,7 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("timestamp", _ts()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
         json_columns=("embeds",),
         soft_delete=True,
     ),
@@ -142,6 +153,7 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("timestamp", _ts()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
         soft_delete=True,
     ),
     "channels": TableSpec(
@@ -159,6 +171,7 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("public_casting", T.BooleanType()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
         json_columns=("moderator_fids",),
     ),
     "follow_counts": TableSpec(
@@ -169,11 +182,13 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("following_count", T.LongType()),
         ),
         primary_key=("id",),
+        uuid_columns=("id",),
     ),
     "neynar_user_scores": TableSpec(
         "neynar_user_scores",
         _common_v3(_f("fid", T.LongType()), _f("score", T.FloatType())),
         primary_key=("id",),
+        uuid_columns=("id",),
     ),
     "profile_with_addresses": TableSpec(
         # the only table the reference dedups in-batch by PK (db.py:800-820)

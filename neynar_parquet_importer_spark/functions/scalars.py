@@ -23,6 +23,24 @@ def hex0x(col: Column | str) -> Column:
     )
 
 
+def uuid16_to_string(col: Column | str) -> Column:
+    """16-byte uuid (parquet fixed_size_binary[16], arrow.uuid extension —
+    the PK type of every v3 table, SURVEY §1.2) -> canonical hyphenated
+    lowercase string. Pure JVM: hex + substrings."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.lower(F.hex(c))
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        )
+    )
+
+
 def epoch_seconds_to_ts(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.timestamp_seconds(c)

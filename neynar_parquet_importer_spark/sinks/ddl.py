@@ -45,7 +45,12 @@ def tablespec_to_pg_ddl(spec: TableSpec, schema: str = "${POSTGRES_SCHEMA}") -> 
     jsonb (they are raw-JSON strings on the Spark side)."""
     cols = []
     for field in spec.schema.fields:
-        pg = "jsonb" if field.name in spec.json_columns else _pg_type(field.dataType)
+        if field.name in spec.uuid_columns:
+            pg = "uuid"  # normalized from fixed_size_binary[16] in-pipeline
+        elif field.name in spec.json_columns:
+            pg = "jsonb"
+        else:
+            pg = _pg_type(field.dataType)
         cols.append(f"    {field.name} {pg}")
     pk = ", ".join(spec.primary_key)
     body = ",\n".join(cols)

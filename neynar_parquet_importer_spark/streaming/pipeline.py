@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..filters import compile_filter
 from ..functions.json_clean import clean_json_columns
+from ..functions.scalars import uuid16_to_string
 from ..catalog import TableSpec
 from ..sinks.lake_upsert import LakeUpsertSink
 from ..sinks.ledger import ImportLedger, LedgerEntry
@@ -82,6 +83,9 @@ class ImportPipeline:
     def transform(self, df: DataFrame) -> DataFrame:
         out = df.filter(self.predicate)
         out = clean_json_columns(out, self.spec.json_columns)
+        for name in self.spec.uuid_columns:
+            if name in out.columns:
+                out = out.withColumn(name, uuid16_to_string(name))
         return out
 
     def run_catchup(
