@@ -64,6 +64,7 @@ def main() -> None:
         except Exception:
             pass  # a warmup failure surfaces in the timed run with a real trace
 
+    spark.catalog.clearCache()  # drop warmup's persisted LSH signatures
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spark.catalog.clearCache()  # queries are timed independently
