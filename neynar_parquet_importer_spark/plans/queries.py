@@ -267,6 +267,30 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def distinct_buyers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregate: distinct ordering customers per segment
+    (Catalyst plans expand + two-stage aggregate)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def semi_join_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join: customers having at least one urgent order."""
     cust = _t(spark, sf_dir, "customer")
@@ -618,6 +642,8 @@ QUERIES = {
     "join_left_ordered_agg": join_left_ordered_agg,
     "events_value_delta": events_value_delta,
     "rollup_revenue": rollup_revenue,
+    "cube_order_stats": cube_order_stats,
+    "distinct_buyers_per_segment": distinct_buyers_per_segment,
     "semi_join_buyers": semi_join_buyers,
     "anti_join_never_urgent": anti_join_never_urgent,
     "range_join_shipments": range_join_shipments,
@@ -732,6 +758,20 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_orders
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "cube_order_stats": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(avg(o_totalprice), 4) AS avg_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "distinct_buyers_per_segment": """
+        SELECT c_mktsegment,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "semi_join_buyers": """
         SELECT c_custkey, c_name FROM customer
