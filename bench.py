@@ -15,6 +15,7 @@ import json
 import os
 import time
 
+from neynar_parquet_importer_spark.operators.dedup import release_cached
 from neynar_parquet_importer_spark.plans.queries import QUERIES
 from neynar_parquet_importer_spark.session import get_spark
 
@@ -64,9 +65,11 @@ def main() -> None:
         except Exception:
             pass  # a warmup failure surfaces in the timed run with a real trace
 
+    release_cached()
     spark.catalog.clearCache()  # drop warmup's persisted LSH signatures
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        release_cached()
         spark.catalog.clearCache()  # queries are timed independently
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -26,13 +26,20 @@ from typing import Any, Mapping
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# NULL semantics deliberately match the reference's Python evaluator, not
+# SQL three-valued logic: in Python `None != v` and `None not in [...]` are
+# True, so $ne/$nin KEEP NULL-valued rows (row_filters.py comparisons),
+# while $eq/$in/$lt/... drop them (None compares unequal/raises there).
+# Without the explicit isNull() arm, `c != lit(v)` evaluates to NULL for
+# NULL input and the filter silently drops rows the reference imports —
+# visible on nullable columns like parent_fid / target_url.
 _COMPARATORS = {
     "$lt": lambda c, v: c < F.lit(v),
     "$lte": lambda c, v: c <= F.lit(v),
     "$gt": lambda c, v: c > F.lit(v),
     "$gte": lambda c, v: c >= F.lit(v),
     "$eq": lambda c, v: c == F.lit(v),
-    "$ne": lambda c, v: c != F.lit(v),
+    "$ne": lambda c, v: (c != F.lit(v)) | c.isNull(),
 }
 
 
@@ -44,7 +51,7 @@ def _compile_leaf(column: Column, ops: Mapping[str, Any]) -> Column:
         if op == "$in":
             exprs.append(column.isin(list(value)))
         elif op == "$nin":
-            exprs.append(~column.isin(list(value)))
+            exprs.append(~column.isin(list(value)) | column.isNull())
         elif op in _COMPARATORS:
             exprs.append(_COMPARATORS[op](column, value))
         else:

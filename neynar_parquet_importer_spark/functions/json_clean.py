@@ -63,25 +63,55 @@ def _clean_python_repr(batch: pd.Series) -> pd.Series:
     return batch.map(one)
 
 
-def parse_json_column(col: Column | str) -> Column:
+def parse_json_column(col: Column | str, on_error: str = "null") -> Column:
     """Raw string column -> canonical JSON string.
 
-    JVM fast path for real JSON; pandas-UDF fallback only where the value
-    has the Python-repr prefix (db.py:268-272's startswith check, expressed
-    as a predicate so Catalyst short-circuits the UDF for normal rows).
+    JVM fast path for real JSON — *validated* with ``try_parse_json``
+    (codegen'd; the reference orjson.loads-es every payload and raises on
+    garbage, db.py:261-282). The pandas-UDF fallback runs only where the
+    value has the Python-repr prefix (db.py:268-272's startswith check,
+    expressed as a predicate so Catalyst short-circuits the UDF for normal
+    rows).
+
+    Malformed payloads (garbage fast-path strings AND unparseable repr
+    strings) become NULL with ``on_error='null'`` — count them with
+    ``json_parse_failed`` through ``observe()`` — or fail the job with
+    ``on_error='raise'``, the reference's strict behavior.
     """
     c = F.col(col) if isinstance(col, str) else col
     looks_python_repr = c.startswith("[{'") | c.startswith("{'")
-    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(looks_python_repr, _clean_python_repr(c)).otherwise(c)
+    cleaned = F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(looks_python_repr, _clean_python_repr(c)).otherwise(
+            # invalid JSON -> NULL (try_parse_json returns NULL), so the
+            # quarantine predicate below can see it
+            F.when(F.try_parse_json(c).isNotNull(), c)
+        )
     )
+    if on_error == "raise":
+        return F.when(
+            c.isNotNull() & cleaned.isNull(),
+            F.raise_error(
+                F.concat(F.lit("failed to clean json payload: "), F.substring(c, 1, 120))
+            ),
+        ).otherwise(cleaned)
+    return cleaned
 
 
-def clean_json_columns(df: DataFrame, json_columns: tuple[str, ...]) -> DataFrame:
+def json_parse_failed(col: Column | str) -> Column:
+    """Predicate: non-null input that failed cleaning. Feed to
+    ``DataFrame.observe``/``observe_filter`` for a failure counter
+    (quarantine-count alternative to ``on_error='raise'``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & parse_json_column(c).isNull()
+
+
+def clean_json_columns(
+    df: DataFrame, json_columns: tuple[str, ...], on_error: str = "null"
+) -> DataFrame:
     """Apply P1 to every declared JSON column (reference applies it to all
     reflected-JSONB columns, db.py:874-879 — here the catalog declares them)."""
     out = df
     for name in json_columns:
         if name in df.columns:
-            out = out.withColumn(name, parse_json_column(name))
+            out = out.withColumn(name, parse_json_column(name, on_error=on_error))
     return out

@@ -22,6 +22,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# DataFrames persisted by operators in this module (signature frames that
+# feed self-joins). Persisting is load-bearing for performance — without it
+# the signature aggregation runs once per join side — but a long-lived
+# session must be able to release the blocks: call ``release_cached()``
+# after consuming a near-dup result (bench and tests do).
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every signature frame cached by this module's operators."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 # --------------------------------------------------------------------------
 # PK dedup / last-writer-wins (reference D1/D2)
@@ -161,7 +180,7 @@ def minhash_lsh_candidates(
     n = bands * rows_per_band
     # the banding self-join reads signatures twice; persist so the
     # signature aggregation (the expensive stage) runs once
-    signatures = signatures.persist()
+    signatures = _persist(signatures)
     banded = signatures.select(
         "id",
         "signature",
@@ -227,7 +246,7 @@ def ngram_jaccard_pairs(
     candidate pair (semi-join first): at 100 TB the candidate set is a
     vanishing fraction of the corpus and shingling everything would
     dominate the query."""
-    candidates = candidates.persist()
+    candidates = _persist(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
@@ -302,6 +321,10 @@ def simhash_near_duplicates(
     """
     width = 64 // blocks
     mask = (1 << width) - 1
+    # the blocking self-join reads the signature frame twice; without a
+    # persist the 64-vote SimHash aggregation runs once per side (this was
+    # 77 s -> ~expected <10 s at sf0.1)
+    sim = _persist(sim)
     chunked = sim.select(
         "id",
         "simhash",

@@ -68,18 +68,33 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            # single pass over the payload column: one sha256 per row feeds
+            # both the hex digest and the (stubbed) feature, instead of three
+            # independent .map traversals
+            n_bytes: list[int] = []
+            sha_hex: list[str | None] = []
+            features: list[list[float] | None] = []
+            for b in pdf["payload"]:
+                if b is None:
+                    n_bytes.append(0)
+                    sha_hex.append(None)
+                    features.append(None)
+                    continue
+                n_bytes.append(len(b))
+                if fake:
+                    digest = hashlib.sha256(b).digest()
+                    sha_hex.append(digest.hex())
+                    features.append([x / 255.0 for x in digest[:8]])
+                else:
+                    sha_hex.append(hashlib.sha256(b).hexdigest())
+                    features.append(decode_image(b, fake=False))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime_type": pdf["mime_type"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "content_sha256": payloads.map(
-                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
-                    ),
-                    "feature": payloads.map(
-                        lambda b: decode_image(b, fake=fake) if b is not None else None
-                    ),
+                    "n_bytes": n_bytes,
+                    "content_sha256": sha_hex,
+                    "feature": features,
                 }
             )
 

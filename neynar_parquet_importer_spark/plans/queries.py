@@ -352,6 +352,19 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
+    """Vector width probe, one tiny job per sf_dir per process (the array
+    type carries no static length); cached so repeated queries pay zero."""
+    if sf_dir not in _EMB_DIM_CACHE:
+        _EMB_DIM_CACHE[sf_dir] = int(
+            emb.select(F.size("embedding").alias("d")).head()[0]
+        )
+    return _EMB_DIM_CACHE[sf_dir]
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.5, id_a < id_b).
 
@@ -361,7 +374,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block), or pre-prune with the hyperplane-LSH bucketer in
     operators.similarity."""
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    dim = _embedding_dim(emb, sf_dir)
     # flatten to scalar columns: array higher-order folds are interpreted,
     # but a 64-term product-sum over scalar columns is whole-stage codegen
     # (~50x faster on the 2M-pair cross join at sf0.1). Term order matches
@@ -625,7 +638,17 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs), fake=True)
+    feats = extract_features(documents_as_media(docs), fake=True)
+    # the driver's rows-only canonicalizer sorts on every column, which
+    # fails on array cells — project `feature` to a stable JSON string
+    # (the vector itself stays witnessed by content_sha256 + this string)
+    return feats.select(
+        "media_id",
+        "mime_type",
+        "n_bytes",
+        "content_sha256",
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

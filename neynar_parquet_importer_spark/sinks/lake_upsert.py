@@ -1,4 +1,4 @@
-"""Recency-guarded MERGE into a parquet lake directory.
+"""Recency-guarded MERGE into a PK-hash-bucketed parquet lake.
 
 Semantics of the reference's S9 sink (db.py:884-893):
 ``INSERT ... ON CONFLICT (pk) DO UPDATE SET <all columns>
@@ -10,15 +10,31 @@ Lake expression of the same semantics:
   new_state = last_writer_wins(existing ∪ incoming, pk, version DESC)
 with ties broken toward the incoming batch (the `>=` in the guard).
 
-Implementation notes for scale:
-- the union+window is one shuffle on the PK — the same cost profile as
-  any MERGE engine (Delta/Iceberg do a join instead; same shuffle);
-- incoming batches are deduped per PK *before* merging (SURVEY §7.3 hard
-  part 1: the reference never hits double-update only because its row
-  groups are single-threaded);
-- the write is atomic-by-rename at directory granularity: write to
-  ``<root>/.staging-<epoch>``, then swap. Single-writer (per table) is
-  assumed, matching the reference's one-importer-per-table topology.
+Storage layout & scale:
+- rows live under ``<root>/data/__bucket=<i>/`` where
+  ``__bucket = pmod(xxhash64(pk...), n_buckets)`` — a deterministic hash
+  partition, so every PK maps to exactly one bucket directory;
+- an upsert merges ONLY the buckets containing incoming PKs and rewrites
+  only those directories: per-batch work is O(touched state), not
+  O(table), which is what keeps a 1-second micro-batch viable when the
+  table is 100 TB (size ``n_buckets`` so a bucket ≈ a few hundred MB —
+  thousands of buckets at warehouse scale; Delta/Iceberg MERGE does the
+  same thing with file-level pruning);
+- untouched bucket directories are not opened, rewritten, or renamed —
+  their files stay byte-identical (asserted by tests);
+- the merge itself is one shuffle on the PK within touched buckets;
+  incoming batches are deduped per PK *before* merging (SURVEY §7.3 hard
+  part 1).
+
+Crash safety (single writer per table, like the reference's
+one-importer-per-table topology): each touched bucket is swapped by
+rename via a ``.old-<epoch>`` holding area. A crash can leave a bucket
+missing from ``data/``; ``_recover()`` — run on open and before every
+upsert — rolls such buckets back from ``.old-*`` and clears stale
+staging, so the sink never silently restarts empty. A partially-swapped
+batch (some buckets new, some rolled back) is converged by re-running
+the batch: the ledger only commits after ``upsert`` returns, and the
+recency guard makes the re-merge idempotent.
 """
 
 from __future__ import annotations
@@ -31,6 +47,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import last_writer_wins
 
+_BUCKET = "__bucket"
+
 
 class LakeUpsertSink:
     def __init__(
@@ -39,21 +57,52 @@ class LakeUpsertSink:
         root: str,
         primary_key: tuple[str, ...],
         version_column: str = "updated_at",
+        n_buckets: int = 16,
     ) -> None:
         self.spark = spark
         self.root = root
         self.primary_key = primary_key
         self.version_column = version_column
+        self.n_buckets = n_buckets
         self._data_dir = os.path.join(root, "data")
+        self._recover()
+
+    # -- crash recovery ----------------------------------------------------
+    def _recover(self) -> None:
+        """Roll back any interrupted swap: restore buckets (or a whole
+        legacy data dir) left in ``.old-*``, drop stale staging dirs."""
+        if not os.path.isdir(self.root):
+            return
+        for name in sorted(os.listdir(self.root)):
+            path = os.path.join(self.root, name)
+            if name.startswith(".old-"):
+                if not os.path.isdir(self._data_dir):
+                    os.rename(path, self._data_dir)
+                    continue
+                for sub in os.listdir(path):
+                    if sub.startswith(f"{_BUCKET}="):
+                        dst = os.path.join(self._data_dir, sub)
+                        if not os.path.exists(dst):
+                            # crash between rename-out and rename-in
+                            os.rename(os.path.join(path, sub), dst)
+                shutil.rmtree(path)
+            elif name.startswith(".staging-"):
+                shutil.rmtree(path)
 
     # -- read --------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self._data_dir)
+        return os.path.isdir(self._data_dir) and bool(os.listdir(self._data_dir))
+
+    def _is_bucketed(self) -> bool:
+        return any(
+            n.startswith(f"{_BUCKET}=") for n in os.listdir(self._data_dir)
+        )
 
     def read(self) -> DataFrame | None:
         if not self.exists():
             return None
-        return self.spark.read.parquet(self._data_dir)
+        df = self.spark.read.parquet(self._data_dir)
+        return df.drop(_BUCKET) if _BUCKET in df.columns else df
 
     # -- write -------------------------------------------------------------
     def _order(self) -> list[Column]:
@@ -61,27 +110,82 @@ class LakeUpsertSink:
         # `excluded.updated_at >= existing.updated_at` guard's >=
         return [F.desc(self.version_column), F.desc("__src_priority")]
 
+    def _bucket_expr(self) -> Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.primary_key]),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
     def upsert(self, incoming: DataFrame, epoch: int = 0) -> None:
+        self._recover()
         pk = list(self.primary_key)
         batch = last_writer_wins(
-            incoming.withColumn("__src_priority", F.lit(1)),
-            pk,
-            self._order(),
-        )
-        existing = self.read()
-        if existing is None:
+            incoming.withColumn("__src_priority", F.lit(1)), pk, self._order()
+        ).withColumn(_BUCKET, self._bucket_expr())
+
+        full_swap = False
+        if not self.exists():
             merged = batch.drop("__src_priority")
-        else:
-            all_rows = existing.withColumn("__src_priority", F.lit(0)).unionByName(
-                batch, allowMissingColumns=False
+            full_swap = True
+        elif not self._is_bucketed():
+            # one-time migration of a legacy unpartitioned table: full
+            # merge + full rewrite into the bucketed layout
+            existing = (
+                self.read()
+                .withColumn("__src_priority", F.lit(0))
+                .withColumn(_BUCKET, self._bucket_expr())
             )
-            merged = last_writer_wins(all_rows, pk, self._order()).drop("__src_priority")
+            merged = last_writer_wins(
+                existing.unionByName(batch), pk, self._order()
+            ).drop("__src_priority")
+            full_swap = True
+        else:
+            # touched buckets only: one tiny driver-side distinct (at most
+            # n_buckets ints — control-plane, not data)
+            touched = sorted(
+                r[0] for r in batch.select(_BUCKET).distinct().collect()
+            )
+            bucket_dirs = [
+                os.path.join(self._data_dir, f"{_BUCKET}={b}")
+                for b in touched
+            ]
+            live = [p for p in bucket_dirs if os.path.isdir(p)]
+            if live:
+                existing = (
+                    self.spark.read.option("basePath", self._data_dir)
+                    .parquet(*live)
+                    .withColumn("__src_priority", F.lit(0))
+                )
+                merged = last_writer_wins(
+                    existing.unionByName(batch), pk, self._order()
+                ).drop("__src_priority")
+            else:
+                merged = batch.drop("__src_priority")
 
         staging = os.path.join(self.root, f".staging-{epoch}")
-        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(staging)
+
+        if full_swap:
+            old = os.path.join(self.root, f".old-{epoch}")
+            if os.path.isdir(self._data_dir):
+                os.rename(self._data_dir, old)
+            os.rename(staging, self._data_dir)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            return
+
+        # per-bucket swap: only directories for buckets in this batch move;
+        # everything else is untouched on disk
         old = os.path.join(self.root, f".old-{epoch}")
-        if os.path.isdir(self._data_dir):
-            os.rename(self._data_dir, old)
-        os.rename(staging, self._data_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        os.makedirs(old, exist_ok=True)
+        for sub in sorted(os.listdir(staging)):
+            if not sub.startswith(f"{_BUCKET}="):
+                continue
+            dst = os.path.join(self._data_dir, sub)
+            if os.path.isdir(dst):
+                os.rename(dst, os.path.join(old, sub))
+            os.rename(os.path.join(staging, sub), dst)
+        shutil.rmtree(old)
+        shutil.rmtree(staging, ignore_errors=True)

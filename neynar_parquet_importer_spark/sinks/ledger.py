@@ -6,9 +6,11 @@ it in Postgres and advances ``last_row_group_imported`` monotonically;
 with Spark's atomic micro-batch/task retry we only need file-granularity
 idempotency (SURVEY W6), so the ledger records files and completion.
 
-Storage here is a JSON-lines file updated read-modify-write — the ledger
-is control-plane metadata (KBs), not data; a production deployment can
-point the same interface at a JDBC table. In-order completion (W7) is
+Storage here is a JSON-lines file — the ledger is control-plane metadata
+(KBs), not data; a production deployment can point the same interface at
+a JDBC table. Writes are O(1) appends (last line per file_name wins on
+replay), auto-compacted when dead lines dominate — a long import history
+never pays O(n) per recorded window. In-order completion (W7) is
 preserved: ``advance_completed_through`` only marks a file completed if
 every earlier window for the table is completed, mirroring the ordered
 futures queue (main.py:303-338, db.py:543-549).
@@ -42,6 +44,7 @@ class ImportLedger:
     def __init__(self, path: str) -> None:
         self.path = path
         self._entries: dict[str, LedgerEntry] = {}
+        self._live_lines = 0  # lines in the file since last compaction
         self._load()
 
     def _load(self) -> None:
@@ -50,16 +53,32 @@ class ImportLedger:
         with open(self.path) as f:
             for line in f:
                 if line.strip():
+                    self._live_lines += 1
                     e = LedgerEntry(**json.loads(line))
-                    self._entries[e.file_name] = e
+                    self._entries[e.file_name] = e  # last line wins
+        # a restart is the natural compaction point: collapse history when
+        # dead (superseded) lines dominate
+        if self._live_lines > 2 * max(len(self._entries), 16):
+            self._compact()
 
-    def _flush(self) -> None:
+    def _compact(self) -> None:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
         with os.fdopen(fd, "w") as f:
             for e in self._entries.values():
                 f.write(json.dumps(asdict(e)) + "\n")
         os.replace(tmp, self.path)  # atomic swap, crash-safe
+        self._live_lines = len(self._entries)
+
+    def _append(self, entry: LedgerEntry) -> None:
+        """O(1) write path: one appended line; replay keeps the last line
+        per file_name, so an update is just a newer line."""
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(asdict(entry)) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._live_lines += 1
 
     # -- upsert / progress (db.py:365-392, 527-566, 621-642 semantics) -----
     def record_file(self, entry: LedgerEntry) -> LedgerEntry:
@@ -69,14 +88,14 @@ class ImportLedger:
         if existing is not None:
             return existing
         self._entries[entry.file_name] = entry
-        self._flush()
+        self._append(entry)
         return entry
 
     def mark_completed(self, file_name: str) -> None:
         e = self._entries[file_name]
         e.completed = True
         e.last_row_group_imported = max(e.total_row_groups - 1, 0)
-        self._flush()
+        self._append(e)
 
     def is_completed(self, file_name: str) -> bool:
         e = self._entries.get(file_name)
@@ -105,6 +124,12 @@ class ImportLedger:
         if full is not None:
             return full.end_timestamp
         return None
+
+    def earliest_start(self) -> int | None:
+        """Start of the oldest incremental window ever recorded — the
+        natural lower bound for a forced backfill re-scan."""
+        incs = [e for e in self._entries.values() if e.file_type == "incremental"]
+        return min((e.start_timestamp for e in incs), default=None)
 
     def is_stale(self, now: float, max_age_s: float = 21 * 24 * 3600) -> bool:
         """W4 retention watermark (db.py:704-710): if the newest imported

@@ -65,15 +65,32 @@ def plan_windows(
     directory: str,
     schema_name: str,
     table_name: str,
-    start_timestamp: int,
+    start_timestamp: int | None,
     end_timestamp: int,
     duration_s: int,
     include_full: bool = True,
 ) -> WindowPlan:
     """Enumerate expected windows in [start, end) aligned to
     ``ts // dur * dur`` (main.py:286-291) and classify each as present /
-    empty-sentinel / missing."""
+    empty-sentinel / missing.
+
+    ``start_timestamp=None`` means "no prior state": incremental
+    enumeration begins at the selected snapshot's end_timestamp (the
+    reference's next_start_timestamp rule, main.py:285-296) — never at
+    epoch 0, which with real timestamps would both loop ~1.7e9 windows and
+    misclassify every pre-snapshot window as missing. With no snapshot
+    published either, enumeration starts end-aligned at ``end_timestamp``
+    (the reference's 'NOW' fallback). An explicit start is honored but
+    still clamped forward to the snapshot's end — windows before the
+    snapshot are *inside* it."""
     full_path = discover_latest_full(directory, schema_name, table_name) if include_full else None
+    full_end: int | None = None
+    if full_path is not None:
+        full_end = parse_parquet_filename(full_path.rsplit("/", 1)[-1]).end_timestamp
+    if start_timestamp is None:
+        start_timestamp = full_end if full_end is not None else end_timestamp
+    elif full_end is not None:
+        start_timestamp = max(start_timestamp, full_end)
     aligned = start_timestamp // duration_s * duration_s
     present: list[str] = []
     empty: list[int] = []

@@ -95,32 +95,40 @@ class ImportPipeline:
         now: float | None = None,
         max_age_s: float = 21 * 24 * 3600,
         backfill: bool = False,
+        force: bool = False,
     ) -> ImportReport:
         """Import everything pending: full snapshot if state is missing or
-        stale (W4/W5), then all published incremental windows, as one job."""
+        stale (W4/W5), then all published incremental windows, as one job.
+
+        ``force`` re-reads the snapshot and every published window even if
+        the ledger marked them completed (the backfill path — the recency
+        guard in the sink keeps the re-import idempotent)."""
         now = time.time() if now is None else now
         end_timestamp = int(now) if end_timestamp is None else end_timestamp
 
         resume = self.ledger.resume_point()
-        include_full = resume is None or self.ledger.is_stale(now, max_age_s)
-        if start_timestamp is None:
-            start_timestamp = resume if (resume is not None and not include_full) else 0
+        include_full = force or resume is None or self.ledger.is_stale(now, max_age_s)
+        if start_timestamp is None and resume is not None and not include_full:
+            start_timestamp = resume
+        # start_timestamp=None -> plan_windows derives it: snapshot end if a
+        # full exists, else end-aligned 'now' (reference main.py:285-296)
 
         plan = plan_windows(
             self.source_dir,
             self.schema_name,
             self.spec.name,
-            start_timestamp or 0,
+            start_timestamp,
             end_timestamp,
             self.duration,
             include_full=include_full,
         )
 
-        # skip files the ledger already committed (idempotent re-run, W6)
+        # skip files the ledger already committed (idempotent re-run, W6);
+        # force mode (backfill) re-imports everything in range
         pending = [
             p
             for p in ([plan.full_path] if plan.full_path else []) + plan.incremental_paths
-            if not self.ledger.is_completed(p.rsplit("/", 1)[-1])
+            if force or not self.ledger.is_completed(p.rsplit("/", 1)[-1])
         ]
 
         rows = 0
@@ -162,9 +170,22 @@ class ImportPipeline:
             )
             ordered_names.append(name)
 
-        # in-order commit (W7): everything in this batch succeeded together
+        # in-order commit (W7): everything in this batch succeeded together,
+        # but completion must never jump an expected-yet-unpublished window —
+        # the reference's ordered-futures queue (main.py:303-338) waits on
+        # every window and never skips. Windows beyond the first gap ARE
+        # upserted (idempotent; they'll be re-read next run) but stay
+        # uncommitted so resume_point() cannot advance past the gap: a
+        # late-published window is re-planned and imported, not lost.
+        min_missing = min(plan.missing_windows) if plan.missing_windows else None
         ordered_names.sort(key=lambda n: parse_parquet_filename(n).end_timestamp)
-        self.ledger.advance_completed_through(ordered_names, set(ordered_names))
+        commit_names = [
+            n
+            for n in ordered_names
+            if min_missing is None
+            or parse_parquet_filename(n).end_timestamp <= min_missing
+        ]
+        self.ledger.advance_completed_through(commit_names, set(commit_names))
 
         return ImportReport(
             files_imported=len(pending),
@@ -190,9 +211,17 @@ class ImportPipeline:
         saved = self.predicate
         self.predicate = saved & time_range_filter("updated_at", start, end)
         try:
-            # force a fresh pass over everything (backfill ignores resume)
+            # force a fresh pass over the snapshot + every published window
+            # (backfill ignores ledger completion). Enumeration starts at the
+            # earliest window the ledger has seen (clamped forward to the
+            # snapshot's end by plan_windows) — never at epoch 0, which would
+            # loop ~1.7e9 windows with real timestamps.
             return self.run_catchup(
-                start_timestamp=0, end_timestamp=end_timestamp, now=now, backfill=True
+                start_timestamp=self.ledger.earliest_start(),
+                end_timestamp=end_timestamp,
+                now=now,
+                backfill=True,
+                force=True,
             )
         finally:
             self.predicate = saved

@@ -62,6 +62,22 @@ def test_and_combinator(rows):
     assert _ids(rows.filter(compile_filter(doc))) == [2, 3]
 
 
+def test_null_semantics_match_reference(spark):
+    # the reference evaluates filters in Python where `None != v` and
+    # `None not in [...]` are True: $ne/$nin keep NULL rows, $eq/$in drop
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "fid long, channel_id string"
+    )
+
+    def ids(doc):
+        return sorted(r.fid for r in df.filter(compile_filter(doc)).collect())
+
+    assert ids({"data.channel_id": {"$ne": "a"}}) == [2, 3]
+    assert ids({"data.channel_id": {"$nin": ["a", "b"]}}) == [2]
+    assert ids({"data.channel_id": {"$eq": "a"}}) == [1]
+    assert ids({"data.channel_id": {"$in": ["a"]}}) == [1]
+
+
 def test_unknown_key_raises():
     with pytest.raises(ValueError, match="unknown filter key"):
         compile_filter({"bogus": {"$eq": 1}})

@@ -15,6 +15,7 @@ from neynar_parquet_importer_spark.functions import (
     parse_json_column,
     window_start,
 )
+from neynar_parquet_importer_spark.functions.json_clean import json_parse_failed
 
 
 def test_clean_jsonb_string_json():
@@ -47,6 +48,30 @@ def test_parse_json_column(spark):
     assert got[0] == '{"a": 1}'  # real JSON untouched (fast path)
     assert json.loads(got[1]) == [{"type": "url"}]
     assert got[2] is None
+
+
+def test_parse_json_column_validates_and_quarantines(spark):
+    """Garbage payloads don't silently pass through the fast path: they
+    become NULL (countable via json_parse_failed) or raise in strict mode."""
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "{not json"), (3, "{'bad repr"), (4, None)],
+        "id long, payload string",
+    )
+    got = {r.id: r.c for r in df.select("id", parse_json_column("payload").alias("c")).collect()}
+    assert got[1] == '{"a": 1}'
+    assert got[2] is None and got[3] is None  # quarantined, not passed through
+    assert got[4] is None
+
+    failed = sorted(
+        r.id for r in df.filter(json_parse_failed("payload")).collect()
+    )
+    assert failed == [2, 3]  # NULL input is not a failure
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        df.select(parse_json_column("payload", on_error="raise")).collect()
 
 
 def test_hex0x(spark):

@@ -116,6 +116,49 @@ def test_catchup_picks_up_new_window(pipeline_env, spark):
     assert pipe.sink.read().count() == 4
 
 
+def test_catchup_never_commits_past_missing_window(pipeline_env, spark):
+    """W7: an expected-but-unpublished window blocks completion of every
+    later window — a late-published window is imported on a later run, not
+    permanently skipped (the reference's ordered-futures guarantee)."""
+    pipe, src = pipeline_env
+    # windows: 1000 present, 1001 empty, 1002 MISSING, 1003 present
+    _write_window(spark, src, 1003, 1, [_row(7, 17, 27, 1003)])
+    pipe.run_catchup(end_timestamp=1004, now=1004)
+
+    # data beyond the gap is upserted (idempotent)...
+    assert pipe.sink.read().filter("id = 'id-7'").count() == 1
+    # ...but completion stops at the gap, so resume cannot jump it
+    assert pipe.ledger.is_completed("nindexer-follows-1000-1001.parquet")
+    assert pipe.ledger.is_completed("nindexer-follows-1001-1002.empty")
+    assert not pipe.ledger.is_completed("nindexer-follows-1003-1004.parquet")
+    assert pipe.ledger.resume_point() == 1002
+
+    # the gap window arrives late -> next run imports it and commits through
+    _write_window(spark, src, 1002, 1, [_row(8, 18, 28, 1002)])
+    pipe.run_catchup(end_timestamp=1004, now=1004)
+    assert pipe.sink.read().filter("id = 'id-8'").count() == 1
+    assert pipe.ledger.is_completed("nindexer-follows-1002-1003.parquet")
+    assert pipe.ledger.is_completed("nindexer-follows-1003-1004.parquet")
+    assert pipe.ledger.resume_point() == 1004
+
+
+def test_plan_windows_starts_at_snapshot_end(spark, tmp_path):
+    """Fresh state never enumerates from epoch 0: incrementals begin at the
+    full snapshot's end_timestamp (or 'now' when no snapshot exists)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 1_700_000_000, [_row(1, 10, 20, 50)])
+    plan = plan_windows(src, "nindexer", "follows", None, 1_700_000_005, 1)
+    assert plan.full_path is not None
+    assert plan.missing_windows == [1_700_000_000 + i for i in range(5)]
+    # no snapshot at all -> NOW fallback: nothing enumerated
+    empty_src = str(tmp_path / "empty")
+    os.makedirs(empty_src)
+    plan2 = plan_windows(empty_src, "nindexer", "follows", None, 1_700_000_005, 1)
+    assert plan2.full_path is None
+    assert plan2.missing_windows == [] and plan2.incremental_paths == []
+
+
 def test_pipeline_filter_dsl(spark, tmp_path):
     src = str(tmp_path / "src2")
     os.makedirs(src)

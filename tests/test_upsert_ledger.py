@@ -71,6 +71,70 @@ def test_upsert_idempotent_reimport(spark, sink):
     assert _state(sink) == first
 
 
+def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
+    """Incremental MERGE: a second upsert only rewrites bucket directories
+    containing incoming PKs; all other buckets' files are byte-identical."""
+    import hashlib
+    import os
+
+    sink = LakeUpsertSink(spark, str(tmp_path / "tbl"), ("id",), "updated_at", n_buckets=8)
+    sink.upsert(_df(spark, [(i, f"v{i}", _ts(1)) for i in range(1, 41)]), epoch=1)
+    data = sink._data_dir
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(data):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, data)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = snapshot()
+    sink.upsert(_df(spark, [(1, "v1b", _ts(2))]), epoch=2)
+    after = snapshot()
+
+    # state is correct
+    st = _state(sink)
+    assert st[1] == ("v1b", _ts(2)) and len(st) == 40
+    # only the bucket holding id=1 changed
+    from pyspark.sql import functions as F2
+    bucket = spark.createDataFrame([(1,)], "id long").select(
+        F2.pmod(F2.xxhash64("id"), F2.lit(8)).cast("int").alias("b")
+    ).head()[0]
+    changed_dirs = {
+        os.path.dirname(k) for k in (set(before) ^ set(after))
+    } | {os.path.dirname(k) for k in before if k in after and before[k] != after[k]}
+    assert changed_dirs <= {f"__bucket={bucket}"}
+    untouched = {k for k in before if not k.startswith(f"__bucket={bucket}")}
+    assert untouched and all(before[k] == after[k] for k in untouched)
+
+
+def test_upsert_crash_recovery_rolls_back(spark, tmp_path):
+    """A bucket renamed out but never replaced (crash mid-swap) is restored
+    by the next open instead of silently restarting empty."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    sink = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=4)
+    sink.upsert(_df(spark, [(i, f"v{i}", _ts(1)) for i in range(1, 9)]), epoch=1)
+    before = _state(sink)
+
+    # simulate the crash window: a bucket moved to .old, nothing swapped in
+    data = sink._data_dir
+    victim = next(n for n in os.listdir(data) if n.startswith("__bucket="))
+    old = os.path.join(root, ".old-99")
+    os.makedirs(old)
+    os.rename(os.path.join(data, victim), os.path.join(old, victim))
+    os.makedirs(os.path.join(root, ".staging-99"))  # stale staging too
+
+    sink2 = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=4)
+    assert _state(sink2) == before
+    assert not os.path.exists(old)
+    assert not os.path.exists(os.path.join(root, ".staging-99"))
+
+
 def test_build_upsert_sql():
     sql = build_upsert_sql("t", ["id", "v", "updated_at"], ["id"], "updated_at", n_rows=2)
     assert "INSERT INTO t (id, v, updated_at) VALUES (%s, %s, %s), (%s, %s, %s)" in sql
