@@ -51,11 +51,15 @@ def test_import_real_follows_fixtures(spark, tmp_path, follows_src):
     for r in rows:
         uuidlib.UUID(r.id)  # canonical hyphenated uuid string
         assert r.fid > 0 and r.target_fid > 0
-    # idempotent re-run: ledger short-circuits, state unchanged
+    # re-run: windows before the unpublished gap (1750957188) were committed
+    # and are skipped; the two windows after the gap stay uncommitted (W7 —
+    # completion never jumps a gap) and are re-read idempotently. State is
+    # unchanged either way thanks to the recency-guarded upsert.
     report2 = pipe.run_catchup(
         start_timestamp=1750957186, end_timestamp=1750957191, now=1750957191
     )
-    assert report2.files_imported == 0
+    assert report2.files_imported == 2
+    assert report2.missing_windows == 1
     assert pipe.sink.read().count() == len(rows)
 
 
