@@ -32,8 +32,10 @@ BENCH_QUERIES = [
     "range_join_shipments",
     "asof_latest_order_per_event",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_allpairs",
     "dedup_simhash",
     "text_token_count",
     "text_quality",
@@ -42,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_cosine_scores",
     "embedding_topk",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "json_extract_sum",
     "graph_edges",
     "multimodal_features",

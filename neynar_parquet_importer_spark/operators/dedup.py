@@ -271,6 +271,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over ALL pairs above ``threshold`` — the
+    oracle-checkable ground truth the LSH family approximates.
+
+    NOT a naive cross join: an inverted shingle index (explode -> equi-join
+    on shingle -> count common) emits only pairs sharing >=1 shingle, which
+    for any threshold > 0 is exactly the candidate set. One shuffle on the
+    shingle key + one hash aggregate on the pair key; set sizes ride along
+    with the exploded rows so no extra join is needed. At 100 TB the
+    shingle join is the textbook plan (frequency-skewed shingles are the
+    risk — AQE skew-split handles moderate skew; stop-shingle removal is
+    the standard mitigation beyond that).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).select(
+        "id",
+        F.size("sh").alias("sz"),
+        F.explode("sh").alias("shingle"),
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("l.sz").alias("sz_a"),
+            F.min("r.sz").alias("sz_b"),
+        )
+    )
+    jac = F.round(
+        F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6
+    )
+    return common.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -558,6 +558,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_duplicates(dd.simhash(docs), max_hamming=3)
 
 
+def dedup_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle Jaccard (>= 0.5) — the oracle-checked ground
+    truth for the whole near-dup family (inverted-index plan, not a cross
+    join; see operators.dedup.jaccard_all_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.jaccard_all_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
@@ -598,12 +606,44 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup pairs (the scale path for
+    embedding_near_dup_pairs; rows-only oracle — bucket membership depends
+    on the engine's plane hashes). Candidate generation is multi-table
+    hyperplane LSH; the exact-cosine rerank guarantees precision 1, so the
+    only approximation is recall on borderline pairs (measured in
+    tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb, sf_dir)
+    return sim.lsh_near_dup_pairs(emb, dim, threshold=0.5).orderBy("id_a", "id_b")
+
+
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-20 via random-hyperplane LSH bucket pruning
     (rows-only oracle: bucket membership isn't SQL-expressible)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     out = sim.lsh_bucketed_topk(emb, list(qvec), k=20, n_planes=8)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 via an IVF coarse quantizer (nprobe=6 of 16
+    cells). The adaptive counterpart to embedding_lsh_topk: probes the
+    centroids nearest the query instead of fixed hash buckets. Rows-only
+    oracle; recall properties are asserted in tests/test_operators.py.
+    Centroids are trained once per corpus and cached (in production they'd
+    be a persisted artifact beside the partitioned-by-cell corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[sf_dir] = sim.ivf_centroids(emb, n_centroids=16)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = sim.ivf_topk(
+        emb, list(qvec), k=20, centroids=_IVF_CENTROID_CACHE[sf_dir], nprobe=6
+    )
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -688,10 +728,13 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_allpairs": dedup_ngram_jaccard_allpairs,
     "dedup_simhash": dedup_simhash,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_cosine_scores": embedding_cosine_scores,
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
     "graph_edges": graph_edges,
     "graph_nodes": graph_nodes,
     "multimodal_features": multimodal_features,
@@ -966,6 +1009,37 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": """
         SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
+    """,
+    "dedup_ngram_jaccard_allpairs": """
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   generate_series(1, len(t) - 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+') AS t
+                      FROM documents)
+            ) a
+            JOIN (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(
+                                   generate_series(1, len(t) - 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+') AS t
+                      FROM documents)
+            ) b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.5
     """,
     "embedding_cosine_scores": """
         SELECT vec_id, round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS cos_sim

@@ -201,3 +201,164 @@ def test_profiles_with_verifications_view(spark):
     alice = json.loads(out[1])
     assert [a["address"] for a in alice] == ["0x02", "0x01"]  # ts DESC, deleted excluded
     assert out[2] == "[]"  # left join keeps bob with empty array
+
+
+# ---------------------------------------------------------------------------
+# Near-dup / ANN recall properties (VERDICT r1 item 3: correctness signal
+# for the approximate family, measured against exact ground truth)
+# ---------------------------------------------------------------------------
+
+from neynar_parquet_importer_spark.catalog import load_table
+from neynar_parquet_importer_spark.operators.dedup import (
+    jaccard_all_pairs,
+    release_cached,
+)
+from neynar_parquet_importer_spark.operators.similarity import (
+    ivf_centroids,
+    ivf_topk,
+    lsh_near_dup_pairs,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def test_minhash_lsh_contains_all_high_jaccard_pairs(spark):
+    """LSH candidate set must be a superset of every pair with exact
+    shingle Jaccard >= 0.7 (16 bands x 4 rows: a J=0.7 pair collides in
+    some band with p ~ 0.99; the planted dups here are J ~ 0.99 so the
+    check is deterministic, not flaky)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_all_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+    }
+    release_cached()
+    assert exact, "test data should contain planted near-dup documents"
+    assert exact <= cands, f"LSH missed {sorted(exact - cands)[:5]}"
+
+
+def _clustered_corpus(spark, seed=11, n_noise=480, n_planted=20, dim=64):
+    """Synthetic ANN workload: noise vectors + planted near-copies of a
+    query direction (cos >= ~0.97) — the regime similarity retrieval
+    actually serves (near-dup detection), where sublinear indexes must
+    deliver high recall."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    noise = rng.randn(n_noise, dim)
+    q = rng.randn(dim)
+    q /= np.linalg.norm(q)
+    planted = q[None, :] + 0.012 * rng.randn(n_planted, dim)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(noise)] + [
+        (n_noise + i, [float(x) for x in v]) for i, v in enumerate(planted)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, [float(x) for x in q], set(range(n_noise, n_noise + n_planted))
+
+
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    df, q, planted = _clustered_corpus(spark)
+    cents = ivf_centroids(df, n_centroids=16, seed=42)
+    got = {r.vec_id for r in ivf_topk(df, q, k=20, centroids=cents, nprobe=2).collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"IVF recall {recall} < 0.9 on clustered corpus"
+
+
+def test_lsh_topk_recall_on_clustered_corpus(spark):
+    df, q, planted = _clustered_corpus(spark)
+    got = {
+        r.vec_id
+        for r in lsh_bucketed_topk(
+            df, q, k=20, n_planes=8, multiprobe_hamming=2
+        ).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall} < 0.9 on clustered corpus"
+
+
+def test_ivf_topk_recall_floor_on_uniform_corpus(spark):
+    """The real sf corpus is near-uniform (top-20 sits at cos ~ 0.3-0.45)
+    — the adversarial regime for any sublinear ANN. Assert the measured
+    floor at nprobe=6/16 (deterministic: fixed data, fixed seeds) and that
+    the probe actually pruned the corpus."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=20).collect()}
+    cents = ivf_centroids(emb, n_centroids=16)
+    got = {r.vec_id for r in ivf_topk(emb, q, k=20, centroids=cents, nprobe=6).collect()}
+    recall = len(exact & got) / 20
+    assert recall >= 0.6, f"IVF uniform-corpus recall {recall} < 0.6"
+    from neynar_parquet_importer_spark.operators.similarity import ivf_assign
+
+    probe_frac = (
+        emb.filter(ivf_assign("embedding", cents).isin(list(range(16)))).count()
+    )
+    scanned = emb.withColumn("__c", ivf_assign("embedding", cents))
+    # nprobe=6 of 16 cells must scan well under the whole corpus
+    top6 = [
+        i
+        for _, i in sorted(
+            (
+                sum(a * b for a, b in zip(q, c)),
+                i,
+            )
+            for i, c in enumerate(cents)
+        )[-6:]
+    ]
+    frac = scanned.filter(F.col("__c").isin(top6)).count() / probe_frac
+    assert frac < 0.6, f"IVF probed {frac:.0%} of the corpus"
+
+
+def test_lsh_near_dup_planted_recall(spark):
+    """Every planted pair (cos >= ~0.97) must be recovered by the
+    multi-table LSH candidate generator + exact rerank."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    dim, n_noise, n_pairs = 64, 200, 20
+    noise = rng.randn(n_noise, dim)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(noise)]
+    planted = set()
+    for p in range(n_pairs):
+        v = rng.randn(dim)
+        w = v + 0.05 * rng.randn(dim)
+        a, b = n_noise + 2 * p, n_noise + 2 * p + 1
+        rows += [(a, [float(x) for x in v]), (b, [float(x) for x in w])]
+        planted.add((a, b))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(df, dim, threshold=0.9).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall {recall} < 0.9"
+
+
+def test_lsh_near_dup_containment_vs_exact(spark):
+    """Precision is structural (exact rerank >= threshold); recall on the
+    strongly-similar band (cos >= 0.6) must be total: the LSH-pruned plan
+    may not drop any pair the exact plan scores >= 0.6."""
+    from neynar_parquet_importer_spark.plans.queries import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_pairs(spark, SF_CORRECT).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_near_dup_lsh(spark, SF_CORRECT).collect()
+    }
+    assert pruned <= exact  # precision 1 by construction
+    strong = {t for t in exact if t[2] >= 0.6}
+    assert strong <= pruned, f"LSH dropped strong pairs {strong - pruned}"
