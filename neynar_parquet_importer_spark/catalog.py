@@ -37,6 +37,12 @@ class TableSpec:
     # parquet-side fixed_size_binary[16] uuid columns (every v3 PK);
     # normalized to canonical hyphenated strings in the pipeline
     uuid_columns: tuple[str, ...] = ()
+    # v2 quirk (db.py:44-51): array-typed Postgres columns arrive in v2
+    # parquet as JSON *strings*. Each (column, element_type) entry is
+    # parsed to a native array after JSON cleaning, normalizing v2 rows to
+    # the v3 shape in-engine; the DDL generator maps it back to a Postgres
+    # element_type[] column (matching the reference's schema/*.sql).
+    json_array_columns: tuple[tuple[str, str], ...] = ()
 
     def columns(self) -> list[str]:
         return [f.name for f in self.schema.fields]
@@ -67,8 +73,20 @@ def _f(name: str, dtype: T.DataType) -> T.StructField:
     return T.StructField(name, dtype)
 
 
-REFERENCE_TABLES: dict[str, TableSpec] = {
-    # v3 nindexer tables (reference schema/024-037; uuid PKs, SURVEY §1.2)
+def _common_v3_nodelete(*fields: T.StructField) -> T.StructType:
+    """v3 tables without soft delete (tier_purchases, storage_rentals)."""
+    return T.StructType(
+        [
+            T.StructField("id", T.BinaryType()),
+            T.StructField("created_at", _ts()),
+            T.StructField("updated_at", _ts()),
+            *fields,
+        ]
+    )
+
+
+REFERENCE_TABLES_V3: dict[str, TableSpec] = {
+    # v3 nindexer tables (reference schema/012-037; uuid PKs, SURVEY §1.2)
     "follows": TableSpec(
         "follows",
         _common_v3(
@@ -165,14 +183,13 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
             _f("description", T.StringType()),
             _f("image_url", T.StringType()),
             _f("lead_fid", T.LongType()),
-            _f("moderator_fids", T.ArrayType(T.LongType())),
+            _f("moderator_fids", T.ArrayType(T.LongType())),  # native array in v3
             _f("follower_count", T.IntegerType()),
             _f("member_count", T.IntegerType()),
             _f("public_casting", T.BooleanType()),
         ),
         primary_key=("id",),
         uuid_columns=("id",),
-        json_columns=("moderator_fids",),
     ),
     "follow_counts": TableSpec(
         "follow_counts",
@@ -189,6 +206,328 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
         _common_v3(_f("fid", T.LongType()), _f("score", T.FloatType())),
         primary_key=("id",),
         uuid_columns=("id",),
+    ),
+    # --- remaining v3 nindexer tables (schema/027-037) ---
+    "usernames": TableSpec(
+        "usernames",
+        _common_v3(
+            _f("username", T.StringType()),
+            _f("fid", T.IntegerType()),
+            _f("custody_address", T.BinaryType()),
+            _f("proof_timestamp", _ts()),
+            _f("type", T.ShortType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+    "tier_purchases": TableSpec(
+        # schema/028: no deleted_at — purchases are immutable facts
+        "tier_purchases",
+        _common_v3_nodelete(
+            _f("fid", T.LongType()),
+            _f("tier_type", T.IntegerType()),
+            _f("duration_in_days", T.LongType()),
+            _f("payer", T.BinaryType()),
+            _f("timestamp", _ts()),
+            _f("transaction_hash", T.BinaryType()),
+            _f("log_index", T.IntegerType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+    ),
+    "signers": TableSpec(
+        "signers",
+        _common_v3(
+            _f("timestamp", _ts()),
+            _f("fid", T.LongType()),
+            _f("app_fid", T.LongType()),
+            _f("signer", T.BinaryType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+    "storage_rentals": TableSpec(
+        # schema/031: no deleted_at
+        "storage_rentals",
+        _common_v3_nodelete(
+            _f("fid", T.IntegerType()),
+            _f("units", T.IntegerType()),
+            _f("expiry", _ts()),
+            _f("timestamp", _ts()),
+            _f("transaction_hash", T.BinaryType()),
+            _f("log_index", T.IntegerType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+    ),
+    "channel_follows": TableSpec(
+        "channel_follows",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("channel_id", T.StringType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+    "channel_members": TableSpec(
+        "channel_members",
+        _common_v3(
+            _f("fid", T.LongType()),
+            _f("channel_id", T.StringType()),
+            _f("member_at", _ts()),
+            _f("role", T.ShortType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+    "profile_external_accounts": TableSpec(
+        "profile_external_accounts",
+        _common_v3(
+            _f("timestamp", _ts()),
+            _f("fid", T.LongType()),
+            _f("app_fid", T.LongType()),
+            _f("type", T.ShortType()),
+            _f("account", T.StringType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+    "user_labels": TableSpec(
+        "user_labels",
+        _common_v3(
+            _f("source", T.StringType()),
+            _f("provider_fid", T.LongType()),
+            _f("target_fid", T.LongType()),
+            _f("label_type", T.StringType()),
+            _f("label_value", T.StringType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+    "blocks": TableSpec(
+        "blocks",
+        _common_v3(
+            _f("timestamp", _ts()),
+            _f("blocker_fid", T.LongType()),
+            _f("blocked_fid", T.LongType()),
+        ),
+        primary_key=("id",),
+        uuid_columns=("id",),
+        soft_delete=True,
+    ),
+}
+
+
+def _v2_base(
+    *fields: T.StructField, pk: str = "id", deleted: bool = True
+) -> T.StructType:
+    """v2 (farcaster) tables: bigint/text natural PKs, no uuid columns."""
+    pk_type = T.StringType() if pk == "fname" else T.LongType()
+    cols = [
+        T.StructField(pk, pk_type),
+        T.StructField("created_at", _ts()),
+        T.StructField("updated_at", _ts()),
+    ]
+    if deleted:
+        cols.append(T.StructField("deleted_at", _ts()))
+    return T.StructType(cols + list(fields))
+
+
+REFERENCE_TABLES_V2: dict[str, TableSpec] = {
+    # v2 farcaster tables (reference schema/001-024; npe_version=v2,
+    # parquet_s3_schema=farcaster, incremental_duration=300 per main.py:46).
+    # Array/json columns arrive as JSON strings (db.py:44-51) — declared
+    # StringType + json_columns, then parsed to native arrays via
+    # json_array_columns.
+    "casts": TableSpec(
+        "casts",
+        _v2_base(
+            _f("timestamp", _ts()),
+            _f("fid", T.LongType()),
+            _f("hash", T.BinaryType()),
+            _f("parent_hash", T.BinaryType()),
+            _f("parent_fid", T.LongType()),
+            _f("parent_url", T.StringType()),
+            _f("text", T.StringType()),
+            _f("embeds", T.StringType()),
+            _f("mentions", T.StringType()),
+            _f("mentions_positions", T.StringType()),
+            _f("root_parent_hash", T.BinaryType()),
+            _f("root_parent_url", T.StringType()),
+        ),
+        primary_key=("id",),
+        json_columns=("embeds", "mentions", "mentions_positions"),
+        json_array_columns=(("mentions", "bigint"), ("mentions_positions", "smallint")),
+        soft_delete=True,
+    ),
+    "fids": TableSpec(
+        "fids",
+        _v2_base(
+            _f("custody_address", T.BinaryType()),
+            _f("registered_at", _ts()),
+            pk="fid",
+            deleted=False,
+        ),
+        primary_key=("fid",),
+    ),
+    "fnames": TableSpec(
+        "fnames",
+        _v2_base(
+            _f("custody_address", T.BinaryType()),
+            _f("expires_at", _ts()),
+            _f("fid", T.LongType()),
+            pk="fname",
+        ),
+        primary_key=("fname",),
+        soft_delete=True,
+    ),
+    "reactions": TableSpec(
+        "reactions",
+        _v2_base(
+            _f("timestamp", _ts()),
+            _f("reaction_type", T.ShortType()),
+            _f("fid", T.LongType()),
+            _f("hash", T.BinaryType()),
+            _f("target_hash", T.BinaryType()),
+            _f("target_fid", T.LongType()),
+            _f("target_url", T.StringType()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "signers": TableSpec(
+        "signers",
+        _v2_base(
+            _f("timestamp", _ts()),
+            _f("fid", T.LongType()),
+            _f("hash", T.BinaryType()),
+            _f("custody_address", T.BinaryType()),
+            _f("signer", T.BinaryType()),
+            _f("name", T.StringType()),
+            _f("app_fid", T.LongType()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "storage": TableSpec(
+        "storage",
+        _v2_base(
+            _f("timestamp", _ts()),
+            _f("fid", T.LongType()),
+            _f("units", T.LongType()),
+            _f("expiry", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "user_data": TableSpec(
+        "user_data",
+        _v2_base(
+            _f("timestamp", _ts()),
+            _f("fid", T.LongType()),
+            _f("hash", T.BinaryType()),
+            _f("type", T.ShortType()),
+            _f("value", T.StringType()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "warpcast_power_users": TableSpec(
+        "warpcast_power_users",
+        _v2_base(pk="fid"),
+        primary_key=("fid",),
+        soft_delete=True,
+    ),
+    "account_verifications": TableSpec(
+        "account_verifications",
+        _v2_base(
+            _f("fid", T.LongType()),
+            _f("platform", T.StringType()),
+            _f("platform_id", T.StringType()),
+            _f("platform_username", T.StringType()),
+            _f("verified_at", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "channel_follows": TableSpec(
+        "channel_follows",
+        _v2_base(
+            _f("fid", T.LongType()),
+            _f("channel_id", T.StringType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "channel_members": TableSpec(
+        "channel_members",
+        _v2_base(
+            _f("fid", T.LongType()),
+            _f("channel_id", T.StringType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "channels": TableSpec(
+        # v2 channels differs from v3: no name/member_count/public_casting,
+        # moderator_fids is a JSON-string bigint[] (schema/020 vs 033)
+        "channels",
+        _v2_base(
+            _f("channel_id", T.StringType()),
+            _f("url", T.StringType()),
+            _f("description", T.StringType()),
+            _f("image_url", T.StringType()),
+            _f("lead_fid", T.LongType()),
+            _f("moderator_fids", T.StringType()),
+            _f("follower_count", T.IntegerType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        json_columns=("moderator_fids",),
+        json_array_columns=(("moderator_fids", "bigint"),),
+        soft_delete=True,
+    ),
+    "power_users": TableSpec(
+        "power_users",
+        _v2_base(
+            _f("status", T.StringType()),
+            _f("seed_at", _ts()),
+            pk="fid",
+        ),
+        primary_key=("fid",),
+        soft_delete=True,
+    ),
+    "blocks": TableSpec(
+        "blocks",
+        _v2_base(
+            _f("blocker_fid", T.LongType()),
+            _f("blocked_fid", T.LongType()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
+    ),
+    "user_labels": TableSpec(
+        "user_labels",
+        _v2_base(
+            _f("source", T.StringType()),
+            _f("provider_fid", T.LongType()),
+            _f("target_fid", T.LongType()),
+            _f("label_type", T.StringType()),
+            _f("label_value", T.StringType()),
+            _f("timestamp", _ts()),
+        ),
+        primary_key=("id",),
+        soft_delete=True,
     ),
     "profile_with_addresses": TableSpec(
         # the only table the reference dedups in-batch by PK (db.py:800-820)
@@ -207,6 +546,28 @@ REFERENCE_TABLES: dict[str, TableSpec] = {
         primary_key=("fid",),
         json_columns=("verified_addresses",),
     ),
+}
+
+# ALL_TABLES analog (main.py:44-87): (s3 bucket, parquet schema) -> tables.
+# A user of the reference selects the same coordinates here.
+ALL_TABLES: dict[tuple[str, str], dict[str, TableSpec]] = {
+    ("public-postgres", "farcaster"): REFERENCE_TABLES_V2,
+    ("public-postgres", "nindexer"): REFERENCE_TABLES_V3,
+}
+
+# ALL_VIEWS analog (main.py:92-99): view name -> tables it requires.
+ALL_VIEWS: dict[tuple[str, str], dict[str, tuple[str, ...]]] = {
+    ("public-postgres", "farcaster"): {},
+    ("public-postgres", "nindexer"): {
+        "profiles_with_verifications": ("profiles", "verifications"),
+    },
+}
+
+# Back-compat flat registry: the v3 set plus the v2-only
+# profile_with_addresses (the two tables the real fixtures exercise).
+REFERENCE_TABLES: dict[str, TableSpec] = {
+    **REFERENCE_TABLES_V3,
+    "profile_with_addresses": REFERENCE_TABLES_V2["profile_with_addresses"],
 }
 
 # Tracking ledger (reference schema/000_00_all_parquet_import_tracking.sql:1-12)

@@ -83,6 +83,12 @@ class ImportPipeline:
     def transform(self, df: DataFrame) -> DataFrame:
         out = df.filter(self.predicate)
         out = clean_json_columns(out, self.spec.json_columns)
+        # v2 JSON-string arrays -> native arrays (db.py:44-51): the cleaned
+        # canonical JSON parses with from_json (JVM, codegen) so v2 rows
+        # leave the pipeline in the v3 shape
+        for name, elem in self.spec.json_array_columns:
+            if name in out.columns:
+                out = out.withColumn(name, F.from_json(name, f"array<{elem}>"))
         for name in self.spec.uuid_columns:
             if name in out.columns:
                 out = out.withColumn(name, uuid16_to_string(name))

@@ -86,3 +86,64 @@ def test_bootstrap_statements_order():
     assert stmts[0].startswith("CREATE SCHEMA")
     assert "parquet_import_tracking" in stmts[1]
     assert "nindexer.follows" in stmts[2]
+
+
+def test_full_catalog_bootstrap():
+    """Every table the reference imports (main.py:44-87: 15 active v2
+    farcaster + 18 v3 nindexer + the v2-only profile_with_addresses) has a
+    transcribed spec, and bootstrap emits schema + ledger + one CREATE
+    TABLE per spec + the profiles_with_verifications view."""
+    from neynar_parquet_importer_spark.catalog import (
+        ALL_TABLES,
+        ALL_VIEWS,
+        REFERENCE_TABLES_V2,
+        REFERENCE_TABLES_V3,
+    )
+
+    v2_expected = {
+        "account_verifications", "blocks", "casts", "channel_follows",
+        "channel_members", "channels", "fids", "fnames", "power_users",
+        "reactions", "signers", "storage", "user_data", "user_labels",
+        "warpcast_power_users", "profile_with_addresses",
+    }
+    v3_expected = {
+        "blocks", "casts", "channels", "channel_follows", "channel_members",
+        "fids", "reactions", "follow_counts", "follows", "neynar_user_scores",
+        "profile_external_accounts", "profiles", "signers", "storage_rentals",
+        "user_labels", "usernames", "verifications", "tier_purchases",
+    }
+    assert set(REFERENCE_TABLES_V2) == v2_expected
+    assert set(REFERENCE_TABLES_V3) == v3_expected
+    assert ALL_TABLES[("public-postgres", "farcaster")] is REFERENCE_TABLES_V2
+    assert ALL_VIEWS[("public-postgres", "nindexer")] == {
+        "profiles_with_verifications": ("profiles", "verifications")
+    }
+
+    specs = list(REFERENCE_TABLES_V3.values()) + [
+        s for n, s in REFERENCE_TABLES_V2.items() if n not in REFERENCE_TABLES_V3
+    ]
+    stmts = bootstrap_statements(specs, "nindexer")
+    creates = [s for s in stmts if s.startswith("CREATE TABLE")]
+    # ledger + one per spec (34 distinct table names across both versions)
+    assert len(creates) == 1 + len(specs)
+    view = [s for s in stmts if "CREATE OR REPLACE VIEW" in s]
+    assert len(view) == 1
+    assert "nindexer.profiles_with_verifications" in view[0]
+    assert "'0x' || encode(v.address, 'hex')" in view[0]
+    assert "ORDER BY v.timestamp DESC" in view[0]
+    # view omitted when its base tables aren't bootstrapped
+    stmts_partial = bootstrap_statements(
+        [REFERENCE_TABLES_V3["follows"]], "nindexer"
+    )
+    assert not any("CREATE OR REPLACE VIEW" in s for s in stmts_partial)
+
+
+def test_v2_array_columns_ddl():
+    from neynar_parquet_importer_spark.catalog import REFERENCE_TABLES_V2
+
+    casts = tablespec_to_pg_ddl(REFERENCE_TABLES_V2["casts"], schema="farcaster")
+    assert "mentions bigint[]" in casts  # v2 JSON-string array -> bigint[]
+    assert "mentions_positions smallint[]" in casts
+    assert "embeds jsonb" in casts
+    channels = tablespec_to_pg_ddl(REFERENCE_TABLES_V2["channels"], schema="farcaster")
+    assert "moderator_fids bigint[]" in channels

@@ -170,3 +170,48 @@ def test_pipeline_filter_dsl(spark, tmp_path):
     )
     pipe.run_catchup(end_timestamp=100, now=100)
     assert [r.id for r in pipe.sink.read().collect()] == ["id-1"]
+
+
+def test_v2_json_string_array_import(spark, tmp_path):
+    """The v2 quirk (db.py:44-51): array columns arrive as JSON strings
+    (including historical Python-repr payloads). The pipeline must emit
+    native arrays (the v3 shape) and canonical JSON for jsonb columns."""
+    from neynar_parquet_importer_spark.catalog import REFERENCE_TABLES_V2
+
+    spec = REFERENCE_TABLES_V2["casts"]
+    src = str(tmp_path / "v2src")
+    os.makedirs(src)
+    base = _ts(0)
+    rows = [
+        (1, base, base, None, base, 10, bytearray(b"\x01"), None, None, None,
+         "hello", '[{"url": "https://x.test"}]', "[1, 2, 3]", "[0, 6]", None, None),
+        # historical Python-repr payload (reference tests/test_db.py:4-12)
+        (2, base, base, None, base, 11, bytearray(b"\x02"), None, None, None,
+         "world", "[{'url': 'https://y.test'}]", "[]", "[]", None, None),
+    ]
+    df = spark.createDataFrame(rows, spec.schema)
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/_tmp")
+    part = [f for f in os.listdir(src + "/_tmp") if f.endswith(".parquet")][0]
+    name = window_file_name("farcaster", "casts", 1200, 300)
+    os.replace(os.path.join(src, "_tmp", part), os.path.join(src, name))
+
+    pipe = ImportPipeline(
+        spark, spec, src, str(tmp_path / "v2lake"),
+        schema_name="farcaster", file_version="v2", incremental_duration=300,
+    )
+    report = pipe.run_catchup(start_timestamp=1200, end_timestamp=1500, now=1500)
+    assert report.files_imported == 1 and report.rows_upserted == 2
+
+    out = {r.id: r for r in pipe.sink.read().collect()}
+    assert out[1].mentions == [1, 2, 3]          # JSON string -> bigint[]
+    assert out[1].mentions_positions == [0, 6]   # -> smallint[]
+    assert out[2].mentions == []
+    import json as _json
+
+    assert _json.loads(out[1].embeds) == [{"url": "https://x.test"}]
+    # Python-repr payload canonicalized to real JSON
+    assert _json.loads(out[2].embeds) == [{"url": "https://y.test"}]
+    # schema carries the native array types after transform
+    dtypes = dict(pipe.transform(df).dtypes)
+    assert dtypes["mentions"] == "array<bigint>"
+    assert dtypes["mentions_positions"] == "array<smallint>"
