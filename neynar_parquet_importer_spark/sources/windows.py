@@ -38,11 +38,52 @@ class WindowPlan:
     next_start: int
 
 
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _hadoop_fs(path: str):
+    """Hadoop FileSystem handle for a URI (s3a://, hdfs://, file://...).
+    The reference is S3-native via boto3 (s3.py:94-245); here any
+    Hadoop-supported scheme works through the same seam the executors use
+    for the actual reads, so listing and reading share credentials/config
+    (fs.s3a.* keys on the active session)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(f"no active SparkSession to resolve {path!r}")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
 def _listing(directory: str) -> list[str]:
+    if _is_uri(directory):
+        fs, jvm = _hadoop_fs(directory)
+        jdir = jvm.org.apache.hadoop.fs.Path(directory)
+        if not fs.exists(jdir):
+            return []
+        return sorted(s.getPath().getName() for s in fs.listStatus(jdir))
     try:
         return sorted(os.listdir(directory))
     except FileNotFoundError:
         return []
+
+
+def _exists(path: str) -> bool:
+    if _is_uri(path):
+        fs, jvm = _hadoop_fs(path)
+        return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(path)))
+    return os.path.exists(path)
+
+
+def _size(path: str) -> int:
+    if _is_uri(path):
+        fs, jvm = _hadoop_fs(path)
+        return int(fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path)).getLen())
+    return os.path.getsize(path)
 
 
 def discover_latest_full(directory: str, schema_name: str, table_name: str) -> str | None:
@@ -99,11 +140,11 @@ def plan_windows(
     while t < end_timestamp:
         fname = window_file_name(schema_name, table_name, t, duration_s)
         ename = window_file_name(schema_name, table_name, t, duration_s, empty=True)
-        fpath = os.path.join(directory, fname)
-        epath = os.path.join(directory, ename)
-        if os.path.exists(fpath) and os.path.getsize(fpath) > 0:
+        fpath = f"{directory.rstrip('/')}/{fname}"
+        epath = f"{directory.rstrip('/')}/{ename}"
+        if _exists(fpath) and _size(fpath) > 0:
             present.append(fpath)
-        elif os.path.exists(epath):
+        elif _exists(epath):
             empty.append(t)  # S3 .empty sentinel: ledger row, zero rows
         else:
             missing.append(t)  # W2/W3: not yet published

@@ -72,3 +72,29 @@ def compute_unit_cost(
     if filters_active:
         return metrics.rows_scanned * filtered_row_multiplier * cost_per_row
     return metrics.rows_imported * cost_per_row
+
+
+class PricingCache:
+    """C7's pricing lookup with an 8 h TTL (reference neynar_api.py:38-49:
+    a TTLCache-wrapped portal-pricing fetch). The fetch function is
+    injected — there is no live pricing API in this engine — and its
+    result is cached per product until the TTL lapses, so a long-running
+    daemon re-prices at most every 8 hours."""
+
+    def __init__(self, fetch_fn, ttl_s: float = 8 * 3600, now_fn=time.time):
+        self._fetch = fetch_fn
+        self._ttl = ttl_s
+        self._now = now_fn
+        self._cache: dict[str, tuple[float, dict[str, float]]] = {}
+
+    def get_pricing(self, product: str) -> dict[str, float]:
+        now = self._now()
+        hit = self._cache.get(product)
+        if hit is not None and now - hit[0] < self._ttl:
+            return hit[1]
+        value = self._fetch(product)
+        self._cache[product] = (now, value)
+        return value
+
+    def cost_per_row(self, product: str, key: str = "rows_written") -> float:
+        return float(self.get_pricing(product)[key])

@@ -40,6 +40,7 @@ from ..catalog import TableSpec
 from ..sinks.lake_upsert import LakeUpsertSink
 from ..sinks.ledger import ImportLedger, LedgerEntry
 from ..sources.filenames import parse_parquet_filename, window_file_name
+from ..sources.windows import _exists as windows_exists
 from ..sources.windows import plan_windows, read_windows
 
 
@@ -259,8 +260,8 @@ class ImportPipeline:
             if shutdown is not None and shutdown.is_set():
                 raise InterruptedError("shutdown requested")  # W9 fencing
             for name in (fname, ename):
-                path = os.path.join(self.source_dir, name)
-                if os.path.exists(path):
+                path = f"{self.source_dir.rstrip('/')}/{name}"
+                if windows_exists(path):  # object-store-aware probe
                     return path
             now = now_fn()
             if now >= deadline:

@@ -147,3 +147,57 @@ def test_v2_array_columns_ddl():
     assert "embeds jsonb" in casts
     channels = tablespec_to_pg_ddl(REFERENCE_TABLES_V2["channels"], schema="farcaster")
     assert "moderator_fids bigint[]" in channels
+
+
+def test_pricing_cache_ttl():
+    from neynar_parquet_importer_spark.streaming.metrics import PricingCache
+
+    calls = []
+    clock = [0.0]
+    cache = PricingCache(
+        lambda product: (calls.append(product) or {"rows_written": 2.5}),
+        ttl_s=8 * 3600,
+        now_fn=lambda: clock[0],
+    )
+    assert cache.cost_per_row("indexer") == 2.5
+    clock[0] = 4 * 3600
+    assert cache.cost_per_row("indexer") == 2.5
+    assert calls == ["indexer"]  # within TTL: one fetch
+    clock[0] = 9 * 3600
+    assert cache.cost_per_row("indexer") == 2.5
+    assert calls == ["indexer", "indexer"]  # TTL lapsed: re-fetch
+
+
+def test_settings_defaulting(monkeypatch):
+    from neynar_parquet_importer_spark.settings import Settings
+
+    for var in ("NPE_VERSION", "NPE_DURATION", "PARQUET_S3_SCHEMA", "TABLES"):
+        monkeypatch.delenv(var, raising=False)
+    s = Settings().initialize()
+    assert (s.npe_version, s.parquet_s3_schema, s.incremental_duration) == (
+        "v2", "farcaster", 300,
+    )
+    monkeypatch.setenv("NPE_VERSION", "v3")
+    monkeypatch.setenv("TABLES", "follows,casts")
+    s3 = Settings().initialize()
+    assert (s3.parquet_s3_schema, s3.incremental_duration) == ("nindexer", 1)
+    sel = s3.selected_tables()
+    assert set(sel) == {"follows", "casts"}
+    assert sel["follows"].uuid_columns == ("id",)
+    monkeypatch.setenv("TABLES", "nope")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        Settings().initialize().selected_tables()
+
+
+def test_cli_bootstrap_ddl(monkeypatch, capsys):
+    from neynar_parquet_importer_spark.__main__ import main
+
+    monkeypatch.setenv("NPE_VERSION", "v3")
+    monkeypatch.setenv("TABLES", "profiles,verifications")
+    assert main(["bootstrap-ddl", "--schema", "nindexer"]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE IF NOT EXISTS nindexer.profiles" in out
+    assert "CREATE TABLE IF NOT EXISTS nindexer.verifications" in out
+    assert "CREATE OR REPLACE VIEW nindexer.profiles_with_verifications" in out

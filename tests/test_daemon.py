@@ -1,0 +1,175 @@
+"""Daemon-loop tests (reference entry points 3.1/3.2): fake-clock runs
+driving windows that arrive late and out of order, asserting the ledger
+ends complete and strictly in order; plus single-file direct import."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import threading
+
+from pyspark.sql import types as T
+
+from neynar_parquet_importer_spark.catalog import TableSpec
+from neynar_parquet_importer_spark.sources import window_file_name
+from neynar_parquet_importer_spark.streaming import ImportPipeline
+from neynar_parquet_importer_spark.streaming.daemon import (
+    direct_import,
+    run_forever,
+)
+
+SPEC = TableSpec(
+    name="follows",
+    schema=T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("fid", T.LongType()),
+            T.StructField("target_fid", T.LongType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    ),
+    primary_key=("id",),
+)
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def _write_window(spark, directory, start, end, rows, full=False):
+    name = window_file_name("nindexer", "follows", start if not full else 0, end - start if not full else end)
+    if full:
+        name = f"nindexer-follows-0-{end}.parquet"
+    df = spark.createDataFrame(rows, SPEC.schema)
+    tmp = os.path.join(directory, "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), os.path.join(directory, name))
+
+
+class FakeClock:
+    """Deterministic clock: sleeping advances time and fires scheduled
+    publication events (the out-of-order window arrivals)."""
+
+    def __init__(self, start: float, events: list[tuple[float, object]]):
+        self.t = float(start)
+        self._events = sorted(events, key=lambda e: e[0])
+
+    def now(self) -> float:
+        self._fire()
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        self.t += max(float(s), 1.0)
+        self._fire()
+
+    def _fire(self) -> None:
+        while self._events and self._events[0][0] <= self.t:
+            self._events.pop(0)[1]()
+
+
+def test_daemon_imports_out_of_order_windows_in_order(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # published before the daemon starts: full snapshot [0,100) and
+    # windows 100-110 and 120-130 — with 110-120 NOT yet published (a gap)
+    _write_window(spark, src, 0, 100, [("a", 1, 2, _ts(50))], full=True)
+    _write_window(spark, src, 100, 110, [("b", 3, 4, _ts(105))])
+    _write_window(spark, src, 120, 130, [("c", 5, 6, _ts(125))])
+
+    def publish_110():
+        _write_window(spark, src, 110, 120, [("d", 7, 8, _ts(115))])
+
+    def publish_140_empty():
+        open(os.path.join(src, window_file_name("nindexer", "follows", 130, 10, empty=True)), "w").close()
+
+    def publish_140_150():
+        _write_window(spark, src, 140, 150, [("e", 9, 10, _ts(145))])
+
+    clock = FakeClock(
+        132.0,
+        [(139.0, publish_140_empty), (140.0, publish_110), (151.0, publish_140_150)],
+    )
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=10
+    )
+    report = run_forever(
+        pipe, now_fn=clock.now, sleep_fn=clock.sleep, max_iterations=3
+    )
+    assert report.stopped_by == "max_iterations"
+
+    # the gap window was imported once it arrived; nothing was skipped
+    assert pipe.ledger.resume_point() == 150
+    for name in [
+        "nindexer-follows-0-100.parquet",
+        "nindexer-follows-100-110.parquet",
+        "nindexer-follows-110-120.parquet",
+        "nindexer-follows-120-130.parquet",
+        "nindexer-follows-130-140.empty",
+        "nindexer-follows-140-150.parquet",
+    ]:
+        assert pipe.ledger.is_completed(name), f"{name} not completed"
+    ids = {r.id for r in pipe.sink.read().collect()}
+    assert ids == {"a", "b", "c", "d", "e"}
+
+
+def test_daemon_holds_ledger_at_gap_until_late_publish(spark, tmp_path):
+    """Mid-flight invariant: with window 110-120 missing, data beyond the
+    gap is imported (idempotent) but completion never advances past the
+    gap, so a restart re-plans from 110 — no data loss."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 100, [("a", 1, 2, _ts(50))], full=True)
+    _write_window(spark, src, 100, 110, [("b", 3, 4, _ts(105))])
+    _write_window(spark, src, 120, 130, [("c", 5, 6, _ts(125))])
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=10
+    )
+    report = pipe.run_catchup(end_timestamp=130, now=132.0)
+    assert report.missing_windows == 1
+    assert pipe.ledger.resume_point() == 110  # held at the gap
+    assert pipe.ledger.is_completed("nindexer-follows-100-110.parquet")
+    assert not pipe.ledger.is_completed("nindexer-follows-120-130.parquet")
+    # beyond-gap data IS visible in the sink (idempotent re-read later)
+    assert {r.id for r in pipe.sink.read().collect()} == {"a", "b", "c"}
+
+
+def test_daemon_shutdown_fencing(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 100, [("a", 1, 2, _ts(50))], full=True)
+    stop = threading.Event()
+    stop.set()
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=10
+    )
+    clock = FakeClock(100.0, [])
+    report = run_forever(pipe, shutdown=stop, now_fn=clock.now, sleep_fn=clock.sleep)
+    assert report.stopped_by == "shutdown"
+    assert report.iterations == 0
+
+
+def test_direct_import_single_file(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(spark, src, 100, 110, [("x", 1, 2, _ts(105))])
+    path = os.path.join(src, "nindexer-follows-100-110.parquet")
+    report = direct_import(
+        spark, path, str(tmp_path / "lake"), spec=SPEC
+    )
+    assert report.files_imported == 1 and report.rows_upserted == 1
+    from neynar_parquet_importer_spark.sinks.lake_upsert import LakeUpsertSink
+
+    sink = LakeUpsertSink(
+        spark, str(tmp_path / "lake" / "follows"), SPEC.primary_key, SPEC.version_column
+    )
+    assert {r.id for r in sink.read().collect()} == {"x"}
+
+
+def test_spec_for_file_resolves_catalog_tables():
+    from neynar_parquet_importer_spark.streaming.daemon import spec_for_file
+
+    spec = spec_for_file("/data/nindexer-follows-0-1744320248.parquet")
+    assert spec.name == "follows" and spec.uuid_columns == ("id",)
+    v2 = spec_for_file("/data/farcaster-casts-1000-1300.parquet")
+    assert v2.name == "casts" and ("mentions", "bigint") in v2.json_array_columns

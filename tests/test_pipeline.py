@@ -215,3 +215,22 @@ def test_v2_json_string_array_import(spark, tmp_path):
     dtypes = dict(pipe.transform(df).dtypes)
     assert dtypes["mentions"] == "array<bigint>"
     assert dtypes["mentions_positions"] == "array<smallint>"
+
+
+def test_uri_source_listing_via_hadoop_fs(spark, tmp_path):
+    """The object-store seam: a file:// URI source goes through the Hadoop
+    FileSystem API (the same path s3a:// takes on a cluster), end to end
+    through plan_windows and the import pipeline."""
+    src = str(tmp_path / "urisrc")
+    os.makedirs(src)
+    _write_window(spark, src, 100, 1, [_row(1, 1, 2, 5)])
+    _write_window(spark, src, 101, 1, [_row(2, 3, 4, 6)])
+    uri = f"file://{src}"
+    plan = plan_windows(uri, "nindexer", "follows", 100, 102, 1)
+    assert len(plan.incremental_paths) == 2
+    assert all(p.startswith("file://") for p in plan.incremental_paths)
+    pipe = ImportPipeline(
+        spark, SPEC, uri, str(tmp_path / "urilake"), incremental_duration=1
+    )
+    report = pipe.run_catchup(start_timestamp=100, end_timestamp=102, now=102)
+    assert report.files_imported == 2 and report.rows_upserted == 2
