@@ -84,18 +84,35 @@ def retry_with_backoff(
             time.sleep(sleep * (0.5 + random.random() / 2))
 
 
+def prepare_upsert_frame(
+    df: DataFrame,
+    primary_key: Sequence[str],
+    version_column: str = "updated_at",
+    max_connections: int = 90,
+) -> DataFrame:
+    """PK-dedupe (max version wins) + connection-budget partition cap.
+    coalesce (not repartition) so the cap costs no shuffle."""
+    deduped = last_writer_wins(df, list(primary_key), [F.desc(version_column)])
+    if max_connections > 0:
+        deduped = deduped.coalesce(max_connections)
+    return deduped
+
+
 def jdbc_upsert_writer(
     df: DataFrame,
     dsn: str,
     table: str,
     primary_key: Sequence[str],
     version_column: str = "updated_at",
+    max_connections: int = 90,
 ) -> None:
     """Distributed upsert: dedupe per PK, then per-partition chunked
-    INSERT..ON CONFLICT with retry. One DB connection per partition —
-    size executor parallelism to the reference's pool budget
-    (settings.py:64-66)."""
-    deduped = last_writer_wins(df, list(primary_key), [F.desc(version_column)])
+    INSERT..ON CONFLICT with retry. One DB connection per partition; C2's
+    connection budget (reference settings.py:64-66 pool_size=90) is
+    ENFORCED by capping the write-side partition count — a 100 TB batch
+    with thousands of scan partitions coalesces (no shuffle) down to the
+    pool budget instead of opening a connection per input split."""
+    deduped = prepare_upsert_frame(df, primary_key, version_column, max_connections)
     columns = deduped.columns
 
     def write_partition(rows_iter) -> None:

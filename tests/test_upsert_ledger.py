@@ -202,3 +202,22 @@ def test_ledger_staleness(tmp_path):
     led.record_file(LedgerEntry("s-t-0-100.parquet", "full", "v3", 100, 0, 100))
     assert led.is_stale(now=100 + 22 * 24 * 3600)
     assert not led.is_stale(now=100 + 20 * 24 * 3600)
+
+
+def test_jdbc_connection_budget_cap(spark):
+    """C2: the upsert frame never exceeds the connection pool budget —
+    one connection per partition, capped without a shuffle."""
+    import datetime
+
+    from neynar_parquet_importer_spark.sinks.jdbc_upsert import prepare_upsert_frame
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i % 50, f"v{i}", base + datetime.timedelta(seconds=i)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id long, v string, updated_at timestamp"
+    ).repartition(64)
+    out = prepare_upsert_frame(df, ["id"], "updated_at", max_connections=8)
+    assert out.rdd.getNumPartitions() <= 8
+    got = {r.id: r.v for r in out.collect()}
+    assert len(got) == 50
+    assert got[0] == "v150"  # max updated_at wins within each PK
