@@ -92,24 +92,37 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH near-duplicate detection
 # --------------------------------------------------------------------------
 
-def _shingles(text_col: Column, n: int) -> Column:
-    """Word n-gram shingles as an array<string> (distinct).
-
-    Built with element_at references rather than per-index ``slice`` —
-    slice allocates an array per shingle and made this O(tokens²) with
-    heavy interpreter overhead."""
-    tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
-    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)
-
-    def shingle_at(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
-
-    return F.array_distinct(
-        F.when(k > 0, F.transform(idx, shingle_at)).otherwise(
-            F.array(F.concat_ws(" ", tokens))
-        )
+def _shingle_stream(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, pos, shingle) stream via posexplode + lead(): the codegen-
+    friendly shingling shape (array-lambda builds are interpreted and
+    ~50x slower). Short docs (< n tokens) contribute one whole-text
+    shingle (concat_ws skips the trailing null leads). Pre-spreads the
+    (often single-split) corpus keyed by id so tokenization parallelizes
+    and the window's partitioning is already satisfied."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, shingle_n)]
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    return tok.select(
+        "id",
+        "pos",
+        F.concat_ws(" ", *leads).alias("shingle"),
+        leads[-1].isNotNull().alias("full"),
+        n_tok.alias("n_tok"),
+    ).filter(
+        # complete n-grams, or the single whole-text shingle for short docs
+        F.col("full") | ((F.col("n_tok") < shingle_n) & (F.col("pos") == 0))
+    ).select("id", "pos", "shingle")
 
 
 def minhash_signatures(
@@ -130,30 +143,13 @@ def minhash_signatures(
     aggregation runs map-side, so the shuffle carries at most one 64-long
     signature per (id, partition).
     """
-    # shingle stream via posexplode + lead() instead of an array-lambda
-    # build (higher-order exprs are interpreted; this path is ~10x faster
-    # and its window shuffle on id is reused by the final aggregation)
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("pos", "tok"),
+    # shingle stream via posexplode + lead() (_shingle_stream): codegen-
+    # friendly, and its window shuffle on id is reused by the final
+    # aggregation. Duplicate shingles don't change a min, so no distinct
+    # pass is needed.
+    base = _shingle_stream(df, text_col, id_col, shingle_n).select(
+        "id", F.xxhash64(F.col("shingle")).alias("h")
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, shingle_n)]
-    n_tok = F.count(F.lit(1)).over(Window.partitionBy("id"))
-    shingled = tok.select(
-        "id",
-        "pos",
-        F.concat_ws(" ", *leads).alias("shingle"),  # concat_ws skips trailing nulls
-        leads[-1].isNotNull().alias("full"),
-        n_tok.alias("n_tok"),
-    ).filter(
-        # complete n-grams, or the single whole-text shingle for short docs
-        F.col("full") | ((F.col("n_tok") < shingle_n) & (F.col("pos") == 0))
-    )
-    # duplicate shingles don't change a min, so no distinct pass is needed
-    base = shingled.select("id", F.xxhash64(F.col("shingle")).alias("h"))
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
         for i in range(num_hashes)
@@ -255,20 +251,38 @@ def ngram_jaccard_pairs(
     needed = df.join(
         F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi"
     )
-    sh = needed.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh")
+    # same inverted-index machinery as jaccard_all_pairs, restricted to
+    # candidate docs; candidate pairs sharing no shingle get jaccard 0
+    dist = (
+        _shingle_stream(needed, text_col, id_col, shingle_n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
     )
-    out = (
-        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+    exploded = _persist(
+        dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return out.select(
-        "id_a",
-        "id_b",
-        F.round(inter / union, 6).alias("jaccard"),
+    l, r = exploded.alias("l"), exploded.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("l.sz").alias("sz_a"),
+            F.min("r.sz").alias("sz_b"),
+        )
     )
+    out = candidates.select("id_a", "id_b").join(common, ["id_a", "id_b"], "left")
+    jac = F.coalesce(
+        F.round(
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6
+        ),
+        F.lit(0.0),
+    )
+    return out.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def jaccard_all_pairs(
@@ -290,14 +304,20 @@ def jaccard_all_pairs(
     risk — AQE skew-split handles moderate skew; stop-shingle removal is
     the standard mitigation beyond that).
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        _shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).select(
-        "id",
-        F.size("sh").alias("sz"),
-        F.explode("sh").alias("shingle"),
+    # shingle via the codegen'd stream, then DISTINCT per doc (Jaccard is
+    # over shingle SETS) and the set size via a count window that reuses
+    # the distinct's hash partitioning on id. The join key is the 64-bit
+    # shingle hash, not the string — the shuffle carries 8-byte keys and
+    # collisions are negligible (~n²/2^65).
+    dist = (
+        _shingle_stream(df, text_col, id_col, shingle_n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
     )
+    exploded = dist.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    exploded = _persist(exploded)  # read twice by the self-join
     l, r = exploded.alias("l"), exploded.alias("r")
     common = (
         l.join(
@@ -341,6 +361,9 @@ def simhash(
     # bit-vote sum per bit position; pack the sign vector driver-free in a
     # final projection. Distinct powers of two can't overflow the sum;
     # bit 63 lands on Long.MIN_VALUE which is exactly the sign-bit encoding.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(

@@ -19,8 +19,11 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -204,6 +207,28 @@ def _hamming_ball_masks(n_planes: int, radius: int) -> list[int]:
     return [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
 
 
+def _multitable_bucket_udf(planes_all, n_planes: int, n_tables: int):
+    """All n_tables*n_planes plane dots as ONE numpy matrix product
+    (Arrow-batched). A literal-weight JVM expression this wide (2k+
+    multiply-adds) overflows whole-stage codegen's 64 KB method limit and
+    falls back to interpreted mode — the vectorized UDF is the faster
+    AND scale-correct shape here."""
+    import numpy as np
+
+    w = np.array(planes_all, dtype=np.float64)  # (tables*planes, dim)
+    bits = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (x @ w.T) >= 0  # (batch, tables*planes)
+        per_table = signs.reshape(len(x), n_tables, n_planes)
+        b = (per_table * bits).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -222,36 +247,66 @@ def lsh_near_dup_pairs(
     only pairs colliding in some table (within ``multiprobe_hamming`` bits,
     probed by XOR-expanding the LEFT side only so each colliding pair is
     emitted once per table, not probe^2 times) are reranked with the exact
-    cosine. Candidates carry ids only — the vectors are joined back for
-    the rerank, so the shuffle rows are (table, bucket, id) triples, not
-    wide embeddings. Recall is the OR over tables: for cos >= 0.9 pairs,
-    4 tables x 8 planes x 1-probe gives ~1-1e-5 recall; borderline pairs
-    (cos ~ threshold) are where the approximation spends its error budget
-    (tests/test_operators.py measures both planted-dup recall and
-    containment vs the exact plan).
-    """
+    cosine. Recall is the OR over tables: for cos >= 0.9 pairs, 4 tables x
+    8 planes x 1-probe gives ~1-1e-5 recall; borderline pairs (cos ~
+    threshold) are where the approximation spends its error budget
+    (tests/test_operators.py measures planted-dup recall and containment
+    vs the exact plan).
+
+    Execution shape: all n_tables*n_planes plane dots are ONE numpy
+    matrix product inside an Arrow-batched pandas UDF — a literal-weight
+    expression tree this wide (2k+ multiply-adds) overflows whole-stage
+    codegen's 64 KB method limit and silently falls back to interpreted
+    mode, which is slower than the vectorized UDF. The tiny (id, buckets)
+    frame is persisted and reused by the probe explode and collision
+    join; the rerank joins flattened vectors back through a codegen'd
+    64-term dot with precomputed norms."""
+    from .dedup import _persist  # shared persist registry (release_cached)
+
     masks = _hamming_ball_masks(n_planes, multiprobe_hamming)
-    sides = []
-    for t in range(n_tables):
-        planes = make_planes(dim, n_planes, seed=1009 + 7919 * t)
-        bucket = hyperplane_bucket(vec_col, planes)
-        base = df.select(F.col(id_col).alias("id"), bucket.alias("b"))
-        left = base.select(
-            "id",
-            F.lit(t).alias("tbl"),
-            F.explode(
-                F.array(*[F.col("b").bitwiseXOR(F.lit(m)) for m in masks])
-            ).alias("bucket"),
+    planes_all = [
+        plane
+        for t in range(n_tables)
+        for plane in make_planes(dim, n_planes, seed=1009 + 7919 * t)
+    ]
+    # no repartition before the UDF: one Arrow batch per input split is
+    # the right granularity (a matmul over a split is microseconds; extra
+    # tiny tasks just pay Python-worker spin-up per partition)
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            _multitable_bucket_udf(planes_all, n_planes, n_tables)(
+                F.col(vec_col)
+            ).alias("bs"),
         )
-        right = base.select(
-            F.col("id"), F.lit(t).alias("tbl"), F.col("b").alias("bucket")
-        )
-        sides.append((left, right))
-    left = sides[0][0]
-    right = sides[0][1]
-    for l, r in sides[1:]:
-        left = left.unionByName(l)
-        right = right.unionByName(r)
+    )
+
+    left = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.col("bs")[t].bitwiseXOR(F.lit(m)).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                    for m in masks
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "p.tbl", "p.bucket")
+    right = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.col("bs")[t].alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "p.tbl", "p.bucket")
     cand = (
         left.alias("l")
         .join(
@@ -263,22 +318,44 @@ def lsh_near_dup_pairs(
             ],
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-cosine rerank on the (tiny) candidate set: two hash joins back
-    # to the corpus; at local test scale the corpus side broadcasts
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NOTE: cand still contains multi-table duplicate pairs (~10%); the
+    # rerank is cheap per row, so dedup runs AFTER the threshold filter,
+    # on the (tiny) surviving set — a shuffle of results, not candidates
+    # exact-cosine rerank: join the flattened vectors back (broadcast at
+    # test scale, hash join at cluster scale) — pairwise dot is a single
+    # codegen'd multiply-add chain (64 terms fits codegen comfortably),
+    # norms precomputed once per vector
+    # expressions are built as SQL strings: ONE py4j round trip instead of
+    # hundreds of Column-object calls (plan construction was costing more
+    # driver time than the executors spent running it)
+    def _flat_side(prefix: str):
+        exprs = [f"{id_col} as id_{prefix}"] + [
+            f"cast({vec_col}[{i}] as double) as {prefix}{i}" for i in range(dim)
+        ]
+        sumsq = " + ".join(f"{prefix}{i}*{prefix}{i}" for i in range(dim))
+        return df.selectExpr(*exprs).withColumn(
+            f"nrm_{prefix}", F.expr(f"sqrt({sumsq})")
+        )
+
+    a_side = _flat_side("a")
+    b_side = _flat_side("b")
+    # AQE coalesces the candidate shuffle to ~1 partition by SIZE (a few
+    # MB), but the rerank is CPU-bound (64-term dot per row) — spread it
+    # across the cluster explicitly
+    par = df.sparkSession.sparkContext.defaultParallelism
     joined = (
-        cand.join(vecs.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
-        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
+        cand.repartition(par)
+        .join(F.broadcast(a_side), "id_a")
+        .join(F.broadcast(b_side), "id_b")
     )
-    denom = _norm(F.col("v_a")) * _norm(F.col("v_b"))
-    cos = F.when(denom > 0, _dot(F.col("v_a"), F.col("v_b")) / denom).otherwise(
-        F.lit(0.0)
-    )
+    pdot = F.expr(" + ".join(f"a{i}*b{i}" for i in range(dim)))
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(denom > 0, pdot / denom).otherwise(F.lit(0.0))
     return (
         joined.select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

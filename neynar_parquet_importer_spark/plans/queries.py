@@ -379,17 +379,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but a 64-term product-sum over scalar columns is whole-stage codegen
     # (~50x faster on the 2M-pair cross join at sf0.1). Term order matches
     # the oracle's sequential list_dot_product exactly.
+    # SQL-string expression build: one py4j call, not 100s of Column ops
+    # (driver plan construction is part of the per-query latency). The
+    # left-assoc "+" chain matches the oracle's sequential fold exactly.
     def flat(side: str):
-        cols = [F.col("vec_id").alias(f"id_{side}")] + [
-            F.col("embedding")[i].cast("double").alias(f"{side}{i}") for i in range(dim)
+        exprs = [f"vec_id as id_{side}"] + [
+            f"cast(embedding[{i}] as double) as {side}{i}" for i in range(dim)
         ]
-        return emb.select(*cols)
+        # norm precomputed ONCE per vector (n rows), not per pair (n^2):
+        # cuts the cross-join arithmetic from 3 to 1 dot products per pair
+        sumsq = " + ".join(f"{side}{i}*{side}{i}" for i in range(dim))
+        return emb.selectExpr(*exprs).withColumn(
+            f"nrm_{side}", F.expr(f"sqrt({sumsq})")
+        )
 
     def dot(x: str, y: str):
-        expr = F.col(f"{x}0") * F.col(f"{y}0")
-        for i in range(1, dim):
-            expr = expr + F.col(f"{x}{i}") * F.col(f"{y}{i}")
-        return expr
+        return F.expr(" + ".join(f"{x}{i}*{y}{i}" for i in range(dim)))
 
     # the corpus arrives as one small parquet split; spread the streamed
     # side so the O(n^2) compare uses every core (a 2000-row shuffle)
@@ -397,7 +402,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = flat("a").repartition(par).join(
         F.broadcast(flat("b")), F.col("id_a") < F.col("id_b")
     )
-    denom = F.sqrt(dot("a", "a")) * F.sqrt(dot("b", "b"))
+    denom = F.col("nrm_a") * F.col("nrm_b")
     cos = F.when(denom > 0, dot("a", "b") / denom).otherwise(F.lit(0.0))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos_raw"))
