@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the optimizations the 100 TB design
+depends on must be visible in the executed plan, not just intended.
+Guards against silent regressions (a lost broadcast hint, a filter that
+stops reaching the scan, a top-k that becomes a global sort)."""
+
+from __future__ import annotations
+
+import pytest
+
+from neynar_parquet_importer_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return Q.QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Compiled filter-DSL predicates must land in the parquet scan as
+    PushedFilters (F1-F8 compile to Columns exactly so Catalyst can push
+    them; a regression here turns a selective scan into a full scan)."""
+    plan = _plan(spark, "filter_dsl_in_gt")
+    assert "PushedFilters: [" in plan
+    assert "c_acctbal" in plan.split("PushedFilters")[1][:200]
+
+
+def test_scan_prunes_columns(spark):
+    """Projection pruning: the q1 lineitem scan must read only the needed
+    columns, not the full 16-column table."""
+    plan = _plan(spark, "q1_pricing_summary")
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # not referenced by q1
+    assert "l_comment" not in read_schema
+
+
+def test_star_joins_broadcast(spark):
+    """Dimension joins in q3/q5 must be broadcast (no shuffle of the fact
+    table for small dims)."""
+    for name in ("q3_top_orders", "q5_region_nation_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to SMJ"
+
+
+def test_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT k must plan as TakeOrderedAndProject (per-
+    partition heap + k-row driver merge), never a global sort."""
+    for name in ("q3_top_orders", "top1_order", "embedding_topk"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_agg_is_partial_then_final(spark):
+    """q1's aggregation must be two-phase (map-side partial combine), so
+    the shuffle carries group rows, not data rows."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    """Semi/anti joins must not degrade to inner-join + distinct."""
+    assert "LeftSemi" in _plan(spark, "semi_join_buyers")
+    assert "LeftAnti" in _plan(spark, "anti_join_never_urgent")
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The range join has an equi-key (orderkey); it must plan as a hash
+    join (broadcast or shuffled) with the range as a post-condition, not
+    a cartesian/nested-loop."""
+    plan = _plan(spark, "range_join_shipments")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_whole_stage_codegen_covers_text_ops(spark):
+    """Text analysis is pure Column arithmetic — it must run inside
+    WholeStageCodegen with no Python evaluation."""
+    for name in ("text_token_count", "text_quality", "text_lang_id"):
+        plan = _plan(spark, name)
+        # codegen'd operators print with a "*(n)" stage prefix
+        assert "*(1) Project" in plan, name
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF!"
+        assert "ArrowEvalPython" not in plan, f"{name}: unexpected pandas UDF"
+
+
+def test_exact_near_dup_has_no_python(spark):
+    """The exact embedding all-pairs plan is JVM-only (flattened scalar
+    dot products in codegen)."""
+    plan = _plan(spark, "embedding_near_dup_pairs")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_lsh_near_dup_bucket_udf_is_arrow(spark):
+    """The LSH bucketing UDF must be Arrow-batched (ArrowEvalPython), not
+    row-at-a-time (BatchEvalPython)."""
+    plan = _plan(spark, "embedding_near_dup_lsh")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
