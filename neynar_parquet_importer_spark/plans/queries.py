@@ -411,6 +411,56 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-subquery decorrelated to a left-semi join
+    (order has >=1 line item shipped more than 60 days after the order
+    date), then a grouped count."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def scalar_subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated to aggregate-then-join; revenue of line items
+    below half their part's average quantity. The per-part aggregate is
+    tiny -> broadcast into the second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-1-hour average event value
+    (time-based frame over the epoch, not a row count)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (§2.8 — absent in reference, table stakes for the engine)
 # ---------------------------------------------------------------------------
@@ -721,6 +771,9 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "window_topn_per_group": window_topn_per_group,
     "top1_order": top1_order,
+    "exists_late_shipment_orders": exists_late_shipment_orders,
+    "scalar_subquery_small_quantity_revenue": scalar_subquery_small_quantity_revenue,
+    "moving_avg_user_value": moving_avg_user_value,
     "set_intersect_buyers": set_intersect_buyers,
     "set_except_no_orders": set_except_no_orders,
     "json_extract_sum": json_extract_sum,
@@ -918,6 +971,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 1
+    """,
+    "exists_late_shipment_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    "scalar_subquery_small_quantity_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+    """,
+    "moving_avg_user_value": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ), 4) AS trailing_avg
+        FROM events
     """,
     "set_intersect_buyers": """
         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
