@@ -124,3 +124,68 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize stage: binary in -> binary out with new dimensions, via
+    Arrow-batched mapInPandas (the standard pre-processing step before a
+    vision encoder). The pixel work is STUBBED like decode_image (no
+    image libs here): ``fake=True`` emits a deterministic payload derived
+    from the source bytes + target size, so batch shape, schema, and
+    null/dimension handling are tested end-to-end; a real deployment
+    replaces only the inner function with PIL/torchvision."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list[bytes | None] = []
+            for b in pdf["payload"]:
+                if b is None:
+                    payloads.append(None)
+                elif fake:
+                    seed = hashlib.sha256(
+                        bytes(b) + f":{target_w}x{target_h}".encode()
+                    ).digest()
+                    payloads.append(seed * 4)  # deterministic 128-byte stand-in
+                else:
+                    payloads.append(decode_image(b, fake=False))  # pragma: no cover
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_type": pdf["mime_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def balance_by_size(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_partition_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Repartition media rows so each task carries ~target bytes of
+    payload, not ~equal row counts — with megabyte images next to
+    kilobyte thumbnails, row-balanced tasks straggle. One lightweight
+    count job sizes the layout; the shuffle key is a hash of the payload
+    length + id so large objects spread uniformly."""
+    total = df.select(
+        F.sum(F.coalesce(F.length(payload_col), F.lit(0))).alias("b")
+    ).collect()[0].b or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(n, F.xxhash64(F.coalesce(F.length(payload_col), F.lit(0)), F.col("media_id")))
