@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_allpairs",
+    "dedup_clusters",
     "dedup_simhash",
     "text_token_count",
     "text_quality",

@@ -436,3 +436,84 @@ def simhash_near_duplicates(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs -> connected components -> canonical doc
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every vertex of the (undirected) edge set;
+    component = the minimum vertex id reachable from the vertex.
+
+    The clustering step of a dedup pipeline: pair detection (exact hash /
+    LSH / SimHash) emits edges, components group transitively-linked
+    documents, and min-id-per-component picks the canonical keeper.
+
+    Iterative min-label propagation as a driver loop over DataFrame ops:
+    each round joins labels across edges both ways and takes the min; the
+    loop stops when a round changes no label (checked with an aggregate,
+    not a collect of data rows). Rounds = graph diameter, which for
+    near-dup clusters is tiny (dup groups are cliques or near-cliques).
+    Each round is one shuffle join + one aggregate — at 100 TB this is
+    the standard scalable formulation (alternating star contraction is
+    the upgrade path for adversarially long chains; max_iter bounds
+    runaway graphs either way).
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _persist(sym)
+    labels = _persist(
+        sym.select("u").distinct().select("u", F.col("u").alias("comp"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnsRenamed({"u": "v", "comp": "vcomp"}), "v")
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("ncomp"))
+        )
+        updated = _persist(
+            labels.join(neighbor_min, "u", "left").select(
+                "u",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        changed = (
+            updated.join(
+                labels.withColumnsRenamed({"comp": "old"}), "u"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+
+
+def dedup_cluster_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup decision: (doc_id, component, keep) where keep marks the
+    canonical (min-id) document of each near-dup cluster. Documents in no
+    pair are implicit singletons (kept); only clustered docs appear here —
+    at scale the anti-join of the corpus against this frame IS the
+    keep-set complement, no need to materialize singleton rows."""
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

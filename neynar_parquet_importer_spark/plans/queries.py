@@ -608,6 +608,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: exact-Jaccard pairs (>= 0.7) -> connected
+    components (iterative min-label propagation) -> canonical keeper per
+    cluster. The oracle twin computes the same components with a
+    recursive-CTE transitive closure, making this an ORACLE-CHECKED
+    iterative algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_all_pairs(docs, "text", "doc_id", threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash_near_duplicates(dd.simhash(docs), max_hamming=3)
@@ -787,6 +800,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_allpairs": dedup_ngram_jaccard_allpairs,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_cosine_scores": embedding_cosine_scores,
@@ -1124,6 +1138,40 @@ ORACLE_SQL: dict[str, str] = {
             ) b ON a.doc_id < b.doc_id
         )
         WHERE jaccard >= 0.5
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct(list_transform(
+                               generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents)
+        ), pairs AS (
+            SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(len(list_intersect(a.s, b.s))::DOUBLE
+                             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                             6) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.7
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        )
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS component,
+               (src = least(src, min(dst))) AS keep
+        FROM reach
+        GROUP BY src
     """,
     "embedding_cosine_scores": """
         SELECT vec_id, round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS cos_sim

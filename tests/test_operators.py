@@ -400,3 +400,46 @@ def test_balance_by_size(spark):
     n = out.rdd.getNumPartitions()
     assert 2 <= n <= 8  # ~400KB total / 100KB target
     assert out.count() == 100
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (needs multiple propagation rounds), a 2-clique,
+    and an isolated pair must each collapse to min-id components."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40),   # chain
+         (1, 2), (2, 3), (1, 3),         # triangle
+         (100, 200)],                    # pair
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    release_cached()
+    assert comp == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        1: 1, 2: 1, 3: 1,
+        100: 100, 200: 100,
+    }
+
+
+def test_dedup_clusters_oracle_parity(spark):
+    """Spark's iterative label propagation must agree with the DuckDB
+    recursive-CTE transitive closure on the real corpus."""
+    import duckdb
+
+    from neynar_parquet_importer_spark.plans.queries import (
+        ORACLE_SQL,
+        dedup_clusters,
+    )
+
+    srows = sorted(tuple(r) for r in dedup_clusters(spark, SF_CORRECT).collect())
+    release_cached()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_CORRECT}/documents.parquet'"
+    )
+    orows = sorted(tuple(r) for r in con.sql(ORACLE_SQL["dedup_clusters"]).fetchall())
+    assert srows == orows
+    assert srows, "corpus should contain at least one near-dup cluster"
