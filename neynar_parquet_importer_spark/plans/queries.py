@@ -411,6 +411,25 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof grouped aggregation: per-event-type count/sum via
+    two-phase salting (operators.skew). Result is identical to the plain
+    groupBy — the oracle checks that — while the first shuffle spreads
+    each hot key over 16 sub-keys."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("pc"), F.sum("value").alias("ps")],
+        [
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("ps"), 2).alias("sum_value"),
+        ],
+    )
+
+
 def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS-subquery decorrelated to a left-semi join
     (order has >=1 line item shipped more than 60 days after the order
@@ -784,6 +803,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "window_topn_per_group": window_topn_per_group,
     "top1_order": top1_order,
+    "salted_event_stats": salted_event_stats,
     "exists_late_shipment_orders": exists_late_shipment_orders,
     "scalar_subquery_small_quantity_revenue": scalar_subquery_small_quantity_revenue,
     "moving_avg_user_value": moving_avg_user_value,
@@ -985,6 +1005,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 1
+    """,
+    "salted_event_stats": """
+        SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type
     """,
     "exists_late_shipment_orders": """
         SELECT o_orderpriority, count(*) AS n_orders

@@ -297,6 +297,34 @@ class ImportPipeline:
         return writer.start()
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream dedup (D1/D2's streaming form): drop rows whose key was
+    already seen within the watermark horizon. State is bounded — the
+    watermark expires old keys — so this scales to unbounded streams;
+    duplicates that recur BEYOND the horizon are the sink upsert's job
+    (the recency-guarded MERGE stays idempotent across any horizon)."""
+    id_cols = id_cols or ["event_id"]
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+def streaming_enrich(stream_df: DataFrame, dim_df: DataFrame, on: list[str]) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — no stream-side state, the standard
+    pattern for decorating an event stream with slowly-changing reference
+    data (re-read per batch if the dim is a table that updates)."""
+    return stream_df.join(F.broadcast(dim_df), on=on, how="left")
+
+
 def streaming_window_counts(
     spark: SparkSession,
     source_dir: str,
