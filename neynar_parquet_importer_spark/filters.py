@@ -102,3 +102,58 @@ def time_range_filter(
 def load_filter_config(config: Mapping[str, Any], schema: str, table: str) -> Column:
     """Per-table lookup keyed '{schema}.{table}' (main.py:718-737)."""
     return compile_filter(config.get(f"{schema}.{table}"))
+
+
+def evaluate_filter(filter_doc: Mapping[str, Any] | None, row: Mapping[str, Any]) -> bool:
+    """Row-level Python twin of ``compile_filter`` — the reference's
+    ``include_row`` semantics (row_filters.py:40-82), kept as the
+    executable specification: tests/test_filters.py property-checks that
+    the compiled Column and this evaluator agree on randomized rows and
+    filter documents (including the NULL edge cases).
+    """
+    if not filter_doc:
+        return True
+
+    def leaf(value: Any, ops: Mapping[str, Any]) -> bool:
+        for op, operand in ops.items():
+            if op == "$in":
+                if value not in list(operand):
+                    return False
+            elif op == "$nin":
+                if value in list(operand):
+                    return False
+            elif op == "$eq":
+                if value is None or value != operand:
+                    return False
+            elif op == "$ne":
+                # Python: None != v is True -> NULL rows are KEPT
+                if value is not None and value == operand:
+                    return False
+            elif op in ("$lt", "$lte", "$gt", "$gte"):
+                if value is None:
+                    return False
+                if op == "$lt" and not value < operand:
+                    return False
+                if op == "$lte" and not value <= operand:
+                    return False
+                if op == "$gt" and not value > operand:
+                    return False
+                if op == "$gte" and not value >= operand:
+                    return False
+            else:
+                raise ValueError(f"unknown filter operator: {op!r}")
+        return True
+
+    for key, value in filter_doc.items():
+        if key == "$and":
+            if not all(evaluate_filter(sub, row) for sub in value):
+                return False
+        elif key == "$or":
+            if value and not any(evaluate_filter(sub, row) for sub in value):
+                return False
+        elif key.startswith("data."):
+            if not leaf(row.get(key[len("data."):]), value):
+                return False
+        else:
+            raise ValueError(f"unknown filter key: {key!r}")
+    return True

@@ -99,3 +99,86 @@ def test_time_range_filter(spark):
         "updated_at", datetime.datetime(2024, 1, 2), datetime.datetime(2024, 1, 4)
     )
     assert sorted(r.id for r in df.filter(pred).collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Property: compiled Column == Python row evaluator (reference include_row)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from neynar_parquet_importer_spark.filters import evaluate_filter
+
+_INT_VALUES = st.integers(min_value=-5, max_value=5)
+_STR_VALUES = st.sampled_from(["a", "b", "c", "d"])
+
+_INT_LEAF = st.fixed_dictionaries(
+    {},
+    optional={
+        "$in": st.lists(_INT_VALUES, min_size=1, max_size=3),
+        "$nin": st.lists(_INT_VALUES, min_size=1, max_size=3),
+        "$lt": _INT_VALUES,
+        "$lte": _INT_VALUES,
+        "$gt": _INT_VALUES,
+        "$gte": _INT_VALUES,
+        "$eq": _INT_VALUES,
+        "$ne": _INT_VALUES,
+    },
+).filter(bool)
+_STR_LEAF = st.fixed_dictionaries(
+    {},
+    optional={
+        "$in": st.lists(_STR_VALUES, min_size=1, max_size=3),
+        "$nin": st.lists(_STR_VALUES, min_size=1, max_size=3),
+        "$eq": _STR_VALUES,
+        "$ne": _STR_VALUES,
+    },
+).filter(bool)
+
+_BASIC_DOC = st.fixed_dictionaries(
+    {},
+    optional={"data.x": _INT_LEAF, "data.s": _STR_LEAF},
+).filter(bool)
+
+_DOC = st.one_of(
+    _BASIC_DOC,
+    st.fixed_dictionaries({"$or": st.lists(_BASIC_DOC, min_size=1, max_size=3)}),
+    st.fixed_dictionaries({"$and": st.lists(_BASIC_DOC, min_size=1, max_size=3)}),
+)
+
+
+@pytest.fixture(scope="module")
+def filter_rows(spark):
+    import itertools
+
+    rows = [
+        (i, x, s)
+        for i, (x, s) in enumerate(
+            itertools.product(
+                [None, -3, -1, 0, 1, 3, 5],
+                [None, "a", "b", "c", "z"],
+            )
+        )
+    ]
+    df = spark.createDataFrame(rows, "rid long, x long, s string")
+    df.persist().count()
+    return rows, df
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=_DOC)
+def test_compiled_filter_matches_row_evaluator(filter_rows, doc):
+    """The compiled Catalyst predicate and the reference's row-level
+    Python semantics must keep exactly the same rows — including NULL
+    handling for $ne/$nin (kept) vs $eq/$in/range ops (dropped)."""
+    rows, df = filter_rows
+    kept_spark = {r.rid for r in df.filter(compile_filter(doc)).select("rid").collect()}
+    kept_py = {
+        rid for rid, x, s in rows if evaluate_filter(doc, {"x": x, "s": s})
+    }
+    assert kept_spark == kept_py, f"divergence for {doc!r}"
