@@ -411,6 +411,30 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (rows-only oracle — sketch internals are
+    engine-specific): HyperLogLog++ distinct buyers and t-digest-style
+    approximate price percentiles per order status. Both sketches merge
+    associatively across partitions, so the shuffle carries fixed-size
+    sketch state instead of value sets — the 100 TB way to get
+    distincts/quantiles. Error bounds vs exact are asserted in
+    tests/test_operators.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_buyers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias(
+            "price_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "o_orderstatus",
+        "approx_buyers",
+        F.round(F.col("price_p50_p95")[0], 2).alias("price_p50"),
+        F.round(F.col("price_p50_p95")[1], 2).alias("price_p95"),
+        "n_orders",
+    )
+
+
 def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof grouped aggregation: per-event-type count/sum via
     two-phase salting (operators.skew). Result is identical to the plain
@@ -803,6 +827,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "window_topn_per_group": window_topn_per_group,
     "top1_order": top1_order,
+    "sketch_order_stats": sketch_order_stats,
     "salted_event_stats": salted_event_stats,
     "exists_late_shipment_orders": exists_late_shipment_orders,
     "scalar_subquery_small_quantity_revenue": scalar_subquery_small_quantity_revenue,

@@ -443,3 +443,32 @@ def test_dedup_clusters_oracle_parity(spark):
     orows = sorted(tuple(r) for r in con.sql(ORACLE_SQL["dedup_clusters"]).fetchall())
     assert srows == orows
     assert srows, "corpus should contain at least one near-dup cluster"
+
+
+def test_sketch_aggregates_error_bounds(spark):
+    """HLL distinct within 5% of exact; approximate percentiles within
+    the accuracy contract (rank error <= n/accuracy)."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.plans.queries import sketch_order_stats
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    exact = {
+        r.o_orderstatus: (r.buyers, r.p50, r.p95)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("buyers"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    got = {r.o_orderstatus: r for r in sketch_order_stats(spark, SF_CORRECT).collect()}
+    assert set(got) == set(exact)
+    for status, (buyers, p50, p95) in exact.items():
+        r = got[status]
+        assert abs(r.approx_buyers - buyers) / buyers <= 0.05, status
+        # 10k-accuracy digest on a few-thousand-row group: near-exact rank;
+        # allow 2% value slack for interpolation differences
+        assert abs(r.price_p50 - p50) / p50 <= 0.02, status
+        assert abs(r.price_p95 - p95) / p95 <= 0.02, status
