@@ -31,6 +31,11 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "range_join_shipments",
     "asof_latest_order_per_event",
+    "exists_late_shipment_orders",
+    "scalar_subquery_small_quantity_revenue",
+    "moving_avg_user_value",
+    "salted_event_stats",
+    "sketch_order_stats",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "dedup_exact_documents",

@@ -173,3 +173,33 @@ def test_spec_for_file_resolves_catalog_tables():
     assert spec.name == "follows" and spec.uuid_columns == ("id",)
     v2 = spec_for_file("/data/farcaster-casts-1000-1300.parquet")
     assert v2.name == "casts" and ("mentions", "bigint") in v2.json_array_columns
+
+
+def test_run_tables_forever_multi_table(spark, tmp_path):
+    """Thread-per-table orchestration: both tables' loops run and report
+    independently under a shared session."""
+    from neynar_parquet_importer_spark.streaming.daemon import run_tables_forever
+
+    pipes = []
+    for name in ("follows", "casts"):
+        spec = TableSpec(name=name, schema=SPEC.schema, primary_key=("id",))
+        src = str(tmp_path / f"src_{name}")
+        os.makedirs(src)
+        df = spark.createDataFrame([("a", 1, 2, _ts(50))], SPEC.schema)
+        tmp = os.path.join(src, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, part), os.path.join(src, f"nindexer-{name}-0-100.parquet"))
+        pipes.append(
+            ImportPipeline(spark, spec, src, str(tmp_path / "lake"), incremental_duration=10)
+        )
+    reports = run_tables_forever(
+        pipes,
+        now_fn=lambda: 100.0,
+        sleep_fn=lambda s: None,
+        max_iterations=1,
+    )
+    assert set(reports) == {"follows", "casts"}
+    for name, rep in reports.items():
+        assert rep.stopped_by == "max_iterations", name
+        assert rep.files_imported == 1, name
