@@ -54,6 +54,15 @@ BENCH_QUERIES = [
     "json_extract_sum",
     "graph_edges",
     "multimodal_features",
+    "sample_docs_hash",
+    "train_val_test_counts",
+    "stratified_sample_by_lang",
+    "contamination_vs_benchmark",
+    "top_trigrams",
+    "token_count_histogram",
+    "lang_mixing_weights",
+    "quality_filter_funnel",
+    "embedding_norm_stats",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Corpus-level analysis operators for training-data pipelines:
+benchmark-contamination detection, frequent-n-gram statistics, and
+language/source mixing weights.
+
+All three are shapes a 100 TB pre-training pipeline runs routinely:
+- **contamination**: flag training documents sharing n-grams with an
+  evaluation benchmark (the GPT-3-style 13-gram rule generalized to any
+  n). The benchmark side is small by construction (eval suites are
+  thousands of documents), so its distinct shingle set is broadcast and
+  the check is a map-side semi-join — the corpus is scanned once, no
+  shuffle of corpus data;
+- **top n-grams**: partial (map-side) count aggregation per shingle,
+  then TakeOrderedAndProject for the top-k — the shuffle carries one row
+  per distinct shingle per partition, never raw text;
+- **mixing weights**: per-stratum counts plus inverse-frequency weights;
+  a two-level aggregate whose second level is a single-row broadcast.
+
+Shingling reuses the codegen'd stream from :mod:`.dedup` so the
+tokenization contract (split on whitespace runs of the trimmed,
+lowercased text; whole-text shingle for docs shorter than n tokens) is
+identical across the dedup and contamination families — and identical to
+the DuckDB oracle SQL in ``plans/queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_stream
+
+
+def distinct_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle) with per-document duplicates removed — the set form
+    used by Jaccard, contamination, and frequency statistics."""
+    return _shingle_stream(df, text_col, id_col, shingle_n).select("id", "shingle").distinct()
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-corpus-document benchmark overlap:
+    (doc_id, n_shingles, n_contaminated, contamination ratio).
+
+    The benchmark's distinct shingle set is broadcast — the plan is one
+    corpus scan + shingle explode + broadcast left-semi-style join +
+    hash aggregate on doc id. Corpus rows never shuffle; only per-doc
+    counters do. Decontamination is then a filter on the ratio (or on
+    ``n_contaminated > 0`` for the strict rule).
+    """
+    corpus_sh = distinct_shingles(corpus, text_col, id_col, shingle_n)
+    bench_sh = F.broadcast(
+        distinct_shingles(benchmark, text_col, id_col, shingle_n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corpus_sh.join(bench_sh, "shingle", "left")
+    return (
+        joined.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide k most frequent n-grams: (shingle, n_occurrences,
+    n_docs), deterministic under ties (ordered by count desc, shingle asc).
+
+    Occurrences count every appearance; ``n_docs`` counts documents
+    containing the shingle at least once — both from one aggregate pass.
+    The top-k plans as TakeOrderedAndProject: per-partition heaps of k
+    rows, a k-row driver merge, no global sort.
+    """
+    sh = _shingle_stream(df, text_col, id_col, shingle_n)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+        .limit(k)
+    )
+
+
+def mixing_weights(
+    df: DataFrame,
+    strata_col: str = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-stratum corpus share and inverse-frequency mixing weight:
+    (stratum, n_docs, share, weight) with weight = total/(n_strata * n) —
+    the uniform-over-strata target used to rebalance skewed corpora
+    (weights > 1 upsample rare strata, < 1 downsample dominant ones).
+
+    Two-level aggregate: the per-stratum count shuffles one row per
+    stratum; the corpus total arrives via an unpartitioned window over
+    that tiny frame (strata counts fit on any node at any corpus size).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(strata_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_strata = F.count(F.lit(1)).over(w)
+    return counts.select(
+        strata_col,
+        "n_docs",
+        F.round(F.col("n_docs") / total, round_to).alias("share"),
+        F.round(total / (n_strata * F.col("n_docs")), round_to).alias("weight"),
+    )

@@ -1,0 +1,134 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+A 100 TB corpus cannot be sampled with ``rand()``: the sample must be
+*reproducible* (same rows on re-run, resumable after failure), *stable
+under repartitioning* (Spark's ``df.sample`` is seed + partition-layout
+dependent), and *auditable* (an oracle engine must agree on exactly which
+rows are in). The standard fix is content-hash thresholding: a row is
+sampled iff ``hash(seed, key) < fraction * 2^bits``. Here the hash is
+md5 over a seed-prefixed key string, compared on the first 8 hex chars —
+fixed-width lowercase hex compares lexicographically exactly like the
+integer it encodes, so the predicate is portable to any engine with md5
+(DuckDB, Trino, BigQuery, Postgres) and hashes agree bit-for-bit.
+
+Scale shape: every function below is a pure Column expression — the
+sample predicate is a codegen'd filter evaluated at scan time (no
+shuffle, no state, no driver round-trip), and split assignment is a
+projection. Sampling 1% of 100 TB reads 100 TB but shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16**8  # first 8 md5 hex chars encode a uniform 32-bit draw
+
+
+def threshold_hex(fraction: float) -> str:
+    """The 8-char lowercase hex threshold encoding ``fraction`` of the
+    32-bit hash space (also used verbatim in oracle SQL strings)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(round(fraction * _HEX_SPAN)), _HEX_SPAN - 1), "08x")
+
+
+def hash_hex(key_cols: Sequence[Column | str], seed: str) -> Column:
+    """First 8 hex chars of md5 over ``seed:key1:key2:...`` — the uniform
+    draw both the Spark plan and the SQL oracle compute identically."""
+    cols = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws(":", F.lit(seed), *cols)), 1, 8)
+
+
+def hash_hex_sql(key_exprs: Sequence[str], seed: str) -> str:
+    """The oracle-side twin of :func:`hash_hex` (ANSI-ish SQL string)."""
+    parts = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    return f"substr(md5('{seed}' || ':' || {parts}), 1, 8)"
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep ``fraction`` of rows, deterministically by key hash.
+
+    Unlike ``df.sample`` this is a *function of the row*, not of the
+    partition layout: re-runs, retries, and different cluster sizes
+    produce the identical sample, and adding new rows to the corpus never
+    changes the verdict for existing rows (the property incremental
+    training-data pipelines need).
+    """
+    if fraction >= 1.0:
+        return df
+    return df.filter(hash_hex(list(key_cols), seed) < F.lit(threshold_hex(fraction)))
+
+
+def split_column(
+    key_cols: Sequence[str],
+    weights: Mapping[str, float],
+    seed: str = "split",
+) -> Column:
+    """Assign each row to a named split (train/val/test/...) by hash range.
+
+    ``weights`` maps split name -> relative weight (normalized here).
+    Iteration order of the mapping defines the hash-range order, so the
+    assignment is fully specified by (weights, seed). Rows never migrate
+    between splits when other splits' weights change only via renames.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = hash_hex(list(key_cols), seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < F.lit(threshold_hex(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_case_sql(
+    key_exprs: Sequence[str],
+    weights: Mapping[str, float],
+    seed: str = "split",
+) -> str:
+    """Oracle-side CASE expression matching :func:`split_column`."""
+    total = float(sum(weights.values()))
+    h = hash_hex_sql(key_exprs, seed)
+    arms = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        arms.append(f"WHEN {h} < '{threshold_hex(acc)}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: str = "stratified",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling: each stratum value gets its own
+    fraction (strata absent from ``fractions`` get ``default_fraction``).
+
+    The workhorse of data-mixing pipelines — downsample over-represented
+    languages/sources while keeping rare ones intact — expressed as a
+    single codegen'd CASE-threshold filter: no shuffle, no per-stratum
+    scans, one pass at scan speed regardless of the number of strata.
+    """
+    h = hash_hex(list(key_cols), seed)
+    thresh: Column = F.lit(threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == F.lit(value), F.lit(threshold_hex(frac))).otherwise(thresh)
+    return df.filter(h < thresh)

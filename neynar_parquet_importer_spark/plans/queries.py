@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..filters import compile_filter
 from ..functions.scalars import window_start
+from ..operators import corpus as crp
 from ..operators import dedup as dd
+from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators.multimodal import documents_as_media, extract_features
@@ -802,6 +804,136 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (training-data extensions)
+# ---------------------------------------------------------------------------
+
+def sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic hash sample of the corpus — reproducible across
+    engines, runs, and partition layouts (unlike rand()-based sampling);
+    the predicate is a codegen'd filter at scan time, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.hash_sample(docs, ["doc_id"], 0.1, seed="sample").select("doc_id", "lang")
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def train_val_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by key hash, verified via the
+    per-split counts. Assignment is a pure projection (one scan) and every
+    engine computing the same md5 ranges agrees row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", smp.split_column(["doc_id"], _SPLIT_WEIGHTS, seed="split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_STRAT_FRACTIONS = {"en": 0.05, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing downsample: per-language sampling fractions (keep all
+    rare zh, 5% of dominant en) as one codegen'd CASE-threshold filter —
+    no per-stratum scans, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.stratified_sample(
+        docs, "lang", _STRAT_FRACTIONS, ["doc_id"], seed="stratified"
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Corpus analysis: contamination, n-gram stats, mixing weights, funnel
+# ---------------------------------------------------------------------------
+
+def contamination_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every 20th document plays the eval
+    benchmark; the rest of the corpus is scored by 3-gram overlap against
+    the benchmark's (broadcast) shingle set. Corpus rows never shuffle —
+    only per-doc counters do."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return crp.ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=3)
+
+
+def top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 20 most frequent trigrams (count + doc frequency),
+    deterministic under ties; plans as partial agg + TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return crp.top_ngrams(docs, "text", "doc_id", shingle_n=3, k=20)
+
+
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (bucket width 10, capped at 200+): the
+    length-distribution profile every corpus report starts with. One
+    partial+final hash aggregate over a pure-projection bucket key."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        (F.floor(tx.token_count("text") / 10) * 10).cast("bigint"), F.lit(200)
+    )
+    return docs.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def lang_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus share + inverse-frequency mixing weight (the
+    rebalancing table a data-mixture scheduler consumes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return crp.mixing_weights(docs, "lang")
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report in ONE scan: how many documents survive each
+    successive quality gate (non-empty -> >=10 tokens -> quality >= 0.5 ->
+    english). Conditional-sum aggregation, no per-stage scans — at 100 TB
+    each extra funnel stage is one more codegen'd column, not another job."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = tx.token_count("text")
+    quality = tx.quality_score("text")
+    lang = tx.language_id("text")
+    nonempty = F.length(F.trim("text")) > 0
+    min_tok = nonempty & (n_tokens >= 10)
+    good = min_tok & (quality >= 0.5)
+    en = good & (lang == "en")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        one_if(nonempty).alias("n_nonempty"),
+        one_if(min_tok).alias("n_min_tokens"),
+        one_if(good).alias("n_quality"),
+        one_if(en).alias("n_english"),
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column — the sanity
+    profile for a vector corpus (catches unnormalized or degenerate
+    batches). The norm is a sequential JVM fold (aggregate over the array,
+    each float widened to double) so it matches the oracle's
+    list_dot_product bit-for-bit; one narrow aggregate, no shuffle of
+    vectors beyond the per-label partials."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -855,6 +987,15 @@ QUERIES = {
     "graph_edges": graph_edges,
     "graph_nodes": graph_nodes,
     "multimodal_features": multimodal_features,
+    "sample_docs_hash": sample_docs_hash,
+    "train_val_test_counts": train_val_test_counts,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "contamination_vs_benchmark": contamination_vs_benchmark,
+    "top_trigrams": top_trigrams,
+    "token_count_histogram": token_count_histogram,
+    "lang_mixing_weights": lang_mixing_weights,
+    "quality_filter_funnel": quality_filter_funnel,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 # DuckDB oracle twins. Keys missing here (minhash/simhash/LSH/multimodal)
@@ -1263,5 +1404,134 @@ ORACLE_SQL: dict[str, str] = {
         UNION
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS node_id FROM events
         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    "sample_docs_hash": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {smp.hash_hex_sql(['doc_id'], 'sample')} < '{smp.threshold_hex(0.1)}'
+    """,
+    "train_val_test_counts": f"""
+        SELECT {smp.split_case_sql(['doc_id'], _SPLIT_WEIGHTS, 'split')} AS split,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY split
+    """,
+    "stratified_sample_by_lang": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {smp.hash_hex_sql(['doc_id'], 'stratified')} <
+              CASE lang
+                {' '.join(f"WHEN '{v}' THEN '{smp.threshold_hex(fr)}'" for v, fr in _STRAT_FRACTIONS.items())}
+                ELSE '{smp.threshold_hex(0.0)}' END
+    """,
+    # the shingle CTE below mirrors operators.dedup._shingle_stream exactly:
+    # tokens = whitespace-split of trim(lower(text)); complete 3-grams, or
+    # one whole-text shingle for documents shorter than 3 tokens
+    "contamination_vs_benchmark": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                        ELSE list_transform(range(1, len(l) - 1),
+                                            i -> array_to_string(l[i:i+2], ' '))
+                   END AS shingles
+            FROM toks
+        ), shingle_rows AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        ), bench AS (
+            SELECT DISTINCT shingle FROM shingle_rows WHERE doc_id % 20 = 0
+        )
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               count(b.shingle) AS n_contaminated,
+               round(count(b.shingle) / count(*), 6) AS contamination
+        FROM (SELECT * FROM shingle_rows WHERE doc_id % 20 <> 0) c
+        LEFT JOIN bench b USING (shingle)
+        GROUP BY c.doc_id
+    """,
+    "top_trigrams": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                        ELSE list_transform(range(1, len(l) - 1),
+                                            i -> array_to_string(l[i:i+2], ' '))
+                   END AS shingles
+            FROM toks
+        ), shingle_rows AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        )
+        SELECT shingle,
+               count(*) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM shingle_rows
+        GROUP BY shingle
+        ORDER BY n_occurrences DESC, shingle
+        LIMIT 20
+    """,
+    "token_count_histogram": """
+        SELECT least(CAST(floor(n_tokens / 10) * 10 AS BIGINT), 200) AS bucket,
+               count(*) AS n_docs
+        FROM (
+            SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
+            FROM documents
+        )
+        GROUP BY bucket
+    """,
+    "lang_mixing_weights": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs,
+               round(n_docs / sum(n_docs) OVER (), 6) AS share,
+               round(sum(n_docs) OVER () / (count(*) OVER () * n_docs), 6) AS weight
+        FROM counts
+    """,
+    "quality_filter_funnel": """
+        WITH feats AS (
+            SELECT length(trim(text)) > 0 AS nonempty,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS DOUBLE) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                   CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|un|por|con|los)\\b')) AS es,
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|mit|den|nicht|ein)\\b')) AS de,
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|en|un|du|que|pour)\\b')) AS fr
+            FROM documents
+        ), gates AS (
+            SELECT nonempty,
+                   nonempty AND n_tokens >= 10 AS min_tok,
+                   round((
+                     least(1.0, n_tokens / 20.0)
+                     + alpha / (CASE WHEN nonspace > 0 THEN nonspace ELSE 1.0 END)
+                     + (1.0 - punct / (CASE WHEN nonspace > 0 THEN nonspace ELSE 1.0 END))
+                     + least(1.0, 5.0 * CAST(en AS DOUBLE) / (CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1.0 END))
+                   ) / 4.0, 6) AS quality,
+                   (en > 0 AND en >= es AND en >= de AND en >= fr) AS is_en
+            FROM feats
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+               CAST(sum(CASE WHEN min_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_min_tokens,
+               CAST(sum(CASE WHEN min_tok AND quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN min_tok AND quality >= 0.5 AND is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_english
+        FROM gates
+    """,
+    "embedding_norm_stats": """
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm
+        FROM (
+            SELECT label,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        GROUP BY label
     """,
 }

@@ -1,0 +1,122 @@
+"""Properties of the deterministic sampling / corpus-analysis operators
+beyond oracle parity (which tests/test_queries_oracle.py covers):
+reproducibility, layout-invariance, threshold nesting, stratification,
+contamination semantics, and tie-break determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.operators.corpus import (
+    mixing_weights,
+    ngram_contamination,
+    top_ngrams,
+)
+from neynar_parquet_importer_spark.operators.sampling import (
+    hash_sample,
+    split_column,
+    stratified_sample,
+    threshold_hex,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_hash_sample_reproducible_and_layout_invariant(docs):
+    a = _ids(hash_sample(docs, ["doc_id"], 0.3))
+    b = _ids(hash_sample(docs, ["doc_id"], 0.3))
+    c = _ids(hash_sample(docs.repartition(17), ["doc_id"], 0.3))
+    assert a == b == c and a, "sample must not depend on run or layout"
+
+
+def test_hash_sample_thresholds_nest(docs):
+    """Raising the fraction only ADDS rows — the resumability property:
+    a 1% pilot sample is a strict subset of the later 10% run."""
+    s10 = _ids(hash_sample(docs, ["doc_id"], 0.1))
+    s30 = _ids(hash_sample(docs, ["doc_id"], 0.3))
+    assert s10 <= s30
+    n = docs.count()
+    assert abs(len(s30) / n - 0.3) < 0.08  # binomial tolerance at n=500
+
+
+def test_hash_sample_seed_changes_sample(docs):
+    a = _ids(hash_sample(docs, ["doc_id"], 0.3, seed="a"))
+    b = _ids(hash_sample(docs, ["doc_id"], 0.3, seed="b"))
+    assert a != b
+
+
+def test_threshold_hex_bounds():
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        threshold_hex(1.5)
+
+
+def test_split_column_partitions_corpus(docs):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = docs.withColumn("split", split_column(["doc_id"], weights))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(weights)
+    n = docs.count()
+    assert sum(counts.values()) == n, "every row lands in exactly one split"
+    assert counts["train"] / n > 0.7
+
+
+def test_stratified_sample_respects_fractions(docs):
+    frac = {"en": 0.0, "zh": 1.0}
+    out = stratified_sample(docs, "lang", frac, ["doc_id"])
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs, "fraction 0 strata must be dropped"
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    assert out.filter(F.col("lang") == "zh").count() == n_zh
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 'the quick brown' etc.
+            (2, "totally novel words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, "text", "doc_id", 3).collect()
+    }
+    assert rows[1].n_contaminated == 2  # 'the quick brown', 'quick brown fox'
+    assert rows[1].n_shingles == 3
+    assert rows[2].n_contaminated == 0
+    assert rows[2].contamination == 0.0
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    out = top_ngrams(df, "text", "doc_id", shingle_n=3, k=3).collect()
+    assert (out[0].shingle, out[0].n_occurrences, out[0].n_docs) == ("a b c", 3, 2)
+    # ties (count 1) break alphabetically
+    assert [r.shingle for r in out[1:]] == sorted(r.shingle for r in out[1:])
+
+
+def test_mixing_weights_balance(docs):
+    rows = mixing_weights(docs, "lang").collect()
+    total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # weight * share * n_strata == 1 (inverse-frequency balance)
+        assert abs(r.weight * r.n_docs * len(rows) / total - 1.0) < 1e-3
