@@ -103,6 +103,39 @@ def test_lsh_near_dup_bucket_udf_is_arrow(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_hash_sample_is_scan_side_filter(spark):
+    """Deterministic sampling must plan as a codegen'd filter with NO
+    exchange — sampling 1% of 100 TB shuffles nothing."""
+    plan = _plan(spark, "sample_docs_hash")
+    assert "Exchange" not in plan, "hash sampling must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must be broadcast (eval suites are small);
+    corpus rows must never shuffle through a SortMergeJoin."""
+    plan = _plan(spark, "contamination_vs_benchmark")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_ngrams_is_take_ordered(spark):
+    """Corpus-wide top-k n-grams must be a per-partition heap + k-row
+    merge, never a global sort of the shingle counts."""
+    plan = _plan(spark, "top_trigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_is_single_scan_conditional_agg(spark):
+    """The quality funnel must be ONE partial+final aggregate over one
+    scan — per-stage jobs would multiply the 100 TB read."""
+    plan = _plan(spark, "quality_filter_funnel")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Tables pre-bucketed on the join key must join with NO Exchange on
     either side — the pay-the-shuffle-once-at-write-time contract."""
