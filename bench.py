@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "lang_mixing_weights",
     "quality_filter_funnel",
     "embedding_norm_stats",
+    "pretrain_curated_docs",
+    "pretrain_corpus_summary",
 ]
 
 

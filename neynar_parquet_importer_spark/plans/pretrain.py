@@ -1,0 +1,114 @@
+"""End-to-end pre-training data pipeline: the composition the individual
+operators exist for, as ONE lazy DataFrame plan.
+
+    raw corpus
+      -> feature projection (tokens / quality / language; pure codegen)
+      -> quality gates (non-empty, min tokens, min quality)
+      -> exact dedup (min-id winner per normalized-content fingerprint)
+      -> benchmark decontamination (3-gram overlap vs broadcast shingle set)
+      -> stratified per-language downsample (deterministic md5 thresholds)
+      -> train/val/test split assignment
+
+Everything here is a composition of already-tested operators from
+``operators.text`` / ``operators.sampling`` / ``operators.corpus``; no new
+semantics are introduced, so the whole pipeline stays oracle-expressible
+(see ``ORACLE_SQL['pretrain_corpus_summary']``) — the one stage that is
+not (MinHash near-dup dedup) is an optional plug-in point covered by the
+rows-only ``dedup_*`` family.
+
+Scale shape: stages 1-2 and 5-6 are codegen'd projections/filters on the
+scan (no shuffle); exact dedup is one shuffle on the 128-bit fingerprint;
+decontamination is a broadcast join on shingles + one aggregate keyed by
+doc id. Nothing collects to the driver; the plan's only wide exchanges
+carry fingerprints and per-doc counters, never document payloads twice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import sampling as smp
+from ..operators import text as tx
+from ..operators.corpus import ngram_contamination
+
+DEFAULT_STRAT_FRACTIONS = {"en": 0.8, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
+DEFAULT_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def pretrain_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    max_contamination: float = 0.5,
+    strat_fractions: Mapping[str, float] = DEFAULT_STRAT_FRACTIONS,
+    split_weights: Mapping[str, float] = DEFAULT_SPLIT_WEIGHTS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus -> curated, deduped, decontaminated, split corpus.
+
+    Returns one row per surviving document:
+    (doc_id, lang, n_tokens, quality, contamination, split).
+    """
+    feats = docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col(text_col),
+        tx.token_count(text_col).alias("n_tokens"),
+        tx.quality_score(text_col).alias("quality"),
+        tx.fingerprint(text_col).alias("__fp"),
+    )
+
+    gated = feats.filter(
+        (F.length(F.trim(text_col)) > 0)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+
+    # exact dedup: canonical keeper = min id per normalized-content
+    # fingerprint; one shuffle keyed on the 128-bit hash, not the text
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+    if benchmark is not None:
+        contam = ngram_contamination(
+            deduped, benchmark, text_col, id_col, shingle_n
+        ).select(id_col, "contamination")
+        deduped = deduped.join(contam, id_col, "left").filter(
+            F.coalesce("contamination", F.lit(0.0)) <= max_contamination
+        )
+    else:
+        deduped = deduped.withColumn("contamination", F.lit(0.0))
+
+    sampled = smp.stratified_sample(
+        deduped, "lang", strat_fractions, [id_col], seed="pretrain-mix"
+    )
+
+    return sampled.select(
+        id_col,
+        "lang",
+        "n_tokens",
+        "quality",
+        F.coalesce("contamination", F.lit(0.0)).alias("contamination"),
+        smp.split_column([id_col], split_weights, seed="pretrain-split").alias("split"),
+    )
+
+
+def corpus_summary(curated: DataFrame) -> DataFrame:
+    """The report a data-mixture scheduler consumes: per (split, lang)
+    document count, token budget, and mean quality. One partial+final
+    aggregate over the pipeline's output."""
+    return curated.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )

@@ -934,6 +934,35 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# End-to-end pre-training pipeline (composition of the operators above)
+# ---------------------------------------------------------------------------
+
+def _pretrain_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pretrain import pretrain_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return pretrain_pipeline(corpus, benchmark=bench)
+
+
+def pretrain_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline, row-level: quality gates -> exact dedup
+    -> decontamination -> stratified downsample -> split assignment, as one
+    lazy plan. Oracle-checked per document — the strongest end-to-end
+    correctness signal in the suite."""
+    return _pretrain_curated(spark, sf_dir)
+
+
+def pretrain_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (split, lang) doc/token/quality report over the curated corpus —
+    what a data-mixture scheduler consumes."""
+    from .pretrain import corpus_summary
+
+    return corpus_summary(_pretrain_curated(spark, sf_dir))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -996,6 +1025,8 @@ QUERIES = {
     "lang_mixing_weights": lang_mixing_weights,
     "quality_filter_funnel": quality_filter_funnel,
     "embedding_norm_stats": embedding_norm_stats,
+    "pretrain_curated_docs": pretrain_curated_docs,
+    "pretrain_corpus_summary": pretrain_corpus_summary,
 }
 
 # DuckDB oracle twins. Keys missing here (minhash/simhash/LSH/multimodal)
@@ -1535,3 +1566,104 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY label
     """,
 }
+
+
+def _pretrain_curated_cte() -> str:
+    """Oracle CTE chain replicating plans.pretrain.pretrain_pipeline stage
+    by stage; every fragment is the already-proven oracle twin of the
+    operator it mirrors (token count / quality / fingerprint / shingles /
+    md5 sampling thresholds)."""
+    from .pretrain import DEFAULT_SPLIT_WEIGHTS, DEFAULT_STRAT_FRACTIONS
+
+    strat_arms = " ".join(
+        f"WHEN '{v}' THEN '{smp.threshold_hex(fr)}'"
+        for v, fr in DEFAULT_STRAT_FRACTIONS.items()
+    )
+    return f"""
+        WITH f0 AS (
+            SELECT doc_id, lang, text,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS INTEGER) AS n_tokens,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                   CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct,
+                   CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b')) AS DOUBLE) AS sw,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+            WHERE doc_id % 20 <> 0
+        ), feats AS (
+            SELECT doc_id, lang, text, n_tokens, fp,
+                   round((
+                     least(1.0, CAST(n_tokens AS DOUBLE) / 20.0)
+                     + alpha / (CASE WHEN nonspace > 0 THEN nonspace ELSE 1.0 END)
+                     + (1.0 - punct / (CASE WHEN nonspace > 0 THEN nonspace ELSE 1.0 END))
+                     + least(1.0, 5.0 * sw / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END))
+                   ) / 4.0, 6) AS quality
+            FROM f0
+        ), gated AS (
+            SELECT * FROM feats
+            WHERE length(trim(text)) > 0 AND n_tokens >= 5 AND quality >= 0.3
+        ), deduped AS (
+            SELECT * FROM gated
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        ), ctoks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM deduped
+        ), csh AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                        ELSE list_transform(range(1, len(l) - 1),
+                                            i -> array_to_string(l[i:i+2], ' '))
+                   END AS shingles
+            FROM ctoks
+        ), corpus_sh AS (
+            SELECT DISTINCT doc_id, shingle
+            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM csh)
+        ), btoks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+            FROM documents WHERE doc_id % 20 = 0
+        ), bsh AS (
+            SELECT doc_id,
+                   CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+                        ELSE list_transform(range(1, len(l) - 1),
+                                            i -> array_to_string(l[i:i+2], ' '))
+                   END AS shingles
+            FROM btoks
+        ), bench_sh AS (
+            SELECT DISTINCT shingle FROM (SELECT unnest(shingles) AS shingle FROM bsh)
+        ), contam AS (
+            SELECT c.doc_id, round(count(b.shingle) / count(*), 6) AS contamination
+            FROM corpus_sh c LEFT JOIN bench_sh b USING (shingle)
+            GROUP BY c.doc_id
+        ), decont AS (
+            SELECT d.doc_id, d.lang, d.n_tokens, d.quality,
+                   COALESCE(ct.contamination, 0.0) AS contamination
+            FROM deduped d LEFT JOIN contam ct USING (doc_id)
+            WHERE COALESCE(ct.contamination, 0.0) <= 0.5
+        ), curated AS (
+            SELECT doc_id, lang, n_tokens, quality, contamination,
+                   {smp.split_case_sql(['doc_id'], DEFAULT_SPLIT_WEIGHTS, 'pretrain-split')} AS split
+            FROM decont
+            WHERE {smp.hash_hex_sql(['doc_id'], 'pretrain-mix')} <
+                  CASE lang {strat_arms} ELSE '{smp.threshold_hex(0.0)}' END
+        )
+    """
+
+
+ORACLE_SQL["pretrain_curated_docs"] = (
+    _pretrain_curated_cte()
+    + """
+        SELECT doc_id, lang, n_tokens, quality, contamination, split FROM curated
+    """
+)
+
+ORACLE_SQL["pretrain_corpus_summary"] = (
+    _pretrain_curated_cte()
+    + """
+        SELECT split, lang,
+               count(*) AS n_docs,
+               sum(n_tokens) AS n_tokens,
+               round(avg(quality), 4) AS avg_quality
+        FROM curated
+        GROUP BY split, lang
+    """
+)
