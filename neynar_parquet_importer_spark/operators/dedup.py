@@ -479,23 +479,19 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vcomp").alias("ncomp"))
         )
+        # carry the old label alongside the new one so convergence is read
+        # off the SAME materialization — no second join/job per round
         updated = _persist(
             labels.join(neighbor_min, "u", "left").select(
                 "u",
+                F.col("comp").alias("old"),
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
                     "comp"
                 ),
             )
         )
-        changed = (
-            updated.join(
-                labels.withColumnsRenamed({"comp": "old"}), "u"
-            )
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("comp") != F.col("old")).limit(1).count()
+        labels = updated.select("u", "comp")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))

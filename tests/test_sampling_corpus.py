@@ -113,6 +113,61 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     assert [r.shingle for r in out[1:]] == sorted(r.shingle for r in out[1:])
 
 
+def test_hash_thresholds_portable_to_duckdb():
+    """The md5-range predicate must produce the IDENTICAL verdict in any
+    SQL engine — checked against DuckDB over random keys, seeds, and
+    fractions (the portability claim the oracle queries rely on)."""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neynar_parquet_importer_spark.operators.sampling import (
+        hash_hex_sql,
+        split_case_sql,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        key=st.integers(min_value=-(2**62), max_value=2**62),
+        seed=st.text(
+            alphabet=st.characters(whitelist_categories=("L", "N")), min_size=1, max_size=8
+        ),
+        frac=st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(key, seed, frac):
+        # python reference of hash_hex (what the Spark Column computes)
+        py_hex = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
+        duck_hex = con.execute(
+            f"SELECT {hash_hex_sql(['?'], seed)}", [key]
+        ).fetchone()[0]
+        assert py_hex == duck_hex
+        t = threshold_hex(frac)
+        assert (py_hex < t) == (duck_hex < t)
+
+    check()
+
+    # split CASE agrees with the python-side cumulative thresholds
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    case = split_case_sql(["doc_id"], weights, seed="split")
+    rows = con.execute(
+        f"SELECT doc_id, {case} AS split FROM (SELECT unnest(range(1000)) AS doc_id)"
+    ).fetchall()
+    import hashlib as hl
+
+    for doc_id, split in rows:
+        h = hl.md5(f"split:{doc_id}".encode()).hexdigest()[:8]
+        if h < threshold_hex(0.8):
+            assert split == "train"
+        elif h < threshold_hex(0.9):
+            assert split == "val"
+        else:
+            assert split == "test"
+
+
 def test_mixing_weights_balance(docs):
     rows = mixing_weights(docs, "lang").collect()
     total = sum(r.n_docs for r in rows)
