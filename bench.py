@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sample_docs_hash",
     "train_val_test_counts",
     "stratified_sample_by_lang",
+    "domain_capped_sample",
     "contamination_vs_benchmark",
     "top_trigrams",
     "token_count_histogram",

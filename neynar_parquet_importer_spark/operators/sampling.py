@@ -111,6 +111,35 @@ def split_case_sql(
     return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
 
 
+def capped_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    cap: int,
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    key hash (the per-domain contribution cap of pretraining pipelines:
+    no single source may dominate the mixture).
+
+    Ordering by the hash makes the selection uniform-at-random yet
+    reproducible and engine-portable; the tiebreak on the key itself makes
+    it total. One shuffle on the group key; with millions of groups the
+    per-group state is a k-row heap inside the window operator — no group
+    ever materializes fully in memory beyond its sorted run.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_hex(list(key_cols), seed), *[F.col(k) for k in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

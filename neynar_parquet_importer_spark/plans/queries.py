@@ -848,6 +848,16 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus analysis: contamination, n-gram stats, mixing weights, funnel
 # ---------------------------------------------------------------------------
 
+def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: at most 15 documents per source,
+    chosen deterministically by key hash — no source dominates the
+    mixture, and every engine agrees on which rows survive."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.capped_per_group(docs, "source", ["doc_id"], cap=15, seed="cap").select(
+        "doc_id", "source", "lang"
+    )
+
+
 def contamination_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: every 20th document plays the eval
     benchmark; the rest of the corpus is scored by 3-gram overlap against
@@ -1019,6 +1029,7 @@ QUERIES = {
     "sample_docs_hash": sample_docs_hash,
     "train_val_test_counts": train_val_test_counts,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "domain_capped_sample": domain_capped_sample,
     "contamination_vs_benchmark": contamination_vs_benchmark,
     "top_trigrams": top_trigrams,
     "token_count_histogram": token_count_histogram,
@@ -1452,6 +1463,13 @@ ORACLE_SQL: dict[str, str] = {
               CASE lang
                 {' '.join(f"WHEN '{v}' THEN '{smp.threshold_hex(fr)}'" for v, fr in _STRAT_FRACTIONS.items())}
                 ELSE '{smp.threshold_hex(0.0)}' END
+    """,
+    "domain_capped_sample": f"""
+        SELECT doc_id, source, lang FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY {smp.hash_hex_sql(['doc_id'], 'cap')}, doc_id
+        ) <= 15
     """,
     # the shingle CTE below mirrors operators.dedup._shingle_stream exactly:
     # tokens = whitespace-split of trim(lower(text)); complete 3-grams, or

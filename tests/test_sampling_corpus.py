@@ -15,6 +15,7 @@ from neynar_parquet_importer_spark.operators.corpus import (
     top_ngrams,
 )
 from neynar_parquet_importer_spark.operators.sampling import (
+    capped_per_group,
     hash_sample,
     split_column,
     stratified_sample,
@@ -80,6 +81,15 @@ def test_stratified_sample_respects_fractions(docs):
     assert "en" not in langs, "fraction 0 strata must be dropped"
     n_zh = docs.filter(F.col("lang") == "zh").count()
     assert out.filter(F.col("lang") == "zh").count() == n_zh
+
+
+def test_capped_per_group_deterministic_and_bounded(docs):
+    out = capped_per_group(docs, "source", ["doc_id"], cap=5)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 5 for r in per)
+    # small groups pass through untouched; selection is reproducible
+    again = capped_per_group(docs.repartition(13), "source", ["doc_id"], cap=5)
+    assert _ids(out) == _ids(again)
 
 
 def test_ngram_contamination_flags_overlap(spark):
