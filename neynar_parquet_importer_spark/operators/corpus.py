@@ -38,6 +38,23 @@ def distinct_shingles(
     return _shingle_stream(df, text_col, id_col, shingle_n).select("id", "shingle").distinct()
 
 
+def shingle_array(text_col, shingle_n: int = 3):
+    """Row-local shingle ARRAY expression — same contract as
+    ``dedup._shingle_stream`` (whitespace tokens of trim(lower(text));
+    complete n-grams, or one whole-text shingle for short docs) but with
+    no window/explode, so it is legal in Structured Streaming plans and
+    other row-at-a-time contexts. Array lambdas are interpreted (not
+    codegen'd): prefer the exploded stream form for batch corpus scans."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    whole = F.array(F.array_join(toks, " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (shingle_n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, shingle_n), " "),
+    )
+    return F.when(F.size(toks) < shingle_n, whole).otherwise(grams)
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -103,6 +103,78 @@ def pretrain_pipeline(
     )
 
 
+def curate_stream(
+    stream_docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    strat_fractions: Mapping[str, float] = DEFAULT_STRAT_FRACTIONS,
+    split_weights: Mapping[str, float] = DEFAULT_SPLIT_WEIGHTS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The curation pipeline's streaming leg: every stage that is
+    per-row-stateless — feature projection, quality gates, benchmark
+    decontamination as a stream-static broadcast semi-join of shingles,
+    deterministic sampling and split assignment — applied to a streaming
+    DataFrame unchanged.
+
+    The one stateful stage (cross-batch exact dedup) deliberately does
+    NOT live here: keying the upsert sink on the content fingerprint
+    (``fp``) makes re-observed content idempotent with an UNBOUNDED
+    horizon and zero engine state — the reference's W10 sink-as-state
+    pattern (db.py:884-893) applied to training data. Compare
+    ``streaming/pipeline.streaming_dedup``, whose watermark bounds its
+    dedup horizon.
+    """
+    feats = stream_docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col(text_col),
+        tx.token_count(text_col).alias("n_tokens"),
+        tx.quality_score(text_col).alias("quality"),
+        tx.fingerprint(text_col).alias("fp"),
+    )
+    gated = feats.filter(
+        (F.length(F.trim(text_col)) > 0)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    if benchmark is not None:
+        # strict rule for the streaming leg: drop any doc sharing >=1
+        # shingle with the benchmark. A join-back of exploded shingles
+        # would be stream-stream (illegal), so the check is row-local:
+        # the benchmark's distinct shingle set (eval suites are small by
+        # construction — the reference broadcasts the same way) collects
+        # once to a literal array and the filter is a pure arrays_overlap
+        # expression — zero streaming state.
+        from ..operators.corpus import distinct_shingles, shingle_array
+
+        bench_shingles = [
+            r.shingle
+            for r in distinct_shingles(benchmark, text_col, id_col, shingle_n)
+            .select("shingle")
+            .distinct()
+            .collect()
+        ]
+        bench_arr = F.array(*[F.lit(s) for s in bench_shingles])
+        gated = gated.filter(
+            ~F.arrays_overlap(shingle_array(text_col, shingle_n), bench_arr)
+        )
+    sampled = smp.stratified_sample(
+        gated, "lang", strat_fractions, [id_col], seed="pretrain-mix"
+    )
+    return sampled.select(
+        id_col,
+        "lang",
+        "fp",
+        "n_tokens",
+        "quality",
+        smp.split_column([id_col], split_weights, seed="pretrain-split").alias("split"),
+    )
+
+
 def corpus_summary(curated: DataFrame) -> DataFrame:
     """The report a data-mixture scheduler consumes: per (split, lang)
     document count, token budget, and mean quality. One partial+final

@@ -1,0 +1,129 @@
+"""Pre-training curation pipeline tests beyond oracle parity: the
+streaming leg (stateless stages + fingerprint-keyed sink dedup across
+micro-batches) and the row-local shingle expression's equivalence to the
+batch shingle stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neynar_parquet_importer_spark.operators.corpus import shingle_array
+from neynar_parquet_importer_spark.operators.dedup import _shingle_stream
+from neynar_parquet_importer_spark.plans.pretrain import curate_stream
+from neynar_parquet_importer_spark.sinks.lake_upsert import LakeUpsertSink
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it is a fine day "
+    "for the animals to run in the field of tall grass"
+)
+
+
+def test_shingle_array_matches_batch_stream(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_expr = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingle_array("text", 3)).alias("shingle"),
+    )
+    via_stream = _shingle_stream(docs, "text", "doc_id", 3).select("id", "shingle")
+    sym_diff = via_expr.exceptAll(via_stream).count() + via_stream.exceptAll(via_expr).count()
+    assert sym_diff == 0
+
+
+def test_curate_stream_sink_dedups_across_batches(spark, tmp_path):
+    """Two micro-batches carry the same content under different ids: the
+    stateless curation plan passes both rows, and the fingerprint-keyed
+    upsert sink collapses them — cross-batch exact dedup with an unbounded
+    horizon and zero engine state (the W10 sink-as-state pattern)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    # batch 1: one good doc, one too short (gated out)
+    write_batch("b1", [(1, GOOD, "en"), (2, "tiny", "en")])
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{src}/*")
+    curated = curate_stream(stream, strat_fractions={"en": 1.0})
+
+    sink = LakeUpsertSink(
+        spark, str(tmp_path / "lake"), primary_key=("fp",), version_column="doc_id"
+    )
+
+    def sink_batch(batch_df, batch_id):
+        sink.upsert(batch_df, epoch=batch_id)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = curated.writeStream.foreachBatch(sink_batch).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    state = sink.read().collect()
+    assert [r.doc_id for r in state] == [1]  # short doc gated out
+
+    # batch 2: same content, new id (dup) + genuinely new content
+    write_batch(
+        "b2",
+        [
+            (10, GOOD, "en"),
+            (11, GOOD.replace("fox", "wolf"), "en"),
+        ],
+    )
+    q = curated.writeStream.foreachBatch(sink_batch).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rows = {r.doc_id for r in sink.read().collect()}
+    # fingerprint collapse: id 10 supersedes id 1 (same fp, higher version);
+    # id 11 is new content
+    assert rows == {10, 11}
+
+
+def test_curate_stream_decontaminates(spark, tmp_path):
+    """A streamed doc sharing a 3-gram with the benchmark is dropped by
+    the row-local arrays_overlap filter (no streaming state, no join)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, GOOD, "en"), (2, "completely unrelated words describing different things entirely here today", "en")],
+        DOC_SCHEMA,
+    ).coalesce(1).write.parquet(f"{src}/b1")
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps", "en")], DOC_SCHEMA
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{src}/*")
+    curated = curate_stream(stream, benchmark=bench, strat_fractions={"en": 1.0})
+
+    out = []
+
+    def collect_batch(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    q = curated.writeStream.foreachBatch(collect_batch).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert [r.doc_id for r in out] == [2], "contaminated doc must be dropped"
