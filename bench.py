@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "text_repetition",
+    "text_pii_redaction",
     "embedding_cosine_scores",
     "embedding_topk",
     "embedding_lsh_topk",

@@ -87,6 +87,45 @@ def quality_score(text: Column | str) -> Column:
     return F.round((length_score + alpha_ratio + non_punct + sw_signal) / 4.0, 6)
 
 
+def repetition_score(text: Column | str) -> Column:
+    """Repetitiveness in [0,1]: 1 - distinct_tokens/tokens (0 for empty
+    docs). High values flag boilerplate/spam — the cheap stand-in for
+    compression-ratio quality filters, fully JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _tokens(c)
+    score = F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+    return F.round(
+        F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(score), 6
+    )
+
+
+# PII patterns kept deliberately simple and RE2-compatible (portable to
+# DuckDB/Trino): production panels would be larger, the plumbing identical
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (email, ipv4) — codegen'd regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, pat in _PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder (<EMAIL>, <IPV4>).
+    The redaction step every public-web corpus runs before training; one
+    chained regexp_replace, scan-speed, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in _PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
 def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     """Content fingerprint: md5 over whitespace-normalized lowercase text.
     (The rolling-hash variant for shingle fingerprints lives in

@@ -630,6 +630,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/spam signal: 1 - distinct-token ratio per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.repetition_score("text").alias("repetition"))
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub plumbing: per-category match counts + fingerprint of the
+    redacted text (witnesses the replacement without shipping the text)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = tx.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(tx.redact_pii("text")).alias("redacted_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup dedup (rows-only oracle: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1013,6 +1032,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
+    "text_pii_redaction": text_pii_redaction,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_allpairs": dedup_ngram_jaccard_allpairs,
@@ -1339,6 +1360,23 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_fingerprint": """
         SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "text_repetition": """
+        SELECT doc_id,
+               round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
+                              / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE)
+                     END, 6) AS repetition
+        FROM documents
+    """,
+    "text_pii_redaction": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+               md5(regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')) AS redacted_fp
         FROM documents
     """,
     "dedup_ngram_jaccard_allpairs": """

@@ -178,6 +178,44 @@ def test_hash_thresholds_portable_to_duckdb():
             assert split == "test"
 
 
+def test_pii_redaction_replaces_matches(spark):
+    """Synthetic corpus docs carry no PII, so the oracle check alone can't
+    witness replacement — this does, on planted matches."""
+    from neynar_parquet_importer_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact bob@example.com or 10.0.0.1 today"), (2, "clean text")],
+        ["doc_id", "text"],
+    )
+    counts = pii_counts(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["ipv4"].alias("i"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (rows[1].e, rows[1].i) == (1, 1)
+    assert rows[1].red == "contact <EMAIL> or <IPV4> today"
+    assert (rows[2].e, rows[2].i) == (0, 0)
+    assert rows[2].red == "clean text"
+
+
+def test_repetition_score_flags_boilerplate(spark):
+    from neynar_parquet_importer_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.rep for r in df.select("doc_id", repetition_score("text").alias("rep")).collect()}
+    assert rows[1] == 0.75
+    assert rows[2] == 0.0
+    assert rows[3] == 0.0
+
+
 def test_mixing_weights_balance(docs):
     rows = mixing_weights(docs, "lang").collect()
     total = sum(r.n_docs for r in rows)
