@@ -21,6 +21,13 @@ scan (no shuffle); exact dedup is one shuffle on the 128-bit fingerprint;
 decontamination is a broadcast join on shingles + one aggregate keyed by
 doc id. Nothing collects to the driver; the plan's only wide exchanges
 carry fingerprints and per-doc counters, never document payloads twice.
+
+Declared fully lazily, the contamination join-back re-derives the deduped
+subtree (a second column-pruned corpus scan). That is the right default
+for a one-shot batch plan — re-reading pruned parquet is usually cheaper
+than caching ~the whole corpus — but a production run that feeds MULTIPLE
+consumers from the curated frame should materialize the dedup stage once
+(persist to disk / write an intermediate table) and fan out from there.
 """
 
 from __future__ import annotations
