@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "json_extract_sum",
     "graph_edges",
+    "graph_degrees",
     "multimodal_features",
     "sample_docs_hash",
     "train_val_test_counts",

@@ -804,6 +804,25 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node out/in degree over the projected edge set — the profile
+    query of any graph load (find hubs before a MERGE storm hits the graph
+    sink). Two grouped counts + a full outer join on the node id; the
+    aggregates are partial+final so the shuffle carries one row per node."""
+    e = graph_edges(spark, sf_dir)
+    out_deg = e.groupBy(F.col("src_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = e.groupBy(F.col("dst_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return out_deg.join(in_deg, "node_id", "full").select(
+        "node_id",
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; decode stubbed per container limits)
 # ---------------------------------------------------------------------------
@@ -1046,6 +1065,7 @@ QUERIES = {
     "embedding_ivf_topk": embedding_ivf_topk,
     "graph_edges": graph_edges,
     "graph_nodes": graph_nodes,
+    "graph_degrees": graph_degrees,
     "multimodal_features": multimodal_features,
     "sample_docs_hash": sample_docs_hash,
     "train_val_test_counts": train_val_test_counts,
@@ -1484,6 +1504,22 @@ ORACLE_SQL: dict[str, str] = {
         UNION
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS node_id FROM events
         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+    "graph_degrees": """
+        WITH edges AS (
+            SELECT user_id AS src_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst_id
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        ), outd AS (
+            SELECT src_id AS node_id, count(*) AS out_degree FROM edges GROUP BY src_id
+        ), ind AS (
+            SELECT dst_id AS node_id, count(*) AS in_degree FROM edges GROUP BY dst_id
+        )
+        SELECT COALESCE(outd.node_id, ind.node_id) AS node_id,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0) AS in_degree
+        FROM outd FULL OUTER JOIN ind ON outd.node_id = ind.node_id
     """,
     "sample_docs_hash": f"""
         SELECT doc_id, lang FROM documents
