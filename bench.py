@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "exists_late_shipment_orders",
     "scalar_subquery_small_quantity_revenue",
     "moving_avg_user_value",
+    "percentile_price_by_flag",
+    "corr_price_quantity",
+    "ntile_balance_quartiles",
+    "pivot_revenue_by_year",
     "salted_event_stats",
     "sketch_order_stats",
     "embedding_near_dup_pairs",

@@ -506,6 +506,69 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (median / p90, linear interpolation) of
+    extended price per return flag. Exact percentile buffers each group's
+    value set, so this is the low-cardinality-group / audit path; the
+    fixed-state mergeable path at 100 TB is the approx variant in
+    `sketch_order_stats`."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("price_p90"),
+    )
+
+
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation, sample
+    covariance, and sample stddevs of quantity vs extended price — all
+    single-pass moment aggregates whose partial states merge
+    associatively, so the shuffle carries O(groups) fixed-size state."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    )
+
+
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartile assignment (ntile(4)). The
+    window partitions by nation, so each sort is local to its shuffle
+    partition — never global — and the (balance, custkey) order key makes
+    tie placement deterministic across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+def pivot_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit pivot values: order revenue by priority ×
+    order-year. Explicit values keep it a single hash-aggregate pass
+    (conditional aggregation under the hood) — no distinct-values
+    discovery job, no second shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.withColumn("o_year", F.year(F.col("o_orderdate").cast("date")))
+        .groupBy("o_orderpriority")
+        .pivot("o_year", [1995, 1996, 1997])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("1995").alias("rev_1995"),
+        F.col("1996").alias("rev_1996"),
+        F.col("1997").alias("rev_1997"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (§2.8 — absent in reference, table stakes for the engine)
 # ---------------------------------------------------------------------------
@@ -1041,6 +1104,10 @@ QUERIES = {
     "exists_late_shipment_orders": exists_late_shipment_orders,
     "scalar_subquery_small_quantity_revenue": scalar_subquery_small_quantity_revenue,
     "moving_avg_user_value": moving_avg_user_value,
+    "percentile_price_by_flag": percentile_price_by_flag,
+    "corr_price_quantity": corr_price_quantity,
+    "ntile_balance_quartiles": ntile_balance_quartiles,
+    "pivot_revenue_by_year": pivot_revenue_by_year,
     "set_intersect_buyers": set_intersect_buyers,
     "set_except_no_orders": set_except_no_orders,
     "json_extract_sum": json_extract_sum,
@@ -1285,6 +1352,39 @@ ORACLE_SQL: dict[str, str] = {
                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
                ), 4) AS trailing_avg
         FROM events
+    """,
+    "percentile_price_by_flag": """
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                   AS price_p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                   AS price_p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "corr_price_quantity": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+               round(stddev_samp(l_quantity), 4) AS qty_stddev,
+               round(stddev_samp(l_extendedprice), 2) AS price_stddev
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "ntile_balance_quartiles": """
+        SELECT c_custkey, c_nationkey,
+               ntile(4) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ) AS balance_quartile
+        FROM customer
+    """,
+    "pivot_revenue_by_year": """
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                              THEN o_totalprice END), 2) AS rev_1995,
+               round(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                              THEN o_totalprice END), 2) AS rev_1996,
+               round(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                              THEN o_totalprice END), 2) AS rev_1997
+        FROM orders GROUP BY o_orderpriority
     """,
     "set_intersect_buyers": """
         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
