@@ -551,9 +551,11 @@ def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pivot_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT with explicit pivot values: order revenue by priority ×
-    order-year. Explicit values keep it a single hash-aggregate pass
-    (conditional aggregation under the hood) — no distinct-values
-    discovery job, no second shuffle."""
+    order-year. Explicit values skip the distinct-values discovery job;
+    the plan is two stacked partial+final aggregates (group-by (priority,
+    year), then pivotfirst per priority), so every shuffle carries
+    O(groups × years) rows — data rows are combined map-side at the
+    scan."""
     orders = _t(spark, sf_dir, "orders")
     piv = (
         orders.withColumn("o_year", F.year(F.col("o_orderdate").cast("date")))

@@ -136,6 +136,34 @@ def test_funnel_is_single_scan_conditional_agg(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pivot_skips_distinct_discovery_and_combines_map_side(spark):
+    """PIVOT with explicit values must read the table once (no distinct-
+    values discovery job) and combine map-side before every exchange —
+    shuffles carry O(groups × years) rows, never data rows."""
+    plan = _plan(spark, "pivot_revenue_by_year")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_sum" in plan and "partial_pivotfirst" in plan
+    assert "Expand" not in plan  # not a grouping-sets expand of data rows
+
+
+def test_ntile_sorts_per_partition_not_globally(spark):
+    """The per-nation ntile window must shuffle by the partition key and
+    sort within partitions only — a global sort would serialize 100 TB
+    through one ordering."""
+    plan = _plan(spark, "ntile_balance_quartiles")
+    assert "Window" in plan
+    assert "hashpartitioning(c_nationkey" in plan
+    assert "rangepartitioning" not in plan  # the global-sort signature
+
+
+def test_moment_stats_are_partial_then_final(spark):
+    """corr/covar/stddev must aggregate as mergeable partial moments —
+    the shuffle carries O(groups) state, not value sets."""
+    plan = _plan(spark, "corr_price_quantity")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_corr" in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Tables pre-bucketed on the join key must join with NO Exchange on
     either side — the pay-the-shuffle-once-at-write-time contract."""
