@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "domain_capped_sample",
     "contamination_vs_benchmark",
     "top_trigrams",
+    "tfidf_top_terms",
     "token_count_histogram",
     "lang_mixing_weights",
     "quality_filter_funnel",

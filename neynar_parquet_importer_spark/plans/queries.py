@@ -750,6 +750,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. Term frequency aggregates on the
+    (doc, term) pair key (partial+final, one shuffle); document frequency
+    reuses that frame with a second aggregate on term — the df table is
+    O(vocab), far smaller than the corpus, and at 100 TB can be broadcast
+    when the vocabulary is bounded. The corpus size joins in as a
+    broadcast 1-row frame (no driver-side collect), and top-3 is a
+    row_number window partitioned by doc — never a global sort. Ranking
+    uses the ROUNDED score (ties broken by term) so cross-engine
+    last-ulp float drift can't reorder the cut."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash_near_duplicates(dd.simhash(docs), max_hamming=3)
@@ -1122,6 +1159,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "text_pii_redaction": text_pii_redaction,
+    "tfidf_top_terms": tfidf_top_terms,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_allpairs": dedup_ngram_jaccard_allpairs,
@@ -1673,6 +1711,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT * FROM shingle_rows WHERE doc_id % 20 <> 0) c
         LEFT JOIN bench b USING (shingle)
         GROUP BY c.doc_id
+    """,
+    "tfidf_top_terms": """
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM terms WHERE term <> '' GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS INTEGER) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
     """,
     "top_trigrams": """
         WITH toks AS (
