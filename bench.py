@@ -23,6 +23,17 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_nation_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
     "filter_dsl_in_gt",
     "join_left_ordered_agg",
     "latest_event_per_user",

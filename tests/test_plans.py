@@ -198,3 +198,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_tpch_round3_dims_broadcast(spark):
+    """q7/q8/q9's nation/supplier/part dims must broadcast — at 100 TB the
+    fact table shuffles once for the orders join and never for a dim."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_tpch_round3_topk_take_ordered(spark):
+    """q10/q18's ORDER BY + LIMIT must plan as TakeOrderedAndProject."""
+    for name in ("q10_returned_items", "q18_large_volume_customers"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange rangepartitioning" not in plan, f"{name}: global sort"
+
+
+def test_q6_filters_push_to_scan(spark):
+    """q6 is scan+filter+agg; its selective predicates must reach the
+    parquet reader so row groups outside the ship-year are skipped."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed or "l_quantity" in pushed
+
+
+def test_q4_exists_is_semi_join(spark):
+    """q4's EXISTS must stay a left-semi join (stops at first match; the
+    probe side never fans out on duplicate lineitem keys)."""
+    assert "LeftSemi" in _plan(spark, "q4_order_priority")
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """q22: the NOT-EXISTS is a left-anti join and the scalar average
+    arrives via a broadcast, never a per-row subquery."""
+    plan = _plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
