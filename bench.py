@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard_allpairs",
     "dedup_clusters",
     "dedup_simhash",
+    "passage_dedup_docs",
+    "doc_novelty",
     "text_token_count",
     "text_quality",
     "text_lang_id",

@@ -145,3 +145,109 @@ def mixing_weights(
         F.round(F.col("n_docs") / total, round_to).alias("share"),
         F.round(total / (n_strata * F.col("n_docs")), round_to).alias("weight"),
     )
+
+
+def passage_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """(id, chunk_idx, chunk) — fixed-size word windows ("passages") per
+    document, the granularity of passage-level dedup (SlimPajama-style
+    line/passage dedup generalized to fixed word windows).
+
+    Pure Column expressions: split → sequence → transform → posexplode,
+    all inside whole-stage codegen. No shuffle; each document expands in
+    place on its own partition.
+    """
+    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1)
+    chunks = F.transform(
+        idxs,
+        lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide passage-level exact dedup: a passage survives only at
+    its first occurrence (smallest (doc_id, chunk_idx)); every later
+    repetition anywhere in the corpus is dropped. Returns per-document
+    (id, n_chunks, kept_chunks, kept_text) where kept_text is the
+    document reassembled from its surviving passages in order.
+
+    Scale shape: passages are keyed by md5 (the 128-bit identity used by
+    exact_dedup) so the global group-by shuffles 16-byte keys + two
+    longs, never passage text; the rejoin carries passage text only as
+    far as the per-document reassembly, which is co-partitioned by id.
+    """
+    key = (F.col("id") * F.lit(1_000_000) + F.col("chunk_idx")).alias("k")
+    chunks = passage_chunks(df, text_col, id_col, chunk_words).select(
+        "id", "chunk_idx", "chunk", key, F.md5(F.col("chunk")).alias("chash")
+    )
+    firsts = chunks.groupBy("chash").agg(F.min("k").alias("first_key"))
+    joined = chunks.join(firsts, "chash")
+    kept = F.col("k") == F.col("first_key")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(kept.cast("long")).alias("kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("chunk_idx"), F.col("chunk")))
+                        )
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of the document's distinct
+    n-gram shingles that are globally first-seen in this document
+    (min doc id over the corpus). 1.0 = contributes only new n-grams;
+    0.0 = everything appeared in an earlier document. The standard
+    ordering-based proxy for "marginal contribution" when curating with
+    a fixed ingestion order.
+
+    Two aggregations over the shingle stream: min-id per shingle
+    (shuffle carries 16-byte md5 keys), then an id-partitioned average.
+    Reuses :func:`~.dedup._shingle_stream` so the tokenization contract
+    matches the dedup/contamination family and the DuckDB oracles.
+    """
+    sh = (
+        _shingle_stream(df, text_col, id_col, shingle_n)
+        .select("id", F.md5(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    firsts = sh.groupBy("sh").agg(F.min("id").alias("first_doc"))
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.avg((F.col("id") == F.col("first_doc")).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -1072,6 +1072,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
 
 
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage-level exact dedup (10-word windows): per doc,
+    how many passages survive first-occurrence dedup and the md5 of the
+    reassembled text. The md5 makes the full reassembly oracle-checked
+    without hashing megabytes of text through the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    out = crp.passage_dedup(docs, "text", "doc_id", chunk_words=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chunks",
+        "kept_chunks",
+        F.md5(F.col("kept_text")).alias("kept_text_md5"),
+    )
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: fraction of the doc's distinct
+    3-gram shingles first seen (min doc_id) in this doc — the marginal-
+    contribution score used to curate under a fixed ingestion order."""
+    docs = _t(spark, sf_dir, "documents")
+    out = crp.shingle_novelty(docs, "text", "doc_id", shingle_n=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        F.round(F.col("novelty"), 4).alias("novelty"),
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms. Term frequency aggregates on the
     (doc, term) pair key (partial+final, one shuffle); document frequency
@@ -1497,6 +1525,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_allpairs": dedup_ngram_jaccard_allpairs,
     "dedup_clusters": dedup_clusters,
+    "passage_dedup_docs": passage_dedup_docs,
+    "doc_novelty": doc_novelty,
     "dedup_simhash": dedup_simhash,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_cosine_scores": embedding_cosine_scores,
@@ -2391,3 +2421,50 @@ ORACLE_SQL["pretrain_corpus_summary"] = (
         GROUP BY split, lang
     """
 )
+
+ORACLE_SQL["passage_dedup_docs"] = """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+        FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    firsts AS (
+        SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS first_key
+        FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           md5(COALESCE(string_agg(
+               CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
+                    THEN c.chunk END, ' ' ORDER BY c.chunk_idx), '')) AS kept_text_md5
+    FROM chunks c JOIN firsts f USING (chunk)
+    GROUP BY c.doc_id
+"""
+
+ORACLE_SQL["doc_novelty"] = """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, unnest(s) AS shingle FROM (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct(list_transform(
+                               generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM words)
+    ),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM d GROUP BY shingle)
+    SELECT d.doc_id, count(*) AS n_shingles,
+           round(avg(CASE WHEN d.doc_id = f.first_doc THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM d JOIN firsts f USING (shingle)
+    GROUP BY d.doc_id
+"""

@@ -236,3 +236,17 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_passage_dedup_is_pure_jvm_and_hash_keyed(spark):
+    """Passage dedup must stay Python-free (split/sequence/slice are
+    Column exprs) and shuffle md5 keys, not passage text, for the global
+    first-occurrence group-by."""
+    plan = _plan(spark, "passage_dedup_docs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "md5" in plan
+
+
+def test_doc_novelty_is_pure_jvm(spark):
+    plan = _plan(spark, "doc_novelty")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

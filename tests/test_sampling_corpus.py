@@ -223,3 +223,50 @@ def test_mixing_weights_balance(docs):
     for r in rows:
         # weight * share * n_strata == 1 (inverse-frequency balance)
         assert abs(r.weight * r.n_docs * len(rows) / total - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup + shingle novelty (first-occurrence semantics)
+# ---------------------------------------------------------------------------
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    """A passage repeated across documents survives only at its smallest
+    (doc_id, chunk_idx); a full duplicate document keeps nothing."""
+    from neynar_parquet_importer_spark.operators.corpus import passage_dedup
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"          # chunk A (10 words)
+    b = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"          # chunk B
+    docs = spark.createDataFrame(
+        [
+            (0, f"{a} {b}"),      # defines A then B
+            (1, f"{b} {a}"),      # both already seen -> keeps nothing
+            (2, f"{a} y1 y2"),    # A seen; trailing short chunk is new
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in passage_dedup(docs, "text", "doc_id", chunk_words=10).collect()
+    }
+    assert rows[0]["kept_chunks"] == 2 and rows[0]["kept_text"] == f"{a} {b}"
+    assert rows[1]["kept_chunks"] == 0 and rows[1]["kept_text"] == ""
+    assert rows[2]["kept_chunks"] == 1 and rows[2]["kept_text"] == "y1 y2"
+
+
+def test_shingle_novelty_order_semantics(spark):
+    """First doc scores 1.0; an exact copy scores 0.0; a half-overlapping
+    doc scores the fraction of its distinct shingles it introduced."""
+    from neynar_parquet_importer_spark.operators.corpus import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # shingles: {a b c, b c d} -> both new
+            (1, "a b c d"),       # exact copy -> nothing new
+            (2, "b c d e"),       # {b c d, c d e} -> one of two new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in shingle_novelty(docs, "text", "doc_id", 3).collect()}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert out[2]["novelty"] == 0.5
