@@ -221,3 +221,71 @@ def test_jdbc_connection_budget_cap(spark):
     got = {r.id: r.v for r in out.collect()}
     assert len(got) == 50
     assert got[0] == "v150"  # max updated_at wins within each PK
+
+
+# ---------------------------------------------------------------------------
+# S9 upsert statement semantics, executed for real against DuckDB
+# (DuckDB speaks INSERT..ON CONFLICT..DO UPDATE..WHERE excluded.* — the
+# same dialect surface the Postgres sink emits, so the recency guard and
+# the duplicate-PK hazard can be validated end-to-end without a live PG)
+# ---------------------------------------------------------------------------
+
+def _duck_upsert_table():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tgt (id BIGINT PRIMARY KEY, val VARCHAR, updated_at BIGINT)"
+    )
+    return con
+
+
+def _run_upsert(con, rows):
+    sql = build_upsert_sql(
+        "tgt", ["id", "val", "updated_at"], ["id"], "updated_at", n_rows=len(rows)
+    ).replace("%s", "?")
+    con.execute(sql, [p for r in rows for p in r])
+
+
+def test_upsert_sql_recency_guard_executes():
+    """Newer versions overwrite, stale ones are rejected, equal versions
+    win (the reference's >= guard, db.py:884-893 semantics)."""
+    con = _duck_upsert_table()
+    _run_upsert(con, [(1, "a", 10), (2, "b", 10)])
+    _run_upsert(con, [(1, "newer", 20), (2, "stale", 5)])
+    _run_upsert(con, [(1, "equal", 20)])
+    assert con.execute("SELECT id, val, updated_at FROM tgt ORDER BY id").fetchall() == [
+        (1, "equal", 20),
+        (2, "b", 10),
+    ]
+
+
+def test_upsert_sql_duplicate_pk_in_statement_raises():
+    """One statement touching a PK twice raises (Postgres: 'row updated
+    twice'; DuckDB: constraint violation) — the hazard
+    prepare_upsert_frame's per-batch dedup exists to prevent."""
+    import pytest as _pytest
+
+    con = _duck_upsert_table()
+    with _pytest.raises(Exception):
+        _run_upsert(con, [(1, "a", 10), (1, "b", 20)])
+
+
+def test_upsert_sql_chunked_batches_equal_one_batch():
+    """Chunking under the bind-parameter limit must not change the final
+    table state (chunks execute in row order, so the in-batch recency
+    winner still lands last)."""
+    rows = [(i % 5, f"v{i}", i) for i in range(20)]  # 4 versions per PK, rising
+    con_one = _duck_upsert_table()
+    for r in rows:
+        _run_upsert(con_one, [r])
+    con_chunk = _duck_upsert_table()
+    for chunk in chunk_rows_for_param_limit(rows, 3, max_params=9):  # 3 rows/chunk
+        # in-chunk PK dedup (max version wins), as prepare_upsert_frame does
+        best = {}
+        for r in chunk:
+            if r[0] not in best or r[2] >= best[r[0]][2]:
+                best[r[0]] = r
+        _run_upsert(con_chunk, list(best.values()))
+    q = "SELECT id, val, updated_at FROM tgt ORDER BY id"
+    assert con_one.execute(q).fetchall() == con_chunk.execute(q).fetchall()
