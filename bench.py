@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "pivot_revenue_by_year",
     "salted_event_stats",
     "sketch_order_stats",
+    "q15_top_supplier",
+    "orders_export_sorted",
+    "cohort_retention",
+    "unigram_logprob_score",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "dedup_exact_documents",

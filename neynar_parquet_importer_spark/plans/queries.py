@@ -1072,6 +1072,92 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    revenue view aggregates first (one shuffle on suppkey); the max
+    arrives via an unpartitioned window over the tiny aggregated frame,
+    so no second scan and no self-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    top = rev.withColumn("mx", mx).filter(F.col("total_revenue") == F.col("mx"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return top.join(supplier, top.l_suppkey == supplier.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def orders_export_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered export (the one shape that legitimately needs a
+    global sort): range-partitioned sample-based sort, so each partition
+    writes a disjoint key range — never a single-node sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix over the events stream: users
+    bucketed by first-active week, counted per week offset. Weeks are
+    epoch arithmetic (floor(epoch/604800)) — timezone-independent, so
+    the result is stable under any session timezone. user-week distinct
+    first, so the join and both aggregates run on the collapsed frame."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp(F.col("ts")) / 604800).cast("long")
+    user_weeks = ev.select("user_id", wk.alias("week_idx")).distinct()
+    firsts = user_weeks.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        user_weeks.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering with a corpus-trained unigram model: score
+    each document by the mean negative log-probability of its tokens
+    under corpus-wide unigram frequencies. Two aggregations (token
+    frequency, then per-doc mean); the vocabulary frame is small relative
+    to the corpus so Catalyst broadcasts it back onto the token stream,
+    and the scalar total arrives as a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
 def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide passage-level exact dedup (10-word windows): per doc,
     how many passages survive first-occurrence dedup and the md5 of the
@@ -1527,6 +1613,10 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "passage_dedup_docs": passage_dedup_docs,
     "doc_novelty": doc_novelty,
+    "q15_top_supplier": q15_top_supplier,
+    "orders_export_sorted": orders_export_sorted,
+    "cohort_retention": cohort_retention,
+    "unigram_logprob_score": unigram_logprob_score,
     "dedup_simhash": dedup_simhash,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_cosine_scores": embedding_cosine_scores,
@@ -2467,4 +2557,53 @@ ORACLE_SQL["doc_novelty"] = """
            round(avg(CASE WHEN d.doc_id = f.first_doc THEN 1.0 ELSE 0.0 END), 4) AS novelty
     FROM d JOIN firsts f USING (shingle)
     GROUP BY d.doc_id
+"""
+
+ORACLE_SQL["q15_top_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLE_SQL["orders_export_sorted"] = """
+    SELECT CAST(o_orderdate AS DATE) AS o_orderdate, o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY o_orderdate, o_orderkey
+"""
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx
+        FROM events
+    ),
+    f AS (SELECT user_id, min(week_idx) AS cohort_week FROM uw GROUP BY user_id)
+    SELECT f.cohort_week, uw.week_idx - f.cohort_week AS week_offset,
+           count(*) AS active_users
+    FROM uw JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["unigram_logprob_score"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(-ln(f.c / tot.n)), 4) AS avg_neg_logprob
+    FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
 """

@@ -250,3 +250,25 @@ def test_passage_dedup_is_pure_jvm_and_hash_keyed(spark):
 def test_doc_novelty_is_pure_jvm(spark):
     plan = _plan(spark, "doc_novelty")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_export_sort_is_range_partitioned(spark):
+    """A totally-ordered export must distribute the sort (sample-based
+    range partitioning), never collapse to one partition."""
+    plan = _plan(spark, "orders_export_sorted")
+    assert "rangepartitioning" in plan.lower()
+    assert "TakeOrderedAndProject" not in plan  # it's a full sort, not top-k
+
+
+def test_q15_single_lineitem_scan_and_broadcast(spark):
+    """q15's max-revenue filter must come from a window over the
+    aggregated frame (one lineitem scan), with the supplier dim
+    broadcast."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("FileScan parquet") <= 3  # lineitem + supplier (+reuse)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_scoring_stays_jvm(spark):
+    plan = _plan(spark, "unigram_logprob_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
