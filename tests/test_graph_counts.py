@@ -1,0 +1,83 @@
+"""Incremental follow-count maintenance (A3): folding per-batch deltas
+must equal a full rebuild over the final edge state, for any batch
+split, including unfollow (deleted_at) and re-follow transitions."""
+
+from __future__ import annotations
+
+import random
+
+from neynar_parquet_importer_spark.graph.counts import (
+    empty_counts,
+    follow_counts_delta,
+    follow_counts_full,
+    merge_counts,
+)
+
+SCHEMA = "fid long, target_fid long, deleted_at string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_fold_equals_full_rebuild(spark):
+    """Random edge lifecycles (follow -> unfollow -> re-follow) split
+    into batches: state folded batch-by-batch == rebuild from the final
+    version of every edge."""
+    rng = random.Random(7)
+    edges = [(rng.randrange(6), rng.randrange(6)) for _ in range(40)]
+    edges = list(dict.fromkeys((f, t) for f, t in edges if f != t))
+    # lifecycle: each edge gets 1-3 versions alternating live/deleted
+    versions = []
+    for f, t in edges:
+        n = rng.randrange(1, 4)
+        for v in range(n):
+            deleted = None if v % 2 == 0 else "2024-01-01"
+            versions.append((f, t, deleted, v))
+    rng.shuffle(versions)
+    # batches must apply an edge's versions in order: sort within edge
+    versions.sort(key=lambda r: r[3])
+    cuts = sorted(rng.sample(range(1, len(versions)), 3))
+    batches = [
+        versions[a:b] for a, b in zip([0] + cuts, cuts + [len(versions)])
+    ]
+
+    current: dict[tuple[int, int], tuple] = {}
+    state = empty_counts(spark)
+    for batch in batches:
+        # last version per edge within the batch (last-writer-wins dedup)
+        latest = {}
+        for f, t, deleted, v in batch:
+            latest[(f, t)] = (f, t, deleted)
+        prev_rows = [current[k] for k in latest if k in current]
+        batch_df = _df(spark, list(latest.values()))
+        prev_df = _df(spark, prev_rows) if prev_rows else None
+        state = merge_counts(state, follow_counts_delta(batch_df, prev_df))
+        current.update(latest)
+
+    full = follow_counts_full(_df(spark, list(current.values())))
+    assert _sorted(state) == _sorted(full)
+
+
+def test_restating_unchanged_edges_is_idempotent(spark):
+    """Re-sending an identical batch (same versions) contributes zero
+    delta — the upsert-driven reimport case."""
+    batch = _df(spark, [(1, 2, None), (2, 3, None), (3, 1, "2024-01-01")])
+    state = merge_counts(empty_counts(spark), follow_counts_delta(batch, None))
+    again = follow_counts_delta(batch, batch)
+    state2 = merge_counts(state, again)
+    assert _sorted(state) == _sorted(state2)
+
+
+def test_unfollow_drops_fid_from_state(spark):
+    """A fid whose only live edge is deleted disappears from state,
+    matching the full rebuild's live-edge universe."""
+    b1 = _df(spark, [(1, 2, None)])
+    state = merge_counts(empty_counts(spark), follow_counts_delta(b1, None))
+    b2 = _df(spark, [(1, 2, "2024-01-02")])
+    state = merge_counts(state, follow_counts_delta(b2, b1))
+    assert _sorted(state) == []
