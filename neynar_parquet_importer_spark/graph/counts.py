@@ -89,10 +89,14 @@ def follow_counts_delta(
     )
 
 
-def merge_counts(state: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_counts(
+    state: DataFrame, delta: DataFrame, drop_zero: bool = True
+) -> DataFrame:
     """Fold a delta into the running counts: full-outer join on fid, sum,
     drop fids whose counts return to zero (so state stays exactly the
-    set of fids with live edges, matching the full rebuild)."""
+    set of fids with live edges, matching the full rebuild).
+    ``drop_zero=False`` keeps zero rows — the sink-as-state fold uses it
+    because an upsert sink can update but not delete."""
     merged = state.join(delta, "fid", "full_outer").select(
         "fid",
         (
@@ -104,7 +108,78 @@ def merge_counts(state: DataFrame, delta: DataFrame) -> DataFrame:
             + F.coalesce("following_delta", F.lit(0))
         ).alias("following_count"),
     )
+    if not drop_zero:
+        return merged
     return merged.filter(
+        (F.col("follower_count") != 0) | (F.col("following_count") != 0)
+    )
+
+
+def fold_counts_batch(
+    spark,
+    edge_sink,
+    counts_sink,
+    batch: DataFrame,
+    epoch: int,
+    version_column: str = "updated_at",
+) -> None:
+    """One sink-as-state fold step, shaped for ``foreachBatch``: the edge
+    sink (PK (fid, target_fid)) supplies each restated edge's prior
+    version, the counts sink (PK fid) absorbs the delta.
+
+    W10 discipline throughout: state lives in the sinks, both upserts are
+    recency-guarded, and every join against sink state is key-pruned to
+    the batch (O(batch) work + bucket-pruned sink merges, never a
+    state-sized rewrite). Stale replays (batch version older than the
+    sink's) are filtered before the delta so a reordered window can't
+    double-count; an unchanged restatement deltas to zero, so re-running
+    a batch after a crash-and-rollback is idempotent.
+    """
+    from ..operators.dedup import last_writer_wins
+
+    latest = last_writer_wins(
+        batch, ["fid", "target_fid"], [F.desc(version_column)]
+    )
+    prior_all = edge_sink.read()
+    prior = None
+    if prior_all is not None:
+        prior = prior_all.join(
+            latest.select("fid", "target_fid"), ["fid", "target_fid"], "left_semi"
+        )
+        # drop stale replays: keep batch rows at least as new as the sink's
+        pv = prior.select(
+            "fid", "target_fid", F.col(version_column).alias("__prior_v")
+        )
+        latest = (
+            latest.join(pv, ["fid", "target_fid"], "left")
+            .filter(
+                F.col("__prior_v").isNull()
+                | (F.col(version_column) >= F.col("__prior_v"))
+            )
+            .drop("__prior_v")
+        )
+    delta = follow_counts_delta(latest, prior)
+    old = counts_sink.read()
+    if old is None:
+        old_subset = empty_counts(spark)
+    else:
+        old_subset = old.select(
+            "fid", "follower_count", "following_count"
+        ).join(delta.select("fid"), "fid", "left_semi")
+    new_rows = merge_counts(old_subset, delta, drop_zero=False).withColumn(
+        version_column, F.lit(epoch).cast("long")
+    )
+    counts_sink.upsert(new_rows, epoch)
+    edge_sink.upsert(latest, epoch)
+
+
+def read_counts(counts_sink) -> DataFrame | None:
+    """Live view of the maintained counts: zero rows (kept because the
+    sink cannot delete) are filtered out, matching follow_counts_full."""
+    df = counts_sink.read()
+    if df is None:
+        return None
+    return df.select("fid", "follower_count", "following_count").filter(
         (F.col("follower_count") != 0) | (F.col("following_count") != 0)
     )
 

@@ -81,3 +81,42 @@ def test_unfollow_drops_fid_from_state(spark):
     b2 = _df(spark, [(1, 2, "2024-01-02")])
     state = merge_counts(state, follow_counts_delta(b2, b1))
     assert _sorted(state) == []
+
+
+def test_sink_as_state_fold_matches_rebuild(spark, tmp_path):
+    """W10-style maintenance: edges and counts live in bucketed upsert
+    sinks; folding three micro-batches (with an unfollow, a stale replay,
+    and a re-follow) matches the full rebuild of the final edge state."""
+    from neynar_parquet_importer_spark.graph.counts import (
+        fold_counts_batch,
+        read_counts,
+    )
+    from neynar_parquet_importer_spark.sinks import LakeUpsertSink
+
+    edge_sink = LakeUpsertSink(
+        spark, str(tmp_path / "edges"), ("fid", "target_fid"), "updated_at"
+    )
+    counts_sink = LakeUpsertSink(
+        spark, str(tmp_path / "counts"), ("fid",), "updated_at"
+    )
+    schema = "fid long, target_fid long, deleted_at string, updated_at long"
+    b1 = spark.createDataFrame(
+        [(1, 2, None, 10), (2, 3, None, 10), (3, 2, None, 10)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 2, "2024-01-05", 20), (2, 1, None, 20)], schema
+    )
+    # stale replay of the original (1,2) live version + a re-follow of (1,2)
+    b3 = spark.createDataFrame(
+        [(1, 2, None, 10), (3, 2, "2024-01-06", 30)], schema
+    )
+    for epoch, b in enumerate([b1, b2, b3], start=1):
+        fold_counts_batch(spark, edge_sink, counts_sink, b, epoch)
+
+    final_edges = spark.createDataFrame(
+        [(1, 2, "2024-01-05", 20), (2, 3, None, 10), (2, 1, None, 20)], schema
+    )
+    full = follow_counts_full(final_edges)
+    got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
