@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "salted_event_stats",
     "sketch_order_stats",
     "q15_top_supplier",
+    "q12_priority_shipping",
+    "balance_distribution_by_segment",
+    "user_first_last_event",
     "orders_export_sorted",
     "cohort_retention",
     "unigram_logprob_score",

@@ -1072,6 +1072,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
 
 
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship quarter, how many lines belong to
+    high- vs low-priority orders. No l_shipmode in this schema, so the
+    grouping key is the ship quarter. Conditional counts in one pass;
+    orders joins in as a (broadcastable) two-column projection."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.quarter(F.col("l_shipdate").cast("date")).cast("long").alias("ship_quarter")
+        )
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def balance_distribution_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution windows: percent_rank and cume_dist of each
+    customer's balance within its market segment. One sort per segment
+    partition; no global sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a full-frame window: each user's first
+    and last event type by time (event_id tie-break). The window sorts
+    once per user partition; the distinct collapses to one row per
+    user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first_value("event_type").over(w).alias("first_event_type"),
+        F.last_value("event_type").over(w).alias("last_event_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
     revenue view aggregates first (one shuffle on suppkey); the max
@@ -1614,6 +1670,9 @@ QUERIES = {
     "passage_dedup_docs": passage_dedup_docs,
     "doc_novelty": doc_novelty,
     "q15_top_supplier": q15_top_supplier,
+    "q12_priority_shipping": q12_priority_shipping,
+    "balance_distribution_by_segment": balance_distribution_by_segment,
+    "user_first_last_event": user_first_last_event,
     "orders_export_sorted": orders_export_sorted,
     "cohort_retention": cohort_retention,
     "unigram_logprob_score": unigram_logprob_score,
@@ -2606,4 +2665,35 @@ ORACLE_SQL["unigram_logprob_score"] = """
            round(avg(-ln(f.c / tot.n)), 4) AS avg_neg_logprob
     FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
     GROUP BY t.doc_id
+"""
+
+ORACLE_SQL["q12_priority_shipping"] = """
+    SELECT CAST(quarter(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_quarter,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_quarter
+"""
+
+ORACLE_SQL["balance_distribution_by_segment"] = """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
+               AS bal_percent_rank,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6)
+               AS bal_cume_dist
+    FROM customer
+"""
+
+ORACLE_SQL["user_first_last_event"] = """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_event_type,
+           last_value(event_type) OVER w AS last_event_type,
+           count(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
