@@ -1422,17 +1422,26 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED multimodal plumbing: the fake decode derives the
+    feature from sha256(payload), which DuckDB can recompute in SQL —
+    so the whole mapInPandas path (schema, Arrow batching, vectorized
+    body) is value-checked, not just row-counted. The float32 feature is
+    projected through fixed %.4f formatting (a float32 is dyadic, so it
+    never sits on a rounding boundary and both engines agree)."""
     docs = _t(spark, sf_dir, "documents")
     feats = extract_features(documents_as_media(docs), fake=True)
-    # the driver's rows-only canonicalizer sorts on every column, which
-    # fails on array cells — project `feature` to a stable JSON string
-    # (the vector itself stays witnessed by content_sha256 + this string)
     return feats.select(
         "media_id",
         "mime_type",
         "n_bytes",
         "content_sha256",
-        F.to_json(F.col("feature")).alias("feature_json"),
+        F.array_join(
+            F.transform(
+                F.col("feature"),
+                lambda x: F.format_string("%.4f", x.cast("double")),
+            ),
+            ",",
+        ).alias("feature_r4"),
     )
 
 
@@ -2696,4 +2705,20 @@ ORACLE_SQL["user_first_last_event"] = """
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLE_SQL["multimodal_features"] = """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           array_to_string(
+             list_transform(range(8), i ->
+               printf('%.4f',
+                 CAST(CAST(
+                   (strpos('0123456789abcdef', substr(sha256(text), 1 + 2*i, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(sha256(text), 2 + 2*i, 1)) - 1)
+                 AS DOUBLE) / 255.0 AS REAL))),
+             ',') AS feature_r4
+    FROM documents
 """
