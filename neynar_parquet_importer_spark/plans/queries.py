@@ -271,6 +271,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity") * 0.8
+    # sum exact integer cents: per-row floor(x*100 + 0.5) evaluates
+    # identically in any IEEE engine and integer sums are order-
+    # independent — a double sum rounded to 2dp can land on a .005
+    # boundary and flip with summation order (observed at sf0.001)
+    profit_cents = F.floor(profit * 100 + F.lit(0.5)).cast("long")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
@@ -280,7 +285,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.sum(profit_cents).alias("sum_profit_cents"))
     )
 
 
@@ -1811,8 +1816,9 @@ ORACLE_SQL: dict[str, str] = {
     "q9_product_profit": """
         SELECT n_name AS nation,
                CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * l_quantity * 0.8), 2) AS sum_profit
+               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.8) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sum_profit_cents
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey

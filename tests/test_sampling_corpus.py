@@ -270,3 +270,49 @@ def test_shingle_novelty_order_semantics(spark):
     assert out[0]["novelty"] == 1.0
     assert out[1]["novelty"] == 0.0
     assert out[2]["novelty"] == 0.5
+
+
+def test_passage_dedup_matches_python_reference(spark):
+    """Hypothesis: passage_dedup's first-occurrence-wins semantics match
+    a direct Python reference over random small-alphabet corpora (tiny
+    vocab forces chunk collisions within and across docs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neynar_parquet_importer_spark.operators.corpus import passage_dedup
+
+    CH = 3  # chunk_words
+
+    def reference(texts):
+        seen = set()
+        out = {}
+        for doc_id, text in enumerate(texts):
+            words = text.split()
+            chunks = [
+                " ".join(words[i : i + CH]) for i in range(0, len(words), CH)
+            ]
+            kept = [c for c in chunks if c not in seen and not seen.add(c)]
+            out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["id"]: (r["n_chunks"], r["kept_chunks"], r["kept_text"])
+            for r in passage_dedup(docs, "text", "doc_id", chunk_words=CH).collect()
+        }
+        assert got == reference(texts)
+
+    check()
