@@ -80,15 +80,27 @@ def hyperplane_bucket(
     """Sign-pattern bucket id for random-hyperplane LSH: bit i set iff
     dot(vec, plane_i) >= 0. Planes are fixed literals (seeded driver-side)
     so the bucketing is deterministic and usable as a partition column."""
+    import json
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(v, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + bit
-    return bucket
+    # one packed literal, not n_planes × dim lit nodes — same reasoning
+    # as ivf_assign: keeps Catalyst's expression tree (and codegen time)
+    # independent of the plane count
+    packed = F.from_json(
+        F.lit(json.dumps([[float(x) for x in p] for p in planes])),
+        "array<array<double>>",
+    )
+    idxs = F.sequence(F.lit(0), F.lit(len(planes) - 1))
+    bits = F.transform(
+        idxs,
+        lambda i: F.when(
+            _dot(v, F.element_at(packed, i + 1)) >= 0,
+            # 2^i as the bit weight (exact in double for i << 53); keeps
+            # the 1<<i convention the multiprobe XOR masks rely on
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -152,16 +164,29 @@ def ivf_assign(
     dot product suffices). array_max over (dot, idx) structs compares by
     the first field — a pure JVM expression, no UDF. The resulting id is a
     plain column: write the corpus partitioned by it and probes become
-    partition pruning at the source."""
+    partition pruning at the source.
+
+    The centroid matrix ships as ONE from_json literal instead of
+    n_centroids × dim unrolled lit nodes: the unrolled form made Catalyst
+    compile a ~1000-node expression per query (~4 s of plan/codegen time
+    at 16×64, re-paid whenever centroids change); the packed form parses
+    once per task and evaluates the same dots via higher-order functions.
+    """
+    import json
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    structs = [
-        F.struct(
-            _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*structs))["i"]
+    packed = F.from_json(
+        F.lit(json.dumps([[float(x) for x in c] for c in centroids])),
+        "array<array<double>>",
+    )
+    idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    structs = F.transform(
+        idxs,
+        lambda i: F.struct(
+            _dot(v, F.element_at(packed, i + 1)).alias("d"), i.alias("i")
+        ),
+    )
+    return F.array_max(structs)["i"]
 
 
 def ivf_topk(
