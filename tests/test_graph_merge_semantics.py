@@ -1,0 +1,108 @@
+"""S10 MERGE semantics executed for real against networkx: a ~40-line
+interpreter for the exact UNWIND-MERGE statement shapes the writer
+emits (MERGE node by key + SET, MERGE both endpoints + MERGE edge +
+SET) applies batches to a MultiDiGraph, validating what the Cypher
+string tests alone cannot — idempotent re-import, last-batch-wins
+property updates, and implicit endpoint creation (the reference's
+neo4j_queries.py:8-98 semantics)."""
+
+from __future__ import annotations
+
+import re
+
+import networkx as nx
+
+from neynar_parquet_importer_spark.graph.writer import (
+    edge_merge_cypher,
+    node_merge_cypher,
+)
+
+_NODE = re.compile(
+    r"UNWIND \$batch AS row MERGE \(n:(\w+) \{(\w+): row\.(\w+)\}\)(?: SET (.*))?$"
+)
+_EDGE = re.compile(
+    r"UNWIND \$batch AS row "
+    r"MERGE \(a:(\w+) \{(\w+): row\.src\}\) "
+    r"MERGE \(b:(\w+) \{(\w+): row\.dst\}\) "
+    r"MERGE \(a\)-\[r:(\w+)\]->\(b\)(?: SET (.*))?$"
+)
+
+
+def _parse_sets(sets: str | None, var: str) -> list[str]:
+    if not sets:
+        return []
+    return [
+        m.group(1)
+        for m in re.finditer(rf"{var}\.(\w+) = row\.(\w+)", sets)
+    ]
+
+
+def apply_cypher(g: nx.MultiDiGraph, cypher: str, batch: list[dict]) -> None:
+    """Execute the two UNWIND-MERGE statement shapes against networkx."""
+    m = _NODE.match(cypher)
+    if m:
+        label, key, _, sets = m.groups()
+        for row in batch:
+            nid = (label, row[key])
+            if nid not in g:
+                g.add_node(nid, **{key: row[key]})
+            for prop in _parse_sets(sets, "n"):
+                g.nodes[nid][prop] = row[prop]
+        return
+    m = _EDGE.match(cypher)
+    if m:
+        sl, sk, dl, dk, rel, sets = m.groups()
+        for row in batch:
+            a, b = (sl, row["src"]), (dl, row["dst"])
+            for nid, k, v in ((a, sk, row["src"]), (b, dk, row["dst"])):
+                if nid not in g:
+                    g.add_node(nid, **{k: v})
+            if not any(
+                d.get("_rel") == rel for d in g.get_edge_data(a, b, default={}).values()
+            ):
+                g.add_edge(a, b, _rel=rel)
+            for kk, d in g.get_edge_data(a, b).items():
+                if d.get("_rel") == rel:
+                    for prop in _parse_sets(sets, "r"):
+                        d[prop] = row[prop]
+        return
+    raise AssertionError(f"unrecognized cypher shape: {cypher}")
+
+
+def _import(g, node_batches, edge_batches):
+    node_cy = node_merge_cypher("User", "fid", ["fid", "name"])
+    edge_cy = edge_merge_cypher("FOLLOWS", "User", "User", "fid", "fid", ["ts"])
+    for b in node_batches:
+        apply_cypher(g, node_cy, b)
+    for b in edge_batches:
+        apply_cypher(g, edge_cy, b)
+
+
+NODES = [[{"fid": 1, "name": "a"}, {"fid": 2, "name": "b"}]]
+EDGES = [[{"src": 1, "dst": 2, "ts": 10}, {"src": 1, "dst": 3, "ts": 11}]]
+
+
+def test_merge_is_idempotent():
+    g1, g2 = nx.MultiDiGraph(), nx.MultiDiGraph()
+    _import(g1, NODES, EDGES)
+    _import(g2, NODES, EDGES)
+    _import(g2, NODES, EDGES)  # re-import: same graph
+    assert nx.utils.graphs_equal(g1, g2)
+
+
+def test_merge_creates_missing_endpoints():
+    g = nx.MultiDiGraph()
+    _import(g, NODES, EDGES)
+    # fid=3 was never in a node batch; the edge MERGE created it (J2)
+    assert ("User", 3) in g
+    assert g.nodes[("User", 3)] == {"fid": 3}
+
+
+def test_merge_set_updates_props_last_batch_wins():
+    g = nx.MultiDiGraph()
+    _import(g, NODES, EDGES)
+    _import(g, [[{"fid": 1, "name": "renamed"}]], [[{"src": 1, "dst": 2, "ts": 99}]])
+    assert g.nodes[("User", 1)]["name"] == "renamed"
+    assert g.number_of_edges(("User", 1), ("User", 2)) == 1  # no duplicate edge
+    [d] = g.get_edge_data(("User", 1), ("User", 2)).values()
+    assert d["ts"] == 99
