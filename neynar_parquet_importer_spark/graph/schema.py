@@ -1,0 +1,96 @@
+"""Graph-sink schema bootstrap (reference S10's DDL half:
+``database/neo4j_schema.py:9-140``): uniqueness constraints and indexes,
+emitted conditionally on the selected table set.
+
+Declarative re-expression, not a port: each schema group is a
+(trigger-tables, statements) row; ``graph_schema_statements`` unions the
+groups whose trigger set intersects the selection. Every statement is
+``IF NOT EXISTS`` so the bootstrap is idempotent by construction — the
+reference instead catches "equivalent constraint already exists" errors
+per statement (neo4j_schema.py:70-76), which IF NOT EXISTS makes
+unnecessary on any modern server.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+# (trigger tables, statements). Trigger sets mirror
+# neo4j_schema.py:47-60; the import-tracking constraint is unconditional
+# (":23-24" — always needed for the ledger graph twin).
+_SCHEMA_GROUPS: list[tuple[frozenset[str] | None, list[str]]] = [
+    (
+        None,  # unconditional
+        [
+            "CREATE CONSTRAINT import_tracking_unique IF NOT EXISTS "
+            "FOR (t:ImportTracking) REQUIRE (t.table_name, t.file_name) IS UNIQUE",
+        ],
+    ),
+    (
+        frozenset({"fids", "profiles", "nindexer_fids", "nindexer_profiles"}),
+        [
+            "CREATE CONSTRAINT user_fid_unique IF NOT EXISTS "
+            "FOR (u:User) REQUIRE u.fid IS UNIQUE",
+            "CREATE INDEX user_username_index IF NOT EXISTS "
+            "FOR (u:User) ON (u.username)",
+            "CREATE INDEX user_updated_at_index IF NOT EXISTS "
+            "FOR (u:User) ON (u.updated_at)",
+        ],
+    ),
+    (
+        frozenset(
+            {"verifications", "account_verifications", "nindexer_verifications"}
+        ),
+        [
+            "CREATE CONSTRAINT address_unique IF NOT EXISTS "
+            "FOR (a:Address) REQUIRE a.address IS UNIQUE",
+            "CREATE INDEX address_chain_index IF NOT EXISTS "
+            "FOR (a:Address) ON (a.chain)",
+            "CREATE INDEX address_updated_at_index IF NOT EXISTS "
+            "FOR (a:Address) ON (a.updated_at)",
+        ],
+    ),
+    (
+        frozenset(
+            {
+                "follows",
+                "nindexer_follows",
+                "verifications",
+                "account_verifications",
+                "nindexer_verifications",
+            }
+        ),
+        [
+            "CREATE INDEX follows_timestamp_index IF NOT EXISTS "
+            "FOR ()-[r:FOLLOWS]-() ON (r.timestamp)",
+            "CREATE INDEX follows_updated_at_index IF NOT EXISTS "
+            "FOR ()-[r:FOLLOWS]-() ON (r.updated_at)",
+            "CREATE INDEX verified_address_timestamp_index IF NOT EXISTS "
+            "FOR ()-[r:VERIFIED_ADDRESS]-() ON (r.verification_timestamp)",
+            "CREATE INDEX verified_address_updated_at_index IF NOT EXISTS "
+            "FOR ()-[r:VERIFIED_ADDRESS]-() ON (r.updated_at)",
+        ],
+    ),
+]
+
+
+def graph_schema_statements(tables: Iterable[str]) -> list[str]:
+    """Bootstrap statements for the selected tables, in emission order.
+    Unconditional groups always apply; conditional groups apply when any
+    trigger table is selected (neo4j_schema.py:17-38's gating)."""
+    selected = set(tables)
+    out: list[str] = []
+    for triggers, statements in _SCHEMA_GROUPS:
+        if triggers is None or triggers & selected:
+            out.extend(statements)
+    return out
+
+
+def apply_graph_schema(driver, tables: Iterable[str]) -> list[str]:
+    """Run the bootstrap through a bolt driver session (lazy import, no
+    graph DB in this container); returns the statements applied."""
+    statements = graph_schema_statements(tables)
+    with driver.session() as session:
+        for stmt in statements:
+            session.run(stmt)
+    return statements

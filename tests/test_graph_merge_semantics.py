@@ -106,3 +106,29 @@ def test_merge_set_updates_props_last_batch_wins():
     assert g.number_of_edges(("User", 1), ("User", 2)) == 1  # no duplicate edge
     [d] = g.get_edge_data(("User", 1), ("User", 2)).values()
     assert d["ts"] == 99
+
+
+# ---------------------------------------------------------------------------
+# Graph schema bootstrap gating (neo4j_schema.py:17-60 semantics)
+# ---------------------------------------------------------------------------
+
+def test_graph_schema_gating():
+    from neynar_parquet_importer_spark.graph.schema import graph_schema_statements
+
+    # tracking constraint is unconditional
+    base = graph_schema_statements([])
+    assert len(base) == 1 and "ImportTracking" in base[0]
+
+    # follows alone: tracking + relationship indexes, no node schemas
+    s = "\n".join(graph_schema_statements(["follows"]))
+    assert "FOLLOWS" in s and "user_fid_unique" not in s and "address_unique" not in s
+
+    # verifications triggers BOTH address schema and relationship indexes
+    s = "\n".join(graph_schema_statements(["nindexer_verifications"]))
+    assert "address_unique" in s and "VERIFIED_ADDRESS" in s
+
+    # full selection emits every group exactly once, all idempotent
+    all_s = graph_schema_statements(["nindexer_profiles", "nindexer_follows",
+                                     "nindexer_verifications"])
+    assert len(all_s) == len(set(all_s)) == 11
+    assert all("IF NOT EXISTS" in stmt for stmt in all_s)
