@@ -272,3 +272,19 @@ def test_q15_single_lineitem_scan_and_broadcast(spark):
 def test_unigram_scoring_stays_jvm(spark):
     plan = _plan(spark, "unigram_logprob_score")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partitioned_write_gets_partition_pruning(spark, tmp_path):
+    """Hive-partitioned layout (the 100 TB norm: date/tenant partition
+    dirs) must surface filters as PartitionFilters — directories skipped
+    at planning, zero IO — distinct from row-group PushedFilters."""
+    out = str(tmp_path / "events_by_type")
+    Q._t(spark, SF, "events").withColumn(
+        "etype", F.col("event_type")
+    ).write.partitionBy("etype").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("etype") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "etype" in pf, f"partition filter not pruned: {pf!r}"
+    assert df.count() > 0
