@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "passage_dedup_docs",
     "doc_novelty",
+    "pack_training_sequences",
     "text_token_count",
     "text_quality",
     "text_lang_id",

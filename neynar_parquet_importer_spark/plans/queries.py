@@ -1219,6 +1219,27 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: each document's token range in the
+    concatenated corpus and the 512-token training sequences it spans.
+    The global prefix sum runs as a two-phase distributed scan
+    (operators/packing.py) — never a single-task empty-PARTITION-BY
+    window — while the oracle is the naive single-window SQL, proving
+    the scalable plan computes the same answer."""
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    return pack_sequences(toks, seq_len=512).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "offset",
+        "first_seq",
+        "last_seq",
+        "n_seqs",
+    )
+
+
 def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide passage-level exact dedup (10-word windows): per doc,
     how many passages survive first-occurrence dedup and the md5 of the
@@ -1683,6 +1704,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "passage_dedup_docs": passage_dedup_docs,
     "doc_novelty": doc_novelty,
+    "pack_training_sequences": pack_training_sequences,
     "q15_top_supplier": q15_top_supplier,
     "q12_priority_shipping": q12_priority_shipping,
     "balance_distribution_by_segment": balance_distribution_by_segment,
@@ -2727,4 +2749,27 @@ ORACLE_SQL["multimodal_features"] = """
                  AS DOUBLE) / 255.0 AS REAL))),
              ',') AS feature_r4
     FROM documents
+"""
+
+ORACLE_SQL["pack_training_sequences"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+                    AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                    AS BIGINT) AS "offset"
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, "offset",
+           CAST(floor("offset" / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS last_seq,
+           CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 512.0)
+                - floor("offset" / 512.0) + 1 AS BIGINT) AS n_seqs
+    FROM offs
 """

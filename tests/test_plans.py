@@ -288,3 +288,12 @@ def test_partitioned_write_gets_partition_pruning(spark, tmp_path):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "etype" in pf, f"partition filter not pruned: {pf!r}"
     assert df.count() > 0
+
+
+def test_sequence_packing_never_single_partition_window(spark):
+    """The packing prefix sum must not plan the classic scale-killer: a
+    window with empty PARTITION BY collapsing the corpus to one task."""
+    plan = _plan(spark, "pack_training_sequences")
+    assert "rangepartitioning" in plan.lower()  # phase-1 ordered split
+    # the only windows run per-pid, so no single-partition exchange feeds one
+    assert "Exchange SinglePartition" not in plan

@@ -316,3 +316,41 @@ def test_passage_dedup_matches_python_reference(spark):
         assert got == reference(texts)
 
     check()
+
+
+def test_sequence_packing_partition_invariant(spark):
+    """The two-phase prefix sum must give identical offsets for any
+    partition count — including 1 (degenerate) and more partitions than
+    rows."""
+    from neynar_parquet_importer_spark.operators.packing import token_offsets
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def run(n):
+        return sorted(
+            tuple(r) for r in token_offsets(df, num_partitions=n).collect()
+        )
+
+    expected = []
+    acc = 0
+    for i, t in rows:
+        expected.append((i, t, acc))
+        acc += t
+    assert run(1) == run(4) == run(64) == sorted(expected)
+
+
+def test_sequence_packing_spans(spark):
+    """Documents straddling a sequence boundary report every sequence
+    they touch; zero-token docs keep a defined position."""
+    from neynar_parquet_importer_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, 0), (2, 25), (3, 5)], "doc_id long, n_tokens long"
+    )
+    got = {r["id"]: r for r in pack_sequences(df, seq_len=16).collect()}
+    assert (got[0]["first_seq"], got[0]["last_seq"]) == (0, 0)   # [0,10)
+    assert (got[1]["first_seq"], got[1]["last_seq"]) == (0, 0)   # empty at 10
+    assert (got[2]["first_seq"], got[2]["last_seq"]) == (0, 2)   # [10,35) spans 3
+    assert got[2]["n_seqs"] == 3
+    assert (got[3]["first_seq"], got[3]["last_seq"]) == (2, 2)   # [35,40)
