@@ -20,6 +20,8 @@ from .similarity import (
     lsh_bucketed_topk,
     lsh_near_dup_pairs,
 )
+from .corpus import passage_chunks, passage_dedup, shingle_novelty
+from .packing import pack_sequences, token_offsets
 from .skew import salted_aggregate
 from .text import (
     language_id,
@@ -47,6 +49,11 @@ __all__ = [
     "ivf_topk",
     "lsh_bucketed_topk",
     "lsh_near_dup_pairs",
+    "passage_chunks",
+    "passage_dedup",
+    "shingle_novelty",
+    "pack_sequences",
+    "token_offsets",
     "salted_aggregate",
     "language_id",
     "quality_score",
