@@ -120,3 +120,45 @@ def test_sink_as_state_fold_matches_rebuild(spark, tmp_path):
     got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
     want = sorted(tuple(r) for r in full.collect())
     assert got == want
+
+
+def test_sink_as_state_fold_random_lifecycles(spark, tmp_path):
+    """Randomized edge lifecycles (seeded): versions of each edge arrive
+    in order across four batches with rising updated_at; the sink-fed
+    fold must match the rebuild of the final versions."""
+    import random
+
+    from neynar_parquet_importer_spark.graph.counts import (
+        fold_counts_batch,
+        read_counts,
+    )
+    from neynar_parquet_importer_spark.sinks import LakeUpsertSink
+
+    rng = random.Random(99)
+    schema = "fid long, target_fid long, deleted_at string, updated_at long"
+    edges = list({(rng.randrange(5), rng.randrange(5)) for _ in range(20)})
+    versions = []
+    for f, t in edges:
+        for v in range(rng.randrange(1, 4)):
+            deleted = None if rng.random() < 0.6 else "2024-01-01"
+            versions.append((f, t, deleted, v))
+    versions.sort(key=lambda r: r[3])  # within-edge version order
+    cuts = sorted(rng.sample(range(1, len(versions)), 3))
+    batches = [versions[a:b] for a, b in zip([0] + cuts, cuts + [len(versions)])]
+
+    edge_sink = LakeUpsertSink(
+        spark, str(tmp_path / "e"), ("fid", "target_fid"), "updated_at"
+    )
+    counts_sink = LakeUpsertSink(spark, str(tmp_path / "c"), ("fid",), "updated_at")
+    final = {}
+    for epoch, b in enumerate(batches, start=1):
+        fold_counts_batch(
+            spark, edge_sink, counts_sink, spark.createDataFrame(b, schema), epoch
+        )
+        for f, t, d, v in b:
+            final[(f, t)] = (f, t, d, v)
+
+    full = follow_counts_full(spark.createDataFrame(list(final.values()), schema))
+    got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
