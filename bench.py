@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "passage_dedup_docs",
     "doc_novelty",
     "pack_training_sequences",
+    "table_profile_orders",
     "text_token_count",
     "text_quality",
     "text_lang_id",

@@ -1219,6 +1219,42 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: one row per column with
+    null count, exact distinct count, and min/max rendered as strings.
+    Single scan, one aggregate producing every stat as a column, then an
+    unpivot (stack) to rows — profiling never reads the table twice."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        if c == "o_totalprice":
+            # fixed %.2f: a raw double->string cast goes scientific at
+            # different magnitudes in different engines
+            mn = F.format_string("%.2f", F.min(F.col(c)))
+            mx = F.format_string("%.2f", F.max(F.col(c)))
+        else:
+            mn = F.min(F.col(c)).cast("string")
+            mx = F.max(F.col(c)).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) "
+            "as (column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: each document's token range in the
     concatenated corpus and the 512-token training sequences it spans.
@@ -1705,6 +1741,7 @@ QUERIES = {
     "passage_dedup_docs": passage_dedup_docs,
     "doc_novelty": doc_novelty,
     "pack_training_sequences": pack_training_sequences,
+    "table_profile_orders": table_profile_orders,
     "q15_top_supplier": q15_top_supplier,
     "q12_priority_shipping": q12_priority_shipping,
     "balance_distribution_by_segment": balance_distribution_by_segment,
@@ -2772,4 +2809,41 @@ ORACLE_SQL["pack_training_sequences"] = """
            CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 512.0)
                 - floor("offset" / 512.0) + 1 AS BIGINT) AS n_seqs
     FROM offs
+"""
+
+ORACLE_SQL["table_profile_orders"] = """
+    WITH w AS (
+        SELECT
+            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+            count(DISTINCT o_orderkey) AS k_distinct,
+            CAST(min(o_orderkey) AS VARCHAR) AS k_min,
+            CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+            sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+            count(DISTINCT o_custkey) AS c_distinct,
+            CAST(min(o_custkey) AS VARCHAR) AS c_min,
+            CAST(max(o_custkey) AS VARCHAR) AS c_max,
+            sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+            count(DISTINCT o_orderstatus) AS s_distinct,
+            CAST(min(o_orderstatus) AS VARCHAR) AS s_min,
+            CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+            sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+            count(DISTINCT o_totalprice) AS t_distinct,
+            printf('%.2f', min(o_totalprice)) AS t_min,
+            printf('%.2f', max(o_totalprice)) AS t_max,
+            sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+            count(DISTINCT o_orderpriority) AS p_distinct,
+            CAST(min(o_orderpriority) AS VARCHAR) AS p_min,
+            CAST(max(o_orderpriority) AS VARCHAR) AS p_max
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, CAST(k_nulls AS BIGINT) AS n_nulls,
+           CAST(k_distinct AS BIGINT) AS n_distinct, k_min AS min_value, k_max AS max_value FROM w
+    UNION ALL
+    SELECT 'o_custkey', CAST(c_nulls AS BIGINT), CAST(c_distinct AS BIGINT), c_min, c_max FROM w
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(s_nulls AS BIGINT), CAST(s_distinct AS BIGINT), s_min, s_max FROM w
+    UNION ALL
+    SELECT 'o_totalprice', CAST(t_nulls AS BIGINT), CAST(t_distinct AS BIGINT), t_min, t_max FROM w
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(p_nulls AS BIGINT), CAST(p_distinct AS BIGINT), p_min, p_max FROM w
 """
