@@ -35,6 +35,20 @@ BENCH_QUERIES = [
     "q19_discounted_revenue",
     "q22_global_sales_opportunity",
     "filter_dsl_in_gt",
+    "filter_dsl_and_or",
+    "backfill_time_range",
+    "events_value_delta",
+    "cube_order_stats",
+    "distinct_buyers_per_segment",
+    "semi_join_buyers",
+    "anti_join_never_urgent",
+    "window_topn_per_group",
+    "top1_order",
+    "set_intersect_buyers",
+    "set_except_no_orders",
+    "hex_projection",
+    "graph_nodes",
+    "dedup_ngram_jaccard",
     "join_left_ordered_agg",
     "latest_event_per_user",
     "tumbling_event_counts",

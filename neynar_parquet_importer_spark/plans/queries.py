@@ -10,8 +10,10 @@ Conventions (driver contract):
 - timestamps are projected as dates or epoch bigints (the events table is
   nanosecond-precision parquet, which Spark truncates to micros — raw
   timestamp output would hash-mismatch by design, not by bug);
-- queries with no SQL-expressible oracle (MinHash/SimHash/LSH/multimodal)
-  are registered without an ORACLE_SQL entry -> driver rows-only check.
+- queries with no SQL-expressible oracle (the xxhash64-based MinHash/
+  SimHash families, seeded-LSH/IVF probes, approximate sketches) are
+  registered without an ORACLE_SQL entry -> driver rows-only check,
+  backed by recall/containment property tests in tests/test_operators.py.
 """
 
 from __future__ import annotations
@@ -1222,37 +1224,45 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the orders table: one row per column with
     null count, exact distinct count, and min/max rendered as strings.
-    Single scan, one aggregate producing every stat as a column, then an
-    unpivot (stack) to rows — profiling never reads the table twice."""
+
+    One branch per column — groupBy(value) hash-agg then a tiny final
+    aggregate — unioned. NOT a single agg with five count_distincts:
+    multi-distinct aggregation plans as Expand (5x every row) feeding a
+    SortAggregate, measured ~3 s at sf0.1 vs ~0.3 s for these unioned
+    two-level hash aggregates, each over a pruned one-column scan."""
     orders = _t(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
-    aggs = []
+    branches = []
     for c in cols:
         if c == "o_totalprice":
             # fixed %.2f: a raw double->string cast goes scientific at
             # different magnitudes in different engines
-            mn = F.format_string("%.2f", F.min(F.col(c)))
-            mx = F.format_string("%.2f", F.max(F.col(c)))
+            mn = F.format_string("%.2f", F.min(F.col("v")))
+            mx = F.format_string("%.2f", F.max(F.col("v")))
         else:
-            mn = F.min(F.col(c)).cast("string")
-            mx = F.max(F.col(c)).cast("string")
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            mn.alias(f"{c}__min"),
-            mx.alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_expr = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_expr}) "
-            "as (column_name, n_nulls, n_distinct, min_value, max_value)"
+            mn = F.min(F.col("v")).cast("string")
+            mx = F.max(F.col("v")).cast("string")
+        lvl1 = orders.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-    )
+        branches.append(
+            lvl1.agg(
+                F.sum(
+                    F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0)
+                ).alias("n_nulls"),
+                F.sum(F.col("v").isNotNull().cast("long")).alias("n_distinct"),
+                mn.alias("min_value"),
+                mx.alias("max_value"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+                F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                "min_value",
+                "max_value",
+            )
+        )
+    return reduce(DataFrame.unionAll, branches)
 
 
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
