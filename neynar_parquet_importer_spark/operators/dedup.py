@@ -447,6 +447,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex of the (undirected) edge set;
     component = the minimum vertex id reachable from the vertex.
@@ -455,19 +456,49 @@ def connected_components(
     LSH / SimHash) emits edges, components group transitively-linked
     documents, and min-id-per-component picks the canonical keeper.
 
-    Iterative min-label propagation as a driver loop over DataFrame ops:
-    each round joins labels across edges both ways and takes the min; the
-    loop stops when a round changes no label (checked with an aggregate,
-    not a collect of data rows). Rounds = graph diameter, which for
-    near-dup clusters is tiny (dup groups are cliques or near-cliques).
-    Each round is one shuffle join + one aggregate — at 100 TB this is
-    the standard scalable formulation (alternating star contraction is
-    the upgrade path for adversarially long chains; max_iter bounds
-    runaway graphs either way).
+    Hybrid execution (what GraphFrames-style CC also converges to): the
+    near-dup edge set is a tiny contraction of the corpus — pair
+    detection already collapsed 100 TB of documents into pairs — so when
+    it fits comfortably at the driver (<= ``driver_threshold`` edges, a
+    ~16 MB collect at the default), a local union-find answers in one
+    pass instead of paying diameter × (shuffle join + aggregate) jobs
+    on KB-sized frames. Above the threshold, iterative min-label
+    propagation as a driver loop over DataFrame ops: each round joins
+    labels across edges both ways and takes the min; the loop stops when
+    a round changes no label (checked with an aggregate, not a collect
+    of data rows). Rounds = graph diameter, tiny for near-dup clusters
+    (dup groups are cliques or near-cliques); max_iter bounds runaway
+    graphs. Both paths produce identical min-id labelings
+    (tests/test_operators.py forces each and compares).
     """
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    if driver_threshold > 0:
+        head = sym.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in head:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min id so roots ARE the component labels
+                    lo, hi = min(ru, rv), max(ru, rv)
+                    parent[hi] = lo
+            rows = [(x, find(x)) for x in parent]
+            return edges.sparkSession.createDataFrame(
+                rows, "id long, component long"
+            )
+
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = _persist(sym)
     labels = _persist(

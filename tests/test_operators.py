@@ -472,3 +472,21 @@ def test_sketch_aggregates_error_bounds(spark):
         # allow 2% value slack for interpolation differences
         assert abs(r.price_p50 - p50) / p50 <= 0.02, status
         assert abs(r.price_p95 - p95) / p95 <= 0.02, status
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The union-find shortcut (small edge sets) and the iterative
+    min-label loop must produce identical min-id labelings."""
+    from neynar_parquet_importer_spark.operators.dedup import connected_components
+
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(tuple(r) for r in connected_components(df).collect())
+    dist = sorted(
+        tuple(r) for r in connected_components(df, driver_threshold=0).collect()
+    )
+    assert fast == dist
