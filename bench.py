@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "unigram_logprob_score",
     "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
     "embedding_near_dup_lsh",
     "dedup_exact_documents",
     "dedup_minhash_lsh",

@@ -696,14 +696,11 @@ def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
     return _EMB_DIM_CACHE[sf_dir]
 
 
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.5, id_a < id_b).
-
-    Exact all-pairs via a broadcast cross join; the dot product is a
-    JVM fold. At 100 TB the same plan shape holds with the corpus blocked:
-    broadcast one block, stream the other (O(n^2/B) per executor-resident
-    block), or pre-prune with the hyperplane-LSH bucketer in
-    operators.similarity."""
+def _embedding_exact_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (id_a < id_b) — shared by the
+    near-dup pair query (0.5) and the cluster query (0.4)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
     # flatten to scalar columns: array higher-order folds are interpreted,
@@ -737,9 +734,31 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(denom > 0, dot("a", "b") / denom).otherwise(F.lit(0.0))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= 0.5)
+        .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.5, id_a < id_b).
+
+    Exact all-pairs via a broadcast cross join; the dot product is a
+    JVM fold. At 100 TB the same plan shape holds with the corpus blocked:
+    broadcast one block, stream the other (O(n^2/B) per executor-resident
+    block), or pre-prune with the hyperplane-LSH bucketer in
+    operators.similarity."""
+    return _embedding_exact_pairs(spark, sf_dir, 0.5)
+
+
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clustering: exact cosine pairs (>= 0.4) ->
+    connected components -> canonical keeper per cluster. The embedding
+    twin of dedup_clusters; the oracle recomputes the pairs and the
+    transitive closure with a recursive CTE, so the iterative/union-find
+    clustering is value-checked end-to-end on this modality too."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = _embedding_exact_pairs(spark, sf_dir, 0.4).select("id_a", "id_b")
+    return dd.dedup_cluster_keepers(emb, pairs, "vec_id")
 
 
 def sketch_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,6 +1737,7 @@ QUERIES = {
     "range_join_shipments": range_join_shipments,
     "asof_latest_order_per_event": asof_latest_order_per_event,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_dedup_clusters": embedding_dedup_clusters,
     "dedup_exact_documents": dedup_exact_documents,
     "latest_event_per_user": latest_event_per_user,
     "window_topn_per_group": window_topn_per_group,
@@ -2856,4 +2876,29 @@ ORACLE_SQL["table_profile_orders"] = """
     SELECT 'o_totalprice', CAST(t_nulls AS BIGINT), CAST(t_distinct AS BIGINT), t_min, t_max FROM w
     UNION ALL
     SELECT 'o_orderpriority', CAST(p_nulls AS BIGINT), CAST(p_distinct AS BIGINT), p_min, p_max FROM w
+"""
+
+ORACLE_SQL["embedding_dedup_clusters"] = """
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE c >= 0.4
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS vec_id,
+           least(src, min(dst)) AS component,
+           (src = least(src, min(dst))) AS keep
+    FROM reach
+    GROUP BY src
 """
