@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "doc_novelty",
     "pack_training_sequences",
     "table_profile_orders",
+    "events_interval_pairs",
     "text_token_count",
     "text_quality",
     "text_lang_id",

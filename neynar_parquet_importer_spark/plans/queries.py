@@ -1240,6 +1240,54 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval self-join: per user, count event pairs occurring
+    within 10 minutes of each other ((t1, t1+600s], microsecond-exact).
+
+    A naive time-range self-join is a per-user nested loop — O(k^2) rows
+    per key with no equi-condition for the hash join to use. The banding
+    trick makes it an equi-join: bucket time into window-sized bands, a
+    successor event must land in the same or next band, so the left side
+    probes (bucket, bucket+1) and the join runs hash-partitioned on
+    (user, band); the exact interval predicate filters inside the join.
+    Each qualifying pair matches exactly once (its successor band is one
+    of the two probes). This is the standard range-join optimization —
+    shuffle stays O(events), never O(pairs)."""
+    window_us = 600 * 1_000_000
+    # ts is TIMESTAMP_NTZ: diff against the NTZ epoch is timezone-
+    # independent (unix_micros would force a session-zone cast)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id", micros.alias("t"))
+    left = ev.select(
+        "user_id",
+        F.col("t").alias("t1"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t") / window_us),
+                F.floor(F.col("t") / window_us) + 1,
+            )
+        ).alias("band"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("t").alias("t2"),
+        F.floor(F.col("t") / window_us).alias("r_band"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("band") == F.col("r_band"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") - F.col("t1") <= window_us),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the orders table: one row per column with
     null count, exact distinct count, and min/max rendered as strings.
@@ -1772,6 +1820,7 @@ QUERIES = {
     "doc_novelty": doc_novelty,
     "pack_training_sequences": pack_training_sequences,
     "table_profile_orders": table_profile_orders,
+    "events_interval_pairs": events_interval_pairs,
     "q15_top_supplier": q15_top_supplier,
     "q12_priority_shipping": q12_priority_shipping,
     "balance_distribution_by_segment": balance_distribution_by_segment,
@@ -2901,4 +2950,12 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["events_interval_pairs"] = """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b ON a.user_id = b.user_id
+      AND epoch_us(b.ts) > epoch_us(a.ts)
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 600 * 1000000
+    GROUP BY a.user_id
 """

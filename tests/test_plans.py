@@ -297,3 +297,14 @@ def test_sequence_packing_never_single_partition_window(spark):
     assert "rangepartitioning" in plan.lower()  # phase-1 ordered split
     # the only windows run per-pid, so no single-partition exchange feeds one
     assert "Exchange SinglePartition" not in plan
+
+
+def test_interval_self_join_is_hash_banded(spark):
+    """The banded interval self-join must plan as an equi hash/sort-merge
+    join on (user, band) — never a nested-loop over per-user pairs."""
+    plan = _plan(spark, "events_interval_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
