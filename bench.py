@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "pack_training_sequences",
     "table_profile_orders",
     "events_interval_pairs",
+    "weighted_sample_docs",
     "text_token_count",
     "text_quality",
     "text_lang_id",

@@ -161,3 +161,36 @@ def stratified_sample(
     for value, frac in fractions.items():
         thresh = F.when(F.col(strata_col) == F.lit(value), F.lit(threshold_hex(frac))).otherwise(thresh)
     return df.filter(h < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row draws a uniform u from the md5
+    of its key (the same engine-portable draw as :func:`hash_sample`)
+    and scores ``-ln(u) / w``; the k smallest scores win. Inclusion
+    probability is proportional to weight; the sample is a pure function
+    of (keys, weights, seed) — reproducible across engines, runs, and
+    partitionings, and it plans as TakeOrderedAndProject (per-partition
+    heap + k-row driver merge), never a global sort.
+
+    u is mapped to (0, 1] via (hash+1)/2^32 so ln() never sees zero.
+    Rows with weight <= 0 are excluded (zero-weight rows must never beat
+    a weighted one)."""
+    u = (
+        F.conv(hash_hex(list(key_cols), seed), 16, 10).cast("double") + 1.0
+    ) / float(_HEX_SPAN)
+    w = F.col(weight_col).cast("double")
+    score = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__wscore", score)
+        .orderBy(F.col("__wscore").asc(), *[F.col(c) for c in key_cols])
+        .limit(k)
+        .drop("__wscore")
+    )

@@ -1240,6 +1240,17 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis, weight =
+    n_chars): longer documents are proportionally likelier, yet the
+    sample is a pure function of (doc_id, n_chars, seed) — identical in
+    any engine, as the oracle proves by replaying the same md5-uniform
+    and -ln(u)/w scoring in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.weighted_sample(docs, ["doc_id"], "n_chars", k=50, seed="wdocs")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded interval self-join: per user, count event pairs occurring
     within 10 minutes of each other ((t1, t1+600s], microsecond-exact).
@@ -1821,6 +1832,7 @@ QUERIES = {
     "pack_training_sequences": pack_training_sequences,
     "table_profile_orders": table_profile_orders,
     "events_interval_pairs": events_interval_pairs,
+    "weighted_sample_docs": weighted_sample_docs,
     "q15_top_supplier": q15_top_supplier,
     "q12_priority_shipping": q12_priority_shipping,
     "balance_distribution_by_segment": balance_distribution_by_segment,
@@ -2958,4 +2970,18 @@ ORACLE_SQL["events_interval_pairs"] = """
       AND epoch_us(b.ts) > epoch_us(a.ts)
       AND epoch_us(b.ts) - epoch_us(a.ts) <= 600 * 1000000
     GROUP BY a.user_id
+"""
+
+ORACLE_SQL["weighted_sample_docs"] = """
+    SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               -ln((CAST(concat('0x', substr(md5('wdocs' || ':' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                   / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS score
+        FROM documents
+        WHERE CAST(n_chars AS DOUBLE) > 0
+        ORDER BY score ASC, doc_id
+        LIMIT 50
+    )
 """

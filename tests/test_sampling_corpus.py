@@ -354,3 +354,34 @@ def test_sequence_packing_spans(spark):
     assert (got[2]["first_seq"], got[2]["last_seq"]) == (0, 2)   # [10,35) spans 3
     assert got[2]["n_seqs"] == 3
     assert (got[3]["first_seq"], got[3]["last_seq"]) == (2, 2)   # [35,40)
+
+
+def test_weighted_sample_properties(spark, docs):
+    """Weighted sampling: deterministic across repartitionings, excludes
+    non-positive weights, and heavier rows win more often (measured over
+    seeds on a two-weight population)."""
+    from neynar_parquet_importer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i < 20 else 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    a = {r["doc_id"] for r in weighted_sample(df, ["doc_id"], "w", 30).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), ["doc_id"], "w", 30).collect()
+    }
+    assert a == b  # layout-invariant
+
+    zero = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(zero, ["doc_id"], "w", 3).collect()}
+    assert got == {3}
+
+    heavy_wins = 0
+    for seed in ("s1", "s2", "s3"):
+        s = {
+            r["doc_id"]
+            for r in weighted_sample(df, ["doc_id"], "w", 30, seed=seed).collect()
+        }
+        heavy_wins += len([i for i in s if i < 20])
+    # 20 heavy rows at 100x weight should dominate the 30-row sample
+    assert heavy_wins / 3 >= 15, heavy_wins
