@@ -132,10 +132,31 @@ def fold_counts_batch(
     the batch (O(batch) work + bucket-pruned sink merges, never a
     state-sized rewrite). Stale replays (batch version older than the
     sink's) are filtered before the delta so a reordered window can't
-    double-count; an unchanged restatement deltas to zero, so re-running
-    a batch after a crash-and-rollback is idempotent.
+    double-count.
+
+    Crash-idempotency relies on an EPOCH GUARD, not on the delta being
+    zero: the counts upsert runs first and stamps ``epoch`` as its
+    version, so a crash between the two upserts leaves the counts
+    applied but the edges un-advanced — a naive replay would recompute
+    the same delta against the OLD edge state and double-apply it. On
+    replay, a counts sink already at >= epoch skips straight to the edge
+    upsert (itself idempotent via the recency guard). Epochs must be
+    strictly increasing across batches, which foreachBatch guarantees.
     """
     from ..operators.dedup import last_writer_wins
+
+    existing = counts_sink.read()
+    if (
+        existing is not None
+        and existing.filter(F.col(version_column) >= epoch).limit(1).count() > 0
+    ):
+        # counts already absorbed this epoch (crash after the counts
+        # upsert); only the edge-state advance can still be pending
+        edge_sink.upsert(
+            last_writer_wins(batch, ["fid", "target_fid"], [F.desc(version_column)]),
+            epoch,
+        )
+        return
 
     latest = last_writer_wins(
         batch, ["fid", "target_fid"], [F.desc(version_column)]

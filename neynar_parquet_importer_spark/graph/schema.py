@@ -51,6 +51,13 @@ _SCHEMA_GROUPS: list[tuple[frozenset[str] | None, list[str]]] = [
         ],
     ),
     (
+        # NOTE: deliberately ONE group for both relationship families —
+        # the reference's _create_relationship_indexes (neo4j_schema.py:
+        # 57-60,122-140) creates the FOLLOWS and VERIFIED_ADDRESS indexes
+        # together whenever ANY relationship table is selected, so a
+        # follows-only deployment also gets VERIFIED_ADDRESS indexes.
+        # Faithful over minimal: splitting would diverge from the
+        # reference's observable DDL.
         frozenset(
             {
                 "follows",

@@ -189,8 +189,11 @@ def passage_dedup(
     exact_dedup) so the global group-by shuffles 16-byte keys + two
     longs, never passage text; the rejoin carries passage text only as
     far as the per-document reassembly, which is co-partitioned by id.
+    The first occurrence is min(struct(id, chunk_idx)) — lexicographic
+    struct ordering, no arithmetic key that could overflow 64-bit ids or
+    collide past 1M chunks.
     """
-    key = (F.col("id") * F.lit(1_000_000) + F.col("chunk_idx")).alias("k")
+    key = F.struct(F.col("id"), F.col("chunk_idx")).alias("k")
     chunks = passage_chunks(df, text_col, id_col, chunk_words).select(
         "id", "chunk_idx", "chunk", key, F.md5(F.col("chunk")).alias("chash")
     )

@@ -471,8 +471,13 @@ def connected_components(
     graphs. Both paths produce identical min-id labelings
     (tests/test_operators.py forces each and compares).
     """
-    sym = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    # persist BEFORE the size probe: edges usually come off an expensive
+    # pair-detection job, and both the probe and whichever path follows
+    # must read from the materialization, not recompute upstream
+    sym = _persist(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
     )
     if driver_threshold > 0:
         head = sym.limit(driver_threshold + 1).collect()
@@ -499,8 +504,9 @@ def connected_components(
                 rows, "id long, component long"
             )
 
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = _persist(sym)
+    sym = _persist(
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     labels = _persist(
         sym.select("u").distinct().select("u", F.col("u").alias("comp"))
     )

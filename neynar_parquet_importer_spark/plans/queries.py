@@ -1115,8 +1115,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter(F.col("l_shipdate").cast("date")).cast("long").alias("ship_quarter")
         )
         .agg(
-            F.sum(high.cast("long")).alias("high_line_count"),
-            F.sum((~high).cast("long")).alias("low_line_count"),
+            # when/otherwise (not bool.cast) so a NULL priority counts as
+            # low, matching the oracle's CASE ... ELSE 1 exactly
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
 
@@ -2746,19 +2748,20 @@ ORACLE_SQL["passage_dedup_docs"] = """
                array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
         FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
     ),
-    firsts AS (
-        SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS first_key
-        FROM chunks GROUP BY chunk
+    ranked AS (
+        SELECT doc_id, chunk_idx, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
     )
-    SELECT c.doc_id,
+    SELECT doc_id,
            count(*) AS n_chunks,
-           CAST(sum(CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
-                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
            md5(COALESCE(string_agg(
-               CASE WHEN c.doc_id * 1000000 + c.chunk_idx = f.first_key
-                    THEN c.chunk END, ' ' ORDER BY c.chunk_idx), '')) AS kept_text_md5
-    FROM chunks c JOIN firsts f USING (chunk)
-    GROUP BY c.doc_id
+               CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), ''))
+               AS kept_text_md5
+    FROM ranked
+    GROUP BY doc_id
 """
 
 ORACLE_SQL["doc_novelty"] = """
@@ -2866,7 +2869,7 @@ ORACLE_SQL["user_first_last_event"] = """
 ORACLE_SQL["multimodal_features"] = """
     SELECT doc_id AS media_id,
            'text/plain' AS mime_type,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(octet_length(CAST(text AS BLOB)), 0) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha256,
            array_to_string(
              list_transform(range(8), i ->

@@ -162,3 +162,38 @@ def test_sink_as_state_fold_random_lifecycles(spark, tmp_path):
     got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
     want = sorted(tuple(r) for r in full.collect())
     assert got == want
+
+
+def test_sink_as_state_fold_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash between the counts upsert and the edge upsert, then replay
+    the same batch: the epoch guard must not double-apply the delta."""
+    import shutil
+
+    from neynar_parquet_importer_spark.graph.counts import (
+        fold_counts_batch,
+        read_counts,
+    )
+    from neynar_parquet_importer_spark.sinks import LakeUpsertSink
+
+    schema = "fid long, target_fid long, deleted_at string, updated_at long"
+    e_root, c_root = str(tmp_path / "e"), str(tmp_path / "c")
+    edge_sink = LakeUpsertSink(spark, e_root, ("fid", "target_fid"), "updated_at")
+    counts_sink = LakeUpsertSink(spark, c_root, ("fid",), "updated_at")
+
+    b1 = spark.createDataFrame([(1, 2, None, 10)], schema)
+    fold_counts_batch(spark, edge_sink, counts_sink, b1, 1)
+    # snapshot the edge sink BEFORE batch 2 so we can roll it back
+    shutil.copytree(e_root, str(tmp_path / "e_snap"))
+
+    b2 = spark.createDataFrame([(2, 3, None, 20)], schema)
+    fold_counts_batch(spark, edge_sink, counts_sink, b2, 2)
+
+    # simulate the crash: counts absorbed epoch 2, edge advance lost
+    shutil.rmtree(e_root)
+    shutil.copytree(str(tmp_path / "e_snap"), e_root)
+    edge_sink = LakeUpsertSink(spark, e_root, ("fid", "target_fid"), "updated_at")
+
+    fold_counts_batch(spark, edge_sink, counts_sink, b2, 2)  # replay
+    got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
+    assert got == [(1, 0, 1), (2, 1, 1), (3, 1, 0)], got
+    assert edge_sink.read().count() == 2  # edge advance completed on replay

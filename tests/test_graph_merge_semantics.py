@@ -119,9 +119,13 @@ def test_graph_schema_gating():
     base = graph_schema_statements([])
     assert len(base) == 1 and "ImportTracking" in base[0]
 
-    # follows alone: tracking + relationship indexes, no node schemas
+    # follows alone: tracking + relationship indexes, no node schemas.
+    # Both relationship families appear — the reference's
+    # _create_relationship_indexes emits FOLLOWS and VERIFIED_ADDRESS
+    # together whenever any relationship table is selected
     s = "\n".join(graph_schema_statements(["follows"]))
-    assert "FOLLOWS" in s and "user_fid_unique" not in s and "address_unique" not in s
+    assert "FOLLOWS" in s and "VERIFIED_ADDRESS" in s
+    assert "user_fid_unique" not in s and "address_unique" not in s
 
     # verifications triggers BOTH address schema and relationship indexes
     s = "\n".join(graph_schema_statements(["nindexer_verifications"]))
