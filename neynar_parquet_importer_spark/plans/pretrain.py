@@ -44,6 +44,15 @@ from ..operators.corpus import ngram_contamination
 DEFAULT_STRAT_FRACTIONS = {"en": 0.8, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
 DEFAULT_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
+# The streaming leg inlines the benchmark's distinct shingles as a literal
+# array (a stream-static join-back of exploded shingles would be
+# stream-stream, which Structured Streaming rejects). Literal arrays are
+# compiled into the physical plan, so their size is bounded hard: past this
+# many shingles the plan blows up Janino codegen / driver memory and the
+# caller must pre-reduce the benchmark (or run the batch leg, which
+# broadcast-joins and has no such limit).
+MAX_STREAM_BENCH_SHINGLES = 50_000
+
 
 def pretrain_pipeline(
     docs: DataFrame,
@@ -163,8 +172,18 @@ def curate_stream(
             for r in distinct_shingles(benchmark, text_col, id_col, shingle_n)
             .select("shingle")
             .distinct()
+            .limit(MAX_STREAM_BENCH_SHINGLES + 1)
             .collect()
         ]
+        if len(bench_shingles) > MAX_STREAM_BENCH_SHINGLES:
+            raise ValueError(
+                "curate_stream: benchmark has more than "
+                f"{MAX_STREAM_BENCH_SHINGLES} distinct shingles; a literal "
+                "array that large is unsafe to compile into a streaming "
+                "plan. Pre-reduce the benchmark or use the batch leg "
+                "(pretrain_pipeline), which decontaminates via a broadcast "
+                "join with no size limit."
+            )
         bench_arr = F.array(*[F.lit(s) for s in bench_shingles])
         gated = gated.filter(
             ~F.arrays_overlap(shingle_array(text_col, shingle_n), bench_arr)

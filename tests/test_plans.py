@@ -308,3 +308,17 @@ def test_interval_self_join_is_hash_banded(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_pretrain_batch_decontamination_is_broadcast_anti_shape(spark):
+    """The batch curation leg must decontaminate via the exploded-shingle
+    broadcast join (ngram_contamination's shape), never the streaming
+    leg's literal-array arrays_overlap filter: a literal is compiled into
+    the plan and a real eval suite (100k+ docs) would blow up codegen.
+    The plan must show the benchmark side broadcast and contain no
+    arrays_overlap expression."""
+    plan = _plan(spark, "pretrain_curated_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "arrays_overlap" not in plan
+    # a literal shingle array would balloon the plan string; bound it
+    assert len(plan) < 200_000

@@ -127,3 +127,21 @@ def test_curate_stream_decontaminates(spark, tmp_path):
     q.awaitTermination(120)
 
     assert [r.doc_id for r in out] == [2], "contaminated doc must be dropped"
+
+
+def test_curate_stream_rejects_oversized_benchmark(spark, monkeypatch):
+    """The streaming leg inlines benchmark shingles as a plan literal, so
+    its size is bounded hard: past MAX_STREAM_BENCH_SHINGLES the call must
+    raise (pointing at the batch leg) rather than compile a plan-killing
+    literal. The limit is lowered here so the test stays fast."""
+    from neynar_parquet_importer_spark.plans import pretrain as P
+
+    monkeypatch.setattr(P, "MAX_STREAM_BENCH_SHINGLES", 3)
+    bench = spark.createDataFrame(
+        [(100, GOOD, "en")], DOC_SCHEMA
+    )  # GOOD has far more than 3 distinct 3-gram shingles
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(
+        "/tmp/nonexistent-never-started/*"
+    )
+    with pytest.raises(ValueError, match="batch leg"):
+        curate_stream(stream, benchmark=bench)
