@@ -384,6 +384,111 @@ def lsh_near_dup_pairs(
     )
 
 
+def exact_cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold as distributed block-pair BLAS.
+
+    An exact threshold join over dense embeddings is inherently O(n^2)
+    *comparisons* — no candidate pruning can cut that without losing
+    borderline pairs (at thresholds near the data's bulk, e.g. 0.4 on
+    random vectors, LSH recall collapses; see ``lsh_near_dup_pairs`` for
+    the approximate regime). What CAN scale is how the n^2 work runs:
+    instead of broadcasting the corpus and comparing row-at-a-time in
+    codegen, vectors are hashed into ``n_blocks`` blocks and every block
+    pair (i <= j) becomes one task that computes the cross-block cosine
+    matrix as a numpy/BLAS matmul over Arrow batches.
+
+    Scale shape: no broadcast of the corpus (each task holds two blocks),
+    work splits into B(B+1)/2 independent tasks (pick B so a block fits
+    executor memory: replication factor is B, shuffle volume n*B rows),
+    and the per-pair cost drops from an interpreted/codegen multiply-add
+    chain to BLAS throughput. Output: (id_a < id_b, cos_raw), unrounded —
+    the caller applies its own rounding/filter presentation.
+
+    ``chunk_rows`` bounds the score-matrix memory per task
+    (chunk_rows x |block| doubles), so huge blocks stream instead of
+    materializing a |block|^2 matrix.
+    """
+    import numpy as np  # noqa: F401  (executors import inside the UDF)
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        # B(B+1)/2 tasks ~= 1-2x cores keeps every core busy without
+        # paying replication (factor B) for parallelism nobody uses
+        n_blocks = max(2, math.isqrt(2 * par))
+    B = int(n_blocks)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("bid"),
+    )
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda j: F.struct(
+            F.least(F.col("bid"), j).cast("int").alias("ti"),
+            F.greatest(F.col("bid"), j).cast("int").alias("tj"),
+        ),
+    )
+    rep = base.select("id", "v", "bid", F.explode(tasks).alias("t")).select(
+        "id", "v", "bid", F.col("t.ti").alias("ti"), F.col("t.tj").alias("tj")
+    )
+    thr = float(threshold)
+
+    def compute(key, pdf):
+        import numpy as np
+
+        ti, tj = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy()
+        x = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        if ti == tj:
+            a_ids, b_ids, a_x, b_x, a_n, b_n = ids, ids, x, x, nrm, nrm
+        else:
+            am = (pdf["bid"] == ti).to_numpy()
+            a_ids, b_ids = ids[am], ids[~am]
+            a_x, b_x = x[am], x[~am]
+            a_n, b_n = nrm[am], nrm[~am]
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(a_ids), chunk_rows):
+            e = s + chunk_rows
+            scores = a_x[s:e] @ b_x.T
+            denom = np.outer(a_n[s:e], b_n)
+            cos = np.divide(
+                scores, denom, out=np.zeros_like(scores), where=denom > 0
+            )
+            ii, jj = np.nonzero(cos >= thr)
+            ia, ib = a_ids[s:e][ii], b_ids[jj]
+            if ti == tj:
+                keep = ia < ib  # upper triangle by id, diagonal excluded
+                ii, jj, ia, ib = ii[keep], jj[keep], ia[keep], ib[keep]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_c.append(cos[ii, jj])
+        cat = (
+            lambda parts, dt: np.concatenate(parts).astype(dt)
+            if parts
+            else np.array([], dtype=dt)
+        )
+        return pd.DataFrame(
+            {
+                "id_a": cat(out_a, np.int64),
+                "id_b": cat(out_b, np.int64),
+                "cos_raw": cat(out_c, np.float64),
+            }
+        )
+
+    return rep.groupBy("ti", "tj").applyInPandas(
+        compute, "id_a long, id_b long, cos_raw double"
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: Sequence[float],

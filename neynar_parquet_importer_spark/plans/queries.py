@@ -700,7 +700,29 @@ def _embedding_exact_pairs(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (id_a < id_b) — shared by the
-    near-dup pair query (0.5) and the cluster query (0.4)."""
+    near-dup pair query (0.5) and the cluster query (0.4).
+
+    Primary plan: distributed block-pair BLAS matmuls
+    (operators.similarity.exact_cosine_pairs_blocked) — exact O(n^2)
+    semantics with no corpus broadcast and per-pair cost at matmul speed.
+    The flattened-codegen cross join below
+    (_embedding_exact_pairs_unblocked) is kept as the oracle-shape twin:
+    its left-assoc dot matches DuckDB's sequential list_dot_product
+    bit-for-bit, and tests/test_operators.py proves blocked == unblocked
+    on the real corpus, transitively anchoring the BLAS path to the SQL
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.exact_cosine_pairs_blocked(emb, threshold)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim")
+    )
+
+
+def _embedding_exact_pairs_unblocked(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """The broadcast cross-join form of the exact pair scan (oracle-shape
+    twin of _embedding_exact_pairs; see its docstring)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
     # flatten to scalar columns: array higher-order folds are interpreted,
@@ -742,11 +764,13 @@ def _embedding_exact_pairs(
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.5, id_a < id_b).
 
-    Exact all-pairs via a broadcast cross join; the dot product is a
-    JVM fold. At 100 TB the same plan shape holds with the corpus blocked:
-    broadcast one block, stream the other (O(n^2/B) per executor-resident
-    block), or pre-prune with the hyperplane-LSH bucketer in
-    operators.similarity."""
+    Exact all-pairs, executed as distributed block-pair BLAS matmuls (no
+    corpus broadcast; B(B+1)/2 independent tasks). Exactness matters here:
+    at thresholds near the data's bulk similarity, candidate pruning (LSH)
+    cannot keep recall without scanning ~everything, so the scale lever is
+    the arithmetic rate, not the comparison count. For the genuinely
+    approximate regime (high-cos planted dups), embedding_near_dup_lsh is
+    the pruned twin."""
     return _embedding_exact_pairs(spark, sf_dir, 0.5)
 
 
@@ -755,9 +779,32 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components -> canonical keeper per cluster. The embedding
     twin of dedup_clusters; the oracle recomputes the pairs and the
     transitive closure with a recursive CTE, so the iterative/union-find
-    clustering is value-checked end-to-end on this modality too."""
+    clustering is value-checked end-to-end on this modality too.
+
+    The pair scan is the blocked-BLAS exact plan (see
+    _embedding_exact_pairs): at this 0.4 threshold the corpus' pair
+    population is entirely borderline (cos 0.4-0.6 — measured, no planted
+    high-cos mass), where hyperplane-LSH recall is provably poor, so a
+    pruned candidate set would silently drop edges and change components.
+    embedding_dedup_clusters_lsh is the pruned twin for the planted-dup
+    regime where recall genuinely holds."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = _embedding_exact_pairs(spark, sf_dir, 0.4).select("id_a", "id_b")
+    return dd.dedup_cluster_keepers(emb, pairs, "vec_id")
+
+
+def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of embedding_dedup_clusters: candidate pairs from
+    multi-table hyperplane LSH + exact-cosine rerank (precision 1), then
+    the same connected-components + canonical-keeper step. Rows-only
+    oracle — the candidate set depends on the engine's plane hashes. In
+    the regime near-dup dedup actually targets (planted dups, cos >= ~0.9)
+    recall ~= 1 and the clusters match the exact plan output exactly
+    (tests/test_operators.py proves it on a planted corpus); at borderline
+    thresholds the exact blocked plan above is the ground truth."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb, sf_dir)
+    pairs = sim.lsh_near_dup_pairs(emb, dim, threshold=0.5).select("id_a", "id_b")
     return dd.dedup_cluster_keepers(emb, pairs, "vec_id")
 
 
@@ -1799,6 +1846,7 @@ QUERIES = {
     "asof_latest_order_per_event": asof_latest_order_per_event,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_dedup_clusters": embedding_dedup_clusters,
+    "embedding_dedup_clusters_lsh": embedding_dedup_clusters_lsh,
     "dedup_exact_documents": dedup_exact_documents,
     "latest_event_per_user": latest_event_per_user,
     "window_topn_per_group": window_topn_per_group,

@@ -490,3 +490,67 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
         tuple(r) for r in connected_components(df, driver_threshold=0).collect()
     )
     assert fast == dist
+
+
+def test_blocked_exact_pairs_match_codegen_twin(spark):
+    """The primary pair scan (block-pair BLAS matmuls) must produce the
+    IDENTICAL pair set and rounded cosines as the flattened-codegen cross
+    join whose left-assoc dot matches the DuckDB oracle bit-for-bit —
+    this equality transitively anchors the BLAS plan to the SQL oracle."""
+    from neynar_parquet_importer_spark.plans.queries import (
+        _embedding_exact_pairs,
+        _embedding_exact_pairs_unblocked,
+    )
+
+    for thr in (0.4, 0.5):
+        blocked = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in _embedding_exact_pairs(spark, SF_CORRECT, thr).collect()
+        }
+        codegen = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in _embedding_exact_pairs_unblocked(
+                spark, SF_CORRECT, thr
+            ).collect()
+        }
+        assert blocked == codegen, f"threshold {thr}"
+
+
+def test_lsh_clusters_match_exact_on_planted_corpus(spark):
+    """In the regime near-dup dedup targets (planted dups at cos >= ~0.97),
+    LSH candidate recall is ~1 and the rerank has precision 1, so the
+    cluster output built from LSH pairs must equal the output built from
+    the exact blocked pair scan."""
+    import numpy as np
+
+    from neynar_parquet_importer_spark.operators.dedup import (
+        dedup_cluster_keepers,
+    )
+    from neynar_parquet_importer_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+    )
+
+    rng = np.random.RandomState(31)
+    dim, n_noise, n_groups = 64, 150, 12
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.randn(n_noise, dim))]
+    nid = n_noise
+    for _ in range(n_groups):
+        v = rng.randn(dim)
+        for _ in range(3):  # a 3-member clique per planted group
+            rows.append((nid, [float(x) for x in v + 0.03 * rng.randn(dim)]))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact_pairs = (
+        exact_cosine_pairs_blocked(df, 0.9)
+        .select("id_a", "id_b")
+    )
+    lsh_pairs = lsh_near_dup_pairs(df, dim, threshold=0.9).select("id_a", "id_b")
+    via_exact = sorted(
+        tuple(r) for r in dedup_cluster_keepers(df, exact_pairs, "vec_id").collect()
+    )
+    via_lsh = sorted(
+        tuple(r) for r in dedup_cluster_keepers(df, lsh_pairs, "vec_id").collect()
+    )
+    assert via_exact == via_lsh
+    assert len(via_exact) >= 3 * n_groups  # every planted clique clustered
