@@ -285,37 +285,77 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", jac.alias("jaccard"))
 
 
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
+def capped_distinct_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(id, shingle-hash, sz) — each document's distinct shingle set with
+    globally hot shingles (document frequency > ``max_shingle_df``)
+    removed, and ``sz`` = the capped set size.
+
+    The df-cap is the stop-shingle mitigation for inverted-index joins:
+    a shingle shared by d documents fans out to d(d-1)/2 pairs in a
+    self-join, so ONE boilerplate 3-gram in 1% of a 100 TB corpus makes
+    the pair aggregate quadratic in that posting list. Capping df bounds
+    per-key fanout at max_shingle_df^2 and removes exactly the shingles
+    that carry no near-dup signal (boilerplate shared across unrelated
+    documents). Semantics are explicit, not approximate: downstream
+    Jaccard is computed over the CAPPED sets on both sides of the ratio,
+    a rule the DuckDB oracles mirror verbatim.
+
+    The hot list itself is tiny (it's the df > cap tail), so it ships as
+    a broadcast anti-join — no extra shuffle of the shingle stream.
+    """
+    dist = (
+        _shingle_stream(df, text_col, id_col, shingle_n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            dist.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
+    return dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+
+
 def jaccard_all_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs above ``threshold`` — the
-    oracle-checkable ground truth the LSH family approximates.
+    oracle-checkable ground truth the LSH family approximates — computed
+    over df-capped shingle sets (see :func:`capped_distinct_shingles`).
 
     NOT a naive cross join: an inverted shingle index (explode -> equi-join
     on shingle -> count common) emits only pairs sharing >=1 shingle, which
     for any threshold > 0 is exactly the candidate set. One shuffle on the
     shingle key + one hash aggregate on the pair key; set sizes ride along
     with the exploded rows so no extra join is needed. At 100 TB the
-    shingle join is the textbook plan (frequency-skewed shingles are the
-    risk — AQE skew-split handles moderate skew; stop-shingle removal is
-    the standard mitigation beyond that).
+    shingle join is the textbook plan; frequency-skewed shingles are the
+    risk, and the df-cap removes them from BOTH candidate generation and
+    the Jaccard ratio (AQE skew-split covers what remains under the cap).
     """
     # shingle via the codegen'd stream, then DISTINCT per doc (Jaccard is
     # over shingle SETS) and the set size via a count window that reuses
     # the distinct's hash partitioning on id. The join key is the 64-bit
     # shingle hash, not the string — the shuffle carries 8-byte keys and
     # collisions are negligible (~n²/2^65).
-    dist = (
-        _shingle_stream(df, text_col, id_col, shingle_n)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
-    exploded = dist.withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    exploded = capped_distinct_shingles(
+        df, text_col, id_col, shingle_n, max_shingle_df
     )
     exploded = _persist(exploded)  # read twice by the self-join
     l, r = exploded.alias("l"), exploded.alias("r")

@@ -1133,10 +1133,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup clustering: exact-Jaccard pairs (>= 0.7) -> connected
-    components (iterative min-label propagation) -> canonical keeper per
-    cluster. The oracle twin computes the same components with a
-    recursive-CTE transitive closure, making this an ORACLE-CHECKED
+    """Dedup clustering: exact-Jaccard pairs (>= 0.7, over df-capped
+    shingle sets — the stop-shingle rule both engine and oracle apply) ->
+    connected components (iterative min-label propagation) -> canonical
+    keeper per cluster. The oracle twin computes the same components with
+    a recursive-CTE transitive closure, making this an ORACLE-CHECKED
     iterative algorithm."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(docs, "text", "doc_id", threshold=0.7).select(
@@ -2403,38 +2404,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "dedup_ngram_jaccard_allpairs": """
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s))::DOUBLE
-                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-                         6) AS jaccard
-            FROM (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 3
-                            THEN list_distinct(list_transform(
-                                   generate_series(1, len(t) - 2),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                            ELSE [array_to_string(t, ' ')] END AS s
-                FROM (SELECT doc_id,
-                             string_split_regex(trim(lower(text)), '\\s+') AS t
-                      FROM documents)
-            ) a
-            JOIN (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 3
-                            THEN list_distinct(list_transform(
-                                   generate_series(1, len(t) - 2),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                            ELSE [array_to_string(t, ' ')] END AS s
-                FROM (SELECT doc_id,
-                             string_split_regex(trim(lower(text)), '\\s+') AS t
-                      FROM documents)
-            ) b ON a.doc_id < b.doc_id
-        )
-        WHERE jaccard >= 0.5
-    """,
-    "dedup_clusters": """
-        WITH RECURSIVE sh AS (
+        -- Jaccard over df-capped shingle sets: shingles in more than 1000
+        -- documents (the engine's DEFAULT_MAX_SHINGLE_DF stop-shingle rule)
+        -- are removed from both sides of the ratio before pairing.
+        WITH base AS (
             SELECT doc_id,
                    CASE WHEN len(t) >= 3
                         THEN list_distinct(list_transform(
@@ -2444,6 +2417,44 @@ ORACLE_SQL: dict[str, str] = {
             FROM (SELECT doc_id,
                          string_split_regex(trim(lower(text)), '\\s+') AS t
                   FROM documents)
+        ), shx AS (
+            SELECT doc_id, unnest(s) AS shingle FROM base
+        ), hot AS (
+            SELECT shingle FROM shx GROUP BY shingle HAVING count(*) > 1000
+        ), capped AS (
+            SELECT doc_id, list(shingle) AS s
+            FROM shx ANTI JOIN hot USING (shingle)
+            GROUP BY doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.5
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE base AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct(list_transform(
+                               generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents)
+        ), shx AS (
+            SELECT doc_id, unnest(s) AS shingle FROM base
+        ), hot AS (
+            -- the engine's DEFAULT_MAX_SHINGLE_DF stop-shingle rule
+            SELECT shingle FROM shx GROUP BY shingle HAVING count(*) > 1000
+        ), sh AS (
+            SELECT doc_id, list(shingle) AS s
+            FROM shx ANTI JOIN hot USING (shingle)
+            GROUP BY doc_id
         ), pairs AS (
             SELECT id_a, id_b FROM (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

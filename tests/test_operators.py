@@ -554,3 +554,56 @@ def test_lsh_clusters_match_exact_on_planted_corpus(spark):
     )
     assert via_exact == via_lsh
     assert len(via_exact) >= 3 * n_groups  # every planted clique clustered
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
+    """Stop-shingle mitigation: one boilerplate sentence shared by 30% of
+    the corpus must not make the inverted-index self-join quadratic in its
+    posting list. The df-cap removes hot shingles from candidate
+    generation (bounding the shuffle-row count) while planted near-dup
+    pairs — whose signal lives in non-hot shingles — are still found."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        capped_distinct_shingles,
+        jaccard_all_pairs,
+    )
+
+    boiler = "all rights reserved by the publisher of this fine website"
+    rows = []
+    for i in range(1000):
+        unique = f"doc{i}a doc{i}b doc{i}c doc{i}d doc{i}e doc{i}f doc{i}g doc{i}h"
+        text = f"{unique} {boiler}" if i < 300 else unique
+        rows.append((i, text))
+    planted = set()
+    for p in range(3):
+        a, b = 2000 + 2 * p, 2000 + 2 * p + 1
+        body = f"planted{p} common phrase shared verbatim across this pair of documents {p}"
+        rows += [(a, body), (b, body + " tail")]
+        planted.add((a, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_candidates(cap):
+        s = capped_distinct_shingles(df, "text", "doc_id", 3, cap)
+        l, r = s.alias("l"), s.alias("r")
+        return l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        ).count()
+
+    hot_pairs = 300 * 299 // 2  # per hot shingle
+    uncapped = n_candidates(None)
+    capped = n_candidates(100)
+    assert uncapped >= hot_pairs, "hot shingle must dominate the uncapped join"
+    # the capped join must have shed the hot posting list's quadratic term
+    assert capped < uncapped - 5 * hot_pairs
+    assert capped < 1000  # only genuinely-shared rare shingles remain
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_all_pairs(
+            df, "text", "doc_id", threshold=0.5, max_shingle_df=100
+        ).collect()
+    }
+    assert planted <= got, f"df-cap lost planted pairs {planted - got}"
+    # boilerplate-only overlaps carry no near-dup signal under the cap
+    assert all(a >= 2000 for a, _ in got)
