@@ -37,9 +37,53 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_cached() -> None:
-    """Unpersist every signature frame cached by this module's operators."""
+    """Unpersist every signature frame cached by this module's operators,
+    and free any checkpointed iteration states still held."""
     while _CACHED:
         _CACHED.pop().unpersist()
+    while _CKPTS:
+        _release_ckpt(_CKPTS[-1])
+
+
+def _unpersist(df: DataFrame) -> None:
+    """Release one frame early (before release_cached), e.g. a superseded
+    iteration state; removing it from the registry keeps release_cached
+    from double-unpersisting."""
+    df.unpersist()
+    try:
+        _CACHED.remove(df)
+    except ValueError:
+        pass
+
+
+# localCheckpoint()ed frames (iteration states with truncated lineage).
+# Their storage lives at the RDD layer, not the CacheManager, so release
+# goes through the checkpointed plan's RDD handle.
+_CKPTS: list[DataFrame] = []
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint: materializes AND truncates the logical plan
+    to a leaf. Load-bearing for iterative algorithms — a loop that joins
+    its own output doubles the Catalyst plan every round (the state
+    subtree appears twice), so by ~14 rounds analysis alone OOMs the
+    driver; persist() caches execution but does NOT truncate the plan."""
+    out = df.localCheckpoint(eager=True)
+    _CKPTS.append(out)
+    return out
+
+
+def _release_ckpt(df: DataFrame) -> None:
+    """Free a checkpointed frame's blocks now (best-effort; the context
+    cleaner reclaims on GC otherwise)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+    try:
+        _CKPTS.remove(df)
+    except ValueError:
+        pass
 
 
 # --------------------------------------------------------------------------
@@ -520,7 +564,11 @@ def connected_components(
         )
     )
     if driver_threshold > 0:
-        head = sym.limit(driver_threshold + 1).collect()
+        # Arrow/pandas fetch, not .collect(): Python Row objects carry
+        # ~10-20x overhead, so a 1M-edge probe as Rows is hundreds of MB
+        # of driver heap; as two int64 numpy columns it is the ~16 MB the
+        # threshold was sized for.
+        head = sym.limit(driver_threshold + 1).toPandas()
         if len(head) <= driver_threshold:
             parent: dict[int, int] = {}
 
@@ -530,8 +578,8 @@ def connected_components(
                     x = parent[x]
                 return x
 
-            for r in head:
-                u, v = r["u"], r["v"]
+            for u, v in zip(head["u"].to_numpy(), head["v"].to_numpy()):
+                u, v = int(u), int(v)
                 parent.setdefault(u, u)
                 parent.setdefault(v, v)
                 ru, rv = find(u), find(v)
@@ -547,9 +595,14 @@ def connected_components(
     sym = _persist(
         sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    labels = _persist(
-        sym.select("u").distinct().select("u", F.col("u").alias("comp"))
-    )
+    # each round's state is an EAGER localCheckpoint (_ckpt): it both
+    # materializes the round and truncates the logical plan to a leaf —
+    # without truncation the state subtree appears twice per round (the
+    # label join + the neighbor aggregate) and the Catalyst plan doubles
+    # every iteration, OOMing the driver on deep (high-diameter) graphs
+    # long before executors see any data
+    prev = _ckpt(sym.select("u").distinct().select("u", F.col("u").alias("comp")))
+    labels = prev
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnsRenamed({"u": "v", "comp": "vcomp"}), "v")
@@ -558,7 +611,7 @@ def connected_components(
         )
         # carry the old label alongside the new one so convergence is read
         # off the SAME materialization — no second join/job per round
-        updated = _persist(
+        updated = _ckpt(
             labels.join(neighbor_min, "u", "left").select(
                 "u",
                 F.col("comp").alias("old"),
@@ -568,6 +621,12 @@ def connected_components(
             )
         )
         changed = updated.filter(F.col("comp") != F.col("old")).limit(1).count()
+        # the checkpoint materialized `updated`, so the previous round's
+        # labels are superseded — release them eagerly or a long
+        # convergence chain accumulates one dead block-manager frame per
+        # round
+        _release_ckpt(prev)
+        prev = updated
         labels = updated.select("u", "comp")
         if changed == 0:
             break

@@ -41,13 +41,22 @@ def token_offsets(
     """(id, n_tokens, offset): each document's start position in the
     id-ordered concatenated token stream, via the two-phase prefix sum
     described in the module docstring."""
+    from .dedup import _persist  # shared persist registry (release_cached)
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     ranged = df.select(
         F.col(id_col).alias("id"), F.col(token_col).cast("long").alias("n_tokens")
     ).repartitionByRange(num_partitions, "id")
-    ranged = ranged.withColumn("pid", F.spark_partition_id())
+    # persist pins ONE materialization across both consumers (the phase-1
+    # totals collect and the phase-3 join): spark_partition_id is
+    # recompute-sensitive, so if the input were nondeterministic on
+    # recompute (sample/rand upstream, files changing between jobs) the
+    # collected bases could otherwise disagree with a re-derived pid
+    # assignment and offsets would be silently wrong. Released via
+    # dedup.release_cached() like the other operator-internal persists.
+    ranged = _persist(ranged.withColumn("pid", F.spark_partition_id()))
 
     # phase 1+2: per-partition totals -> driver-side running base offsets.
     # also carry min(id) so bases can be ordered by id range, not pid

@@ -683,17 +683,40 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_DIM_CACHE: dict[str, int] = {}
+_EMB_DIM_CACHE: dict[tuple, int] = {}
+
+
+def _emb_cache_key(sf_dir: str) -> tuple:
+    """(path, mtime) cache key for per-corpus derived artifacts: a
+    rewritten embeddings file invalidates automatically. Non-local URIs
+    (s3a:// etc.) fall back to path-only keying — call
+    reset_corpus_caches() there if data changes mid-process."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        return (sf_dir, os.path.getmtime(path))
+    except OSError:
+        return (sf_dir, None)
+
+
+def reset_corpus_caches() -> None:
+    """Drop all per-corpus derived-artifact caches (embedding dims, IVF
+    centroids) — for long-lived sessions whose data changes under a
+    non-local URI where mtime keying can't see it."""
+    _EMB_DIM_CACHE.clear()
+    _IVF_CENTROID_CACHE.clear()
 
 
 def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
-    """Vector width probe, one tiny job per sf_dir per process (the array
+    """Vector width probe, one tiny job per corpus per process (the array
     type carries no static length); cached so repeated queries pay zero."""
-    if sf_dir not in _EMB_DIM_CACHE:
-        _EMB_DIM_CACHE[sf_dir] = int(
+    key = _emb_cache_key(sf_dir)
+    if key not in _EMB_DIM_CACHE:
+        _EMB_DIM_CACHE[key] = int(
             emb.select(F.size("embedding").alias("d")).head()[0]
         )
-    return _EMB_DIM_CACHE[sf_dir]
+    return _EMB_DIM_CACHE[key]
 
 
 def _embedding_exact_pairs(
@@ -1186,22 +1209,19 @@ def balance_distribution_by_segment(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first_value/last_value over a full-frame window: each user's first
-    and last event type by time (event_id tie-break). The window sorts
-    once per user partition; the distinct collapses to one row per
-    user."""
+    """Each user's first and last event type by time (event_id tie-break)
+    as ONE hash aggregate: min_by/max_by on the (ts, event_id) ordering
+    struct. The earlier full-frame-window + distinct form computed the
+    same result but sorted every user partition and shuffled duplicate
+    rows into the distinct; the aggregate form is partial+final (map-side
+    combine), no sort, no duplicate-row shuffle."""
     ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_event_type"),
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.count(F.lit(1)).alias("n_events"),
     )
-    return ev.select(
-        "user_id",
-        F.first_value("event_type").over(w).alias("first_event_type"),
-        F.last_value("event_type").over(w).alias("last_event_type"),
-        F.count(F.lit(1)).over(w).alias("n_events"),
-    ).distinct()
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,11 +1266,15 @@ def orders_export_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort-retention matrix over the events stream: users
     bucketed by first-active week, counted per week offset. Weeks are
-    epoch arithmetic (floor(epoch/604800)) — timezone-independent, so
-    the result is stable under any session timezone. user-week distinct
-    first, so the join and both aggregates run on the collapsed frame."""
+    epoch arithmetic (floor(epoch_seconds/604800)) where epoch seconds
+    come from an NTZ-to-NTZ timestampdiff — genuinely timezone-
+    independent (unix_timestamp on a TIMESTAMP_NTZ column would convert
+    via the session zone and only matched the oracle because the session
+    pins UTC). user-week distinct first, so the join and both aggregates
+    run on the collapsed frame."""
     ev = _t(spark, sf_dir, "events")
-    wk = F.floor(F.unix_timestamp(F.col("ts")) / 604800).cast("long")
+    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    wk = F.floor(secs / 604800).cast("long")
     user_weeks = ev.select("user_id", wk.alias("week_idx")).distinct()
     firsts = user_weeks.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
     return (
@@ -1553,7 +1577,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-_IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+_IVF_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,11 +1588,12 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are trained once per corpus and cached (in production they'd
     be a persisted artifact beside the partitioned-by-cell corpus)."""
     emb = _t(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_CENTROID_CACHE:
-        _IVF_CENTROID_CACHE[sf_dir] = sim.ivf_centroids(emb, n_centroids=16)
+    key = _emb_cache_key(sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = sim.ivf_centroids(emb, n_centroids=16)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     out = sim.ivf_topk(
-        emb, list(qvec), k=20, centroids=_IVF_CENTROID_CACHE[sf_dir], nprobe=6
+        emb, list(qvec), k=20, centroids=_IVF_CENTROID_CACHE[key], nprobe=6
     )
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 

@@ -607,3 +607,24 @@ def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
     assert planted <= got, f"df-cap lost planted pairs {planted - got}"
     # boilerplate-only overlaps carry no near-dup signal under the cap
     assert all(a >= 2000 for a, _ in got)
+
+
+def test_connected_components_releases_superseded_labels(spark):
+    """The iterative CC loop persists one labels frame per round; each
+    round must release the superseded one, or a long convergence chain
+    (diameter rounds) accumulates dead block-manager frames. After a
+    14-round chain the cached set must be bounded (edge frames + final
+    labels), and release_cached() must return storage to zero."""
+    from neynar_parquet_importer_spark.operators import dedup as dd
+
+    dd.release_cached()  # isolate from other tests' registered frames
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    out = dd.connected_components(edges, driver_threshold=0, max_iter=30)
+    assert {r.component for r in out.collect()} == {0}
+    sc = spark.sparkContext
+    cached = len(sc._jsc.sc().getRDDStorageInfo())
+    assert cached <= 4, f"{cached} frames cached after a 14-round chain"
+    dd.release_cached()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0

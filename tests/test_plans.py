@@ -322,3 +322,16 @@ def test_pretrain_batch_decontamination_is_broadcast_anti_shape(spark):
     assert "arrays_overlap" not in plan
     # a literal shingle array would balloon the plan string; bound it
     assert len(plan) < 200_000
+
+
+def test_user_first_last_event_is_single_aggregate_no_window(spark):
+    """min_by/max_by form: one partial+final hash aggregate, no Window
+    sort, no distinct of duplicated window output rows."""
+    plan = _plan(spark, "user_first_last_event")
+    assert "Window" not in plan
+    # partial + final (min_by on a struct key plans sort-based, which is
+    # fine: map-side combine still collapses to one row per user before
+    # the shuffle — the point is no duplicate-row shuffle + distinct)
+    assert plan.count("partial_min_by") == 1
+    assert plan.count("Aggregate") >= 2
+    assert plan.count("Exchange") == 1

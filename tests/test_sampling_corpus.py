@@ -385,3 +385,45 @@ def test_weighted_sample_properties(spark, docs):
         heavy_wins += len([i for i in s if i < 20])
     # 20 heavy rows at 100x weight should dominate the 30-row sample
     assert heavy_wins / 3 >= 15, heavy_wins
+
+
+def test_corpus_caches_invalidate_on_rewrite(spark, tmp_path):
+    """Per-corpus derived-artifact caches key on (path, mtime): rewriting
+    a corpus dir's embeddings file must invalidate, not serve stale dims."""
+    import os
+    import shutil
+
+    from neynar_parquet_importer_spark.plans import queries as Q
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", f"{d}/embeddings.parquet")
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    assert Q._embedding_dim(emb, d) == 64
+
+    spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    ).toPandas().to_parquet(f"{d}/embeddings.parquet")
+    os.utime(f"{d}/embeddings.parquet", (1, 2_000_000_000))  # force mtime change
+    emb2 = spark.read.parquet(f"{d}/embeddings.parquet")
+    assert Q._embedding_dim(emb2, d) == 2
+
+
+def test_token_offsets_persist_registered_for_release(spark):
+    """token_offsets pins its pid-stamped frame (one materialization for
+    both the bases collect and the phase-3 join); the pin must be
+    registered with the shared release hook so long-lived sessions can
+    free it."""
+    from neynar_parquet_importer_spark.operators import dedup as dd
+    from neynar_parquet_importer_spark.operators.packing import token_offsets
+
+    dd.release_cached()
+    df = spark.createDataFrame(
+        [(i, i % 5 + 1) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    rows = token_offsets(df, num_partitions=4).collect()
+    assert len(rows) == 100
+    sc = spark.sparkContext
+    assert len(sc._jsc.sc().getRDDStorageInfo()) >= 1
+    dd.release_cached()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
