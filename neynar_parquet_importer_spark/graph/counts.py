@@ -134,29 +134,22 @@ def fold_counts_batch(
     sink's) are filtered before the delta so a reordered window can't
     double-count.
 
-    Crash-idempotency relies on an EPOCH GUARD, not on the delta being
-    zero: the counts upsert runs first and stamps ``epoch`` as its
-    version, so a crash between the two upserts leaves the counts
-    applied but the edges un-advanced — a naive replay would recompute
-    the same delta against the OLD edge state and double-apply it. On
-    replay, a counts sink already at >= epoch skips straight to the edge
-    upsert (itself idempotent via the recency guard). Epochs must be
-    strictly increasing across batches, which foreachBatch guarantees.
+    Crash-idempotency is PER-FID, not a global epoch gate: the counts
+    upsert runs first and stamps ``epoch`` as each written row's version,
+    so a crash between the two upserts leaves (some of) the counts
+    applied but the edges un-advanced. A replay recomputes the same
+    delta against the un-advanced edge state, then ZEROES the delta for
+    every fid whose stored version is already >= epoch — those fids
+    absorbed this exact delta before the crash. A whole-batch "any row
+    at >= epoch" guard would be unsound here because the lake sink's
+    multi-bucket swap is not atomic: a crash mid-swap stamps some
+    buckets' fids and not others, and a global skip would silently lose
+    the un-swapped fids' deltas forever. Per-fid filtering converges
+    from any partially-applied state; the edge upsert that follows is
+    idempotent via its own recency guard. Epochs must be strictly
+    increasing across batches, which foreachBatch guarantees.
     """
     from ..operators.dedup import last_writer_wins
-
-    existing = counts_sink.read()
-    if (
-        existing is not None
-        and existing.filter(F.col(version_column) >= epoch).limit(1).count() > 0
-    ):
-        # counts already absorbed this epoch (crash after the counts
-        # upsert); only the edge-state advance can still be pending
-        edge_sink.upsert(
-            last_writer_wins(batch, ["fid", "target_fid"], [F.desc(version_column)]),
-            epoch,
-        )
-        return
 
     latest = last_writer_wins(
         batch, ["fid", "target_fid"], [F.desc(version_column)]
@@ -187,6 +180,12 @@ def fold_counts_batch(
         old_subset = old.select(
             "fid", "follower_count", "following_count"
         ).join(delta.select("fid"), "fid", "left_semi")
+        # per-fid replay guard: fids already stamped at >= epoch absorbed
+        # this delta in a previous (crashed) attempt — zero their delta;
+        # their current counts pass through old_subset and are restated
+        # byte-identically under the same epoch stamp
+        absorbed = old.filter(F.col(version_column) >= epoch).select("fid")
+        delta = delta.join(absorbed, "fid", "left_anti")
     new_rows = merge_counts(old_subset, delta, drop_zero=False).withColumn(
         version_column, F.lit(epoch).cast("long")
     )

@@ -197,3 +197,60 @@ def test_sink_as_state_fold_crash_replay_is_idempotent(spark, tmp_path):
     got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
     assert got == [(1, 0, 1), (2, 1, 1), (3, 1, 0)], got
     assert edge_sink.read().count() == 2  # edge advance completed on replay
+
+
+def test_fold_survives_partial_counts_swap_crash(spark, tmp_path):
+    """The lake sink swaps bucket dirs one at a time, so a crash mid-
+    counts-upsert stamps SOME delta fids at the new epoch and not others.
+    A whole-batch epoch gate would see one stamped row and skip the
+    replay, silently losing the un-swapped fids' deltas; the per-fid
+    guard must re-apply exactly the missing ones and converge to the
+    full rebuild."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.graph.counts import (
+        fold_counts_batch,
+        read_counts,
+    )
+    from neynar_parquet_importer_spark.sinks import LakeUpsertSink
+
+    schema = "fid long, target_fid long, deleted_at string, updated_at long"
+    edge_sink = LakeUpsertSink(
+        spark, str(tmp_path / "e"), ("fid", "target_fid"), "updated_at"
+    )
+    counts_sink = LakeUpsertSink(spark, str(tmp_path / "c"), ("fid",), "updated_at")
+
+    b1 = spark.createDataFrame(
+        [(1, 2, None, 10), (3, 4, None, 10), (5, 6, None, 10)], schema
+    )
+    fold_counts_batch(spark, edge_sink, counts_sink, b1, 1)
+
+    # epoch 2 touches fids {1, 2, 7, 8}: simulate a crash that swapped
+    # only the buckets holding fids 1 and 2 (stamped at epoch 2, delta
+    # applied) while 7/8's buckets never swapped and the edge advance
+    # never ran
+    b2 = spark.createDataFrame([(1, 2, "2024-01-01", 20), (7, 8, None, 20)], schema)
+    partially_applied = spark.createDataFrame(
+        [(1, 0, 0, 2), (2, 0, 0, 2)],
+        "fid long, follower_count long, following_count long, updated_at long",
+    )
+    counts_sink.upsert(partially_applied, 2)
+
+    fold_counts_batch(spark, edge_sink, counts_sink, b2, 2)  # replay
+
+    final_edges = spark.createDataFrame(
+        [
+            (1, 2, "2024-01-01", 20),
+            (3, 4, None, 10),
+            (5, 6, None, 10),
+            (7, 8, None, 20),
+        ],
+        schema,
+    )
+    want = sorted(tuple(r) for r in follow_counts_full(final_edges).collect())
+    got = sorted(tuple(r) for r in read_counts(counts_sink).collect())
+    assert got == want, (got, want)
+    # and replaying once more is a no-op (all delta fids now stamped)
+    fold_counts_batch(spark, edge_sink, counts_sink, b2, 2)
+    again = sorted(tuple(r) for r in read_counts(counts_sink).collect())
+    assert again == want
