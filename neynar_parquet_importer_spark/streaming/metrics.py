@@ -74,6 +74,70 @@ def compute_unit_cost(
     return metrics.rows_imported * cost_per_row
 
 
+class MetricsEmitter:
+    """statsd-shaped emission seam, duck-typed to a Datadog/statsd client:
+    ``increment(metric, value, tags)`` / ``gauge(metric, value, tags)``.
+    The reference emits through ``datadog.statsd`` (db.py:918-936,
+    859-863, 895-917); this engine computes the same series via
+    ``observe``/``collect_metrics`` and pushes them through whatever
+    emitter is injected. This base class is the no-op default so metric
+    computation never depends on a live agent."""
+
+    def increment(
+        self, metric: str, value: float = 1, tags: list[str] | None = None
+    ) -> None:
+        pass
+
+    def gauge(
+        self, metric: str, value: float, tags: list[str] | None = None
+    ) -> None:
+        pass
+
+
+class RecordingEmitter(MetricsEmitter):
+    """Capture emitter for tests/inspection: every call appends
+    (kind, metric, value, tags)."""
+
+    def __init__(self) -> None:
+        self.series: list[tuple[str, str, float, tuple[str, ...]]] = []
+
+    def increment(
+        self, metric: str, value: float = 1, tags: list[str] | None = None
+    ) -> None:
+        self.series.append(("increment", metric, float(value), tuple(tags or ())))
+
+    def gauge(
+        self, metric: str, value: float, tags: list[str] | None = None
+    ) -> None:
+        self.series.append(("gauge", metric, float(value), tuple(tags or ())))
+
+
+def emit_batch_metrics(
+    emitter: MetricsEmitter,
+    metrics: BatchMetrics,
+    table: str,
+    cu_cost: float | None = None,
+    cu_metric: str | None = None,
+    extra_tags: list[str] | None = None,
+) -> None:
+    """Emit one batch's series under the reference's metric names:
+    counters ``num_parquet_rows_imported`` / ``num_parquet_rows_filtered``
+    (db.py:859-863, 921-926) and the configurable CU-cost counter
+    (db.py:850-855, 930-936); gauges ``parquet_file_age_s`` /
+    ``parquet_row_age_s`` (db.py:918-919). Tagged per table like the
+    reference's dd_tags."""
+    tags = [f"table:{table}"] + list(extra_tags or [])
+    if metrics.rows_filtered:
+        emitter.increment("num_parquet_rows_filtered", metrics.rows_filtered, tags)
+    emitter.increment("num_parquet_rows_imported", metrics.rows_imported, tags)
+    if metrics.file_age_s is not None:
+        emitter.gauge("parquet_file_age_s", metrics.file_age_s, tags)
+    if metrics.row_age_s is not None:
+        emitter.gauge("parquet_row_age_s", metrics.row_age_s, tags)
+    if cu_metric is not None and cu_cost is not None:
+        emitter.increment(cu_metric, cu_cost, tags)
+
+
 class PricingCache:
     """C7's pricing lookup with an 8 h TTL (reference neynar_api.py:38-49:
     a TTLCache-wrapped portal-pricing fetch). The fetch function is

@@ -67,6 +67,9 @@ class ImportPipeline:
         file_version: str = "v3",
         incremental_duration: int = 1,
         filter_doc: dict | None = None,
+        emitter=None,
+        cu_metric: str | None = None,
+        cost_per_row: float = 0.0,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -75,6 +78,12 @@ class ImportPipeline:
         self.file_version = file_version
         self.duration = incremental_duration
         self.predicate: Column = compile_filter(filter_doc)
+        self.filters_active = bool(filter_doc)
+        # statsd-shaped metrics seam (reference db.py:918-936); None = no
+        # emission, the observe aggregates are skipped entirely
+        self.emitter = emitter
+        self.cu_metric = cu_metric
+        self.cost_per_row = cost_per_row
         self.sink = LakeUpsertSink(
             spark, f"{sink_root}/{spec.name}", spec.primary_key, spec.version_column
         )
@@ -141,9 +150,50 @@ class ImportPipeline:
         rows = 0
         if pending:
             df = self.spark.read.schema(self.spec.schema).parquet(*pending)
-            out = self.transform(df)
-            rows = out.count()
-            self.sink.upsert(out, epoch=int(now))
+            if self.emitter is not None:
+                from pyspark.sql import Observation
+
+                from .metrics import (
+                    collect_metrics,
+                    compute_unit_cost,
+                    emit_batch_metrics,
+                )
+
+                obs_scanned, obs_kept = Observation(), Observation()
+                df = df.observe(obs_scanned, F.count(F.lit(1)).alias("n"))
+                out = self.transform(df).observe(
+                    obs_kept,
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.col(self.spec.version_column).cast("double")).alias(
+                        "max_v"
+                    ),
+                )
+                rows = out.count()
+                self.sink.upsert(out, epoch=int(now))
+                window_end = max(
+                    parse_parquet_filename(p.rsplit("/", 1)[-1]).end_timestamp
+                    for p in pending
+                )
+                max_v = obs_kept.get["max_v"]
+                m = collect_metrics(
+                    obs_scanned,
+                    obs_kept,
+                    window_end_ts=float(window_end),
+                    max_updated_at_ts=None if max_v is None else float(max_v),
+                    now=now,
+                )
+                cost = (
+                    compute_unit_cost(m, self.cost_per_row, self.filters_active)
+                    if self.cu_metric is not None
+                    else None
+                )
+                emit_batch_metrics(
+                    self.emitter, m, self.spec.name, cost, self.cu_metric
+                )
+            else:
+                out = self.transform(df)
+                rows = out.count()
+                self.sink.upsert(out, epoch=int(now))
 
         # ledger: record data files + empty sentinels, then commit in order
         ordered_names: list[str] = []

@@ -234,3 +234,40 @@ def test_uri_source_listing_via_hadoop_fs(spark, tmp_path):
     )
     report = pipe.run_catchup(start_timestamp=100, end_timestamp=102, now=102)
     assert report.files_imported == 2 and report.rows_upserted == 2
+
+
+def test_catchup_emits_reference_metric_series(spark, tmp_path):
+    """A catch-up run with an emitter injected must emit the reference's
+    statsd series (db.py:918-936): imported/filtered counters tagged per
+    table, file/row-age gauges, and the configurable CU-cost counter
+    billed at scanned x multiplier when filters are active."""
+    from neynar_parquet_importer_spark.streaming.metrics import RecordingEmitter
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_window(spark, src, 0, 1000, [_row(1, 10, 20, 500), _row(2, 11, 21, 600)])
+    _write_window(spark, src, 1000, 1, [_row(3, 12, 22, 1000)])
+
+    emitter = RecordingEmitter()
+    pipe = ImportPipeline(
+        spark,
+        SPEC,
+        src,
+        str(tmp_path / "lake"),
+        filter_doc={"data.fid": {"$lt": 12}},  # drops the id-3 row
+        emitter=emitter,
+        cu_metric="cu_cost",
+        cost_per_row=2.0,
+    )
+    report = pipe.run_catchup(end_timestamp=1001, now=5000.0)
+    assert report.rows_upserted == 2
+
+    by_metric = {(kind, name): (value, tags) for kind, name, value, tags in emitter.series}
+    assert by_metric[("increment", "num_parquet_rows_imported")][0] == 2
+    assert by_metric[("increment", "num_parquet_rows_filtered")][0] == 1
+    # filters active: all 3 scanned rows billed at 1.1 x 2.0
+    assert by_metric[("increment", "cu_cost")][0] == pytest.approx(3 * 1.1 * 2.0)
+    # file age from the newest pending window's end (1001), at now=5000
+    assert by_metric[("gauge", "parquet_file_age_s")][0] == pytest.approx(3999.0)
+    assert ("gauge", "parquet_row_age_s") in by_metric
+    assert all(t == (f"table:{SPEC.name}",) for _, t in by_metric.values())
