@@ -98,6 +98,17 @@ def prepare_upsert_frame(
     return deduped
 
 
+def _psycopg_connect(dsn: str):
+    try:
+        import psycopg  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - no PG in container
+        raise RuntimeError(
+            "psycopg not installed; jdbc_upsert_writer needs a Postgres "
+            "driver at the executors"
+        ) from exc
+    return psycopg.connect(dsn)
+
+
 def jdbc_upsert_writer(
     df: DataFrame,
     dsn: str,
@@ -105,28 +116,29 @@ def jdbc_upsert_writer(
     primary_key: Sequence[str],
     version_column: str = "updated_at",
     max_connections: int = 90,
+    connect_fn: Callable | None = None,
 ) -> None:
     """Distributed upsert: dedupe per PK, then per-partition chunked
     INSERT..ON CONFLICT with retry. One DB connection per partition; C2's
     connection budget (reference settings.py:64-66 pool_size=90) is
     ENFORCED by capping the write-side partition count — a 100 TB batch
     with thousands of scan partitions coalesces (no shuffle) down to the
-    pool budget instead of opening a connection per input split."""
+    pool budget instead of opening a connection per input split.
+
+    ``connect_fn(dsn)`` injects the connection factory (default: psycopg).
+    It must be picklable (it ships to executors) and return a DBAPI-ish
+    context-managed connection with cursor()/commit() — which is also the
+    seam the executed-SQL contract tests use to drive this exact partition
+    path against an in-process engine when no live Postgres exists."""
     deduped = prepare_upsert_frame(df, primary_key, version_column, max_connections)
     columns = deduped.columns
+    connect = _psycopg_connect if connect_fn is None else connect_fn
 
     def write_partition(rows_iter) -> None:
         rows = [tuple(r) for r in rows_iter]
         if not rows:
             return
-        try:
-            import psycopg  # noqa: PLC0415
-        except ImportError as exc:  # pragma: no cover - no PG in container
-            raise RuntimeError(
-                "psycopg not installed; jdbc_upsert_writer needs a Postgres "
-                "driver at the executors"
-            ) from exc
-        with psycopg.connect(dsn) as conn:
+        with connect(dsn) as conn:
             for chunk in chunk_rows_for_param_limit(rows, len(columns)):
                 sql = build_upsert_sql(
                     table, columns, primary_key, version_column, n_rows=len(chunk)
