@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "unigram_logprob_score",
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
+    "embedding_dedup_clusters_lsh",
     "embedding_near_dup_lsh",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
@@ -144,17 +145,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+
+    # append-only run history: one timestamped file per run under
+    # .benchmarks/, so round-over-round deltas survive truncated stdout
+    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    os.makedirs(hist_dir, exist_ok=True)
+    ts = time.strftime("%Y%m%dT%H%M%S")
+    with open(os.path.join(hist_dir, f"bench-{ts}-sf{sf}.json"), "w") as f:
+        json.dump({**payload, "run_at": ts, "cpus": os.environ.get("SPARK_GRAFT_CPUS")}, f, indent=1)
+        f.write("\n")
     spark.stop()
 
 
