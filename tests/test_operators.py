@@ -622,14 +622,15 @@ def test_connected_components_releases_superseded_labels(spark):
     labels), and release_cached() must return storage to zero."""
     from neynar_parquet_importer_spark.operators import dedup as dd
 
-    dd.release_cached()  # isolate from other tests' registered frames
+    sc = spark.sparkContext
+    dd.release_cached()  # isolate from this module's other registered frames
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())  # other suites' frames
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(15)], "id_a long, id_b long"
     )
     out = dd.connected_components(edges, driver_threshold=0, max_iter=30)
     assert {r.component for r in out.collect()} == {0}
-    sc = spark.sparkContext
-    cached = len(sc._jsc.sc().getRDDStorageInfo())
-    assert cached <= 4, f"{cached} frames cached after a 14-round chain"
+    cached = len(sc._jsc.sc().getRDDStorageInfo()) - baseline
+    assert cached <= 4, f"{cached} frames added after a 14-round chain"
     dd.release_cached()
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline

@@ -87,12 +87,24 @@ def test_whole_stage_codegen_covers_text_ops(spark):
         assert "ArrowEvalPython" not in plan, f"{name}: unexpected pandas UDF"
 
 
-def test_exact_near_dup_has_no_python(spark):
-    """The exact embedding all-pairs plan is JVM-only (flattened scalar
-    dot products in codegen)."""
-    plan = _plan(spark, "embedding_near_dup_pairs")
+def test_exact_near_dup_codegen_twin_has_no_python(spark):
+    """The oracle-shape twin of the exact pair scan (flattened scalar dot
+    products) is JVM-only codegen; the PRIMARY plan is the deliberate
+    block-pair BLAS applyInPandas (see
+    test_embedding_exact_pairs_plan_is_blocked_not_cross_join)."""
+    from neynar_parquet_importer_spark.plans.queries import (
+        _embedding_exact_pairs_unblocked,
+    )
+
+    plan = (
+        _embedding_exact_pairs_unblocked(spark, SF, 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_lsh_near_dup_bucket_udf_is_arrow(spark):
@@ -335,3 +347,13 @@ def test_user_first_last_event_is_single_aggregate_no_window(spark):
     assert plan.count("partial_min_by") == 1
     assert plan.count("Aggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_embedding_exact_pairs_plan_is_blocked_not_cross_join(spark):
+    """The exact pair scan must plan as the block-pair applyInPandas
+    matmul (FlatMapGroupsInPandas over the (ti,tj) grid), never a
+    cartesian/broadcast-nested-loop cross join of the corpus."""
+    plan = _plan(spark, "embedding_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan

@@ -417,13 +417,14 @@ def test_token_offsets_persist_registered_for_release(spark):
     from neynar_parquet_importer_spark.operators import dedup as dd
     from neynar_parquet_importer_spark.operators.packing import token_offsets
 
+    sc = spark.sparkContext
     dd.release_cached()
+    baseline = len(sc._jsc.sc().getRDDStorageInfo())  # other suites' frames
     df = spark.createDataFrame(
         [(i, i % 5 + 1) for i in range(100)], "doc_id long, n_tokens long"
     )
     rows = token_offsets(df, num_partitions=4).collect()
     assert len(rows) == 100
-    sc = spark.sparkContext
-    assert len(sc._jsc.sc().getRDDStorageInfo()) >= 1
+    assert len(sc._jsc.sc().getRDDStorageInfo()) >= baseline + 1
     dd.release_cached()
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline
