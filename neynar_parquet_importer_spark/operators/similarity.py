@@ -347,20 +347,30 @@ def lsh_near_dup_pairs(
     # NOTE: cand still contains multi-table duplicate pairs (~10%); the
     # rerank is cheap per row, so dedup runs AFTER the threshold filter,
     # on the (tiny) surviving set — a shuffle of results, not candidates
-    # exact-cosine rerank: join the flattened vectors back (broadcast at
-    # test scale, hash join at cluster scale) — pairwise dot is a single
-    # codegen'd multiply-add chain (64 terms fits codegen comfortably),
-    # norms precomputed once per vector
+    # exact-cosine rerank: join the flattened vectors back — pairwise dot
+    # is a single codegen'd multiply-add chain (64 terms fits codegen
+    # comfortably), norms precomputed once per vector.
+    # The broadcast sides are SEMI-JOIN RESTRICTED to ids that appear in
+    # a candidate pair first: candidates are a vanishing fraction of the
+    # corpus at scale, so the broadcast is bounded by the candidate set —
+    # broadcasting the full flattened corpus would cap out at ~2M vectors.
     # expressions are built as SQL strings: ONE py4j round trip instead of
     # hundreds of Column-object calls (plan construction was costing more
     # driver time than the executors spent running it)
+    cand = _persist(cand)  # read three times: two id sets + the rerank join
+
     def _flat_side(prefix: str):
         exprs = [f"{id_col} as id_{prefix}"] + [
             f"cast({vec_col}[{i}] as double) as {prefix}{i}" for i in range(dim)
         ]
         sumsq = " + ".join(f"{prefix}{i}*{prefix}{i}" for i in range(dim))
-        return df.selectExpr(*exprs).withColumn(
-            f"nrm_{prefix}", F.expr(f"sqrt({sumsq})")
+        ids = cand.select(F.col(f"id_{prefix}").alias("cid")).distinct()
+        return (
+            df.join(
+                F.broadcast(ids), F.col(id_col) == F.col("cid"), "left_semi"
+            )
+            .selectExpr(*exprs)
+            .withColumn(f"nrm_{prefix}", F.expr(f"sqrt({sumsq})"))
         )
 
     a_side = _flat_side("a")
