@@ -66,12 +66,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10.
-    customer is small -> broadcast into the orders/lineitem join; the
-    top-10 plans as TakeOrderedAndProject (no global sort)."""
-    cust = F.broadcast(
-        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    )
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10; the top-10
+    plans as TakeOrderedAndProject (no global sort).
+
+    Broadcast policy (applies to the whole TPC-H family here): explicit
+    broadcast hints are reserved for constant-cardinality frames (region
+    5 rows, nation 25, one-row scalars, bounded filtered aggregates).
+    Linear-growth dims — customer, supplier, part, per-part aggregates —
+    carry NO hint: Catalyst/AQE broadcast them from size stats while they
+    fit the threshold (they always do at bench scale, so the plans below
+    still show BroadcastHashJoin), and at the corpus size where that
+    stops being true a forced hint would exceed Spark's broadcast cap
+    and fail the query rather than degrade to a shuffled join."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -97,8 +104,8 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem shuffles."""
     region = F.broadcast(_t(spark, sf_dir, "region"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
-    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
@@ -178,7 +185,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
         )
     )
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    supplier = _t(spark, sf_dir, "supplier")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -226,10 +233,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
         )
     )
-    part = F.broadcast(
-        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    )
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = _t(spark, sf_dir, "supplier")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -264,10 +269,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 80% of retail price × quantity — the join/agg topology (5-way
     star, two fact-side shuffles) is the point."""
     n_supp = F.broadcast(_t(spark, sf_dir, "nation"))
-    part = F.broadcast(
-        _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
-    )
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supplier = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
@@ -340,7 +343,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo revenue share for one ship month. part broadcast;
     single conditional aggregate, no second scan."""
-    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01"))
         & (F.col("l_shipdate") < F.lit("1997-10-01"))
@@ -389,9 +392,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-range) baskets. The join key predicate stays conjunctive so the
     equi-join is still hash-planned; the OR filter evaluates post-join
     inside codegen."""
-    part = F.broadcast(
-        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = _t(spark, sf_dir, "lineitem")
     joined = li.join(part, li.l_partkey == part.p_partkey)
     basket = (
@@ -921,7 +922,7 @@ def scalar_subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> 
         F.avg("l_quantity").alias("aq")
     )
     return (
-        li.join(F.broadcast(avg_qty), li.l_partkey == F.col("pk"))
+        li.join(avg_qty, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -1260,7 +1261,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = F.max("total_revenue").over(Window.partitionBy())
     top = rev.withColumn("mx", mx).filter(F.col("total_revenue") == F.col("mx"))
-    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    supplier = _t(spark, sf_dir, "supplier")
     return top.join(supplier, top.l_suppkey == supplier.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
