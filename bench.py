@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_simhash",
     "passage_dedup_docs",
+    "boilerplate_chunk_removal",
+    "epoch_shuffle_docs",
     "doc_novelty",
     "pack_training_sequences",
     "table_profile_orders",

@@ -220,6 +220,61 @@ def passage_dedup(
     )
 
 
+def remove_boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    max_chunk_df: int = 2,
+) -> DataFrame:
+    """CCNet/C4-style boilerplate removal generalized to fixed word
+    windows: a chunk whose exact content appears in more than
+    ``max_chunk_df`` DISTINCT documents is boilerplate (headers, footers,
+    cookie banners, license blurbs) and is dropped from EVERY document;
+    each document is reassembled from its surviving chunks in order.
+    Returns (id, n_chunks, kept_chunks, kept_text).
+
+    The frequency-based complement of :func:`passage_dedup`: passage
+    dedup keeps the FIRST occurrence of repeated content (dedup
+    semantics); boilerplate removal drops ALL occurrences once the
+    cross-document frequency crosses the threshold (cleaning semantics —
+    boilerplate carries no training signal anywhere it appears).
+
+    Scale shape: chunks are keyed by md5 (16-byte shuffle keys, never
+    chunk text), the per-chunk document frequency is one partial+final
+    aggregate, the hot list is the df > threshold tail — tiny by
+    construction, shipped as a broadcast anti-join exactly like the
+    stop-shingle cap — and reassembly is co-partitioned by id.
+    """
+    chunks = passage_chunks(df, text_col, id_col, chunk_words).select(
+        "id", "chunk_idx", "chunk", F.md5(F.col("chunk")).alias("chash")
+    )
+    hot = (
+        chunks.groupBy("chash")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") > max_chunk_df)
+        .select("chash")
+        .withColumn("__hot", F.lit(1))
+    )
+    marked = chunks.join(F.broadcast(hot), "chash", "left")
+    kept = F.col("__hot").isNull()
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept.cast("long")).alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("chunk_idx"), F.col("chunk")))
+                    )
+                ),
+                lambda s: s.getField("chunk"),
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 def shingle_novelty(
     df: DataFrame,
     text_col: str = "text",

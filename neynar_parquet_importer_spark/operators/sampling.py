@@ -194,3 +194,29 @@ def weighted_sample(
         .limit(k)
         .drop("__wscore")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: str = "epoch-0",
+    order_col: str = "sort_key",
+) -> DataFrame:
+    """Deterministic training-order shuffle: global ORDER BY the md5 draw
+    of (seed, keys), keys as tie-break — the per-epoch reshuffle a
+    training pipeline runs over the whole corpus. A new seed ("epoch-1",
+    ...) yields an independent permutation; the order is a pure function
+    of (keys, seed), reproducible across engines, runs, and partition
+    layouts (same engine-portable draw as :func:`hash_sample`).
+
+    Scale shape: Spark plans a global ORDER BY as a range-partitioned
+    parallel sort (sampled boundaries, every partition sorts its range
+    independently) — never a single-task ordering — and downstream
+    writers preserve it per output split. The draw is exposed as
+    ``order_col`` so the permutation itself is value-checkable (sorting
+    any engine's output by it reproduces the order).
+    """
+    h = hash_hex(list(key_cols), seed)
+    return df.withColumn(order_col, h).orderBy(
+        F.col(order_col).asc(), *[F.col(c) for c in key_cols]
+    )

@@ -1474,6 +1474,36 @@ def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal (CCNet/C4 rule over 10-word
+    windows): chunks appearing in more than 2 distinct documents are
+    dropped from every document; the reassembled text is oracle-checked
+    by md5 like passage_dedup_docs."""
+    docs = _t(spark, sf_dir, "documents")
+    out = crp.remove_boilerplate_chunks(
+        docs, "text", "doc_id", chunk_words=10, max_chunk_df=2
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_chunks",
+        "kept_chunks",
+        F.md5(F.col("kept_text")).alias("kept_text_md5"),
+    )
+
+
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle of the corpus (training order for
+    "epoch-1"): every row tagged with its engine-portable md5 sort key.
+    The permutation is fully value-checked — the oracle recomputes the
+    same md5 draw, and sorting either engine's output by sort_key
+    reproduces the identical training order. Plans as a range-partitioned
+    parallel sort (see test_plans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.epoch_shuffle(docs, ["doc_id"], seed="epoch-1").select(
+        "doc_id", "sort_key"
+    )
+
+
 def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document shingle novelty: fraction of the doc's distinct
     3-gram shingles first seen (min doc_id) in this doc — the marginal-
@@ -1925,6 +1955,8 @@ QUERIES = {
     "dedup_ngram_jaccard_allpairs": dedup_ngram_jaccard_allpairs,
     "dedup_clusters": dedup_clusters,
     "passage_dedup_docs": passage_dedup_docs,
+    "boilerplate_chunk_removal": boilerplate_chunk_removal,
+    "epoch_shuffle_docs": epoch_shuffle_docs,
     "doc_novelty": doc_novelty,
     "pack_training_sequences": pack_training_sequences,
     "table_profile_orders": table_profile_orders,
@@ -3106,4 +3138,41 @@ ORACLE_SQL["sketch_order_stats"] = """
            TRUE AS p95_within_bound
     FROM orders
     GROUP BY o_orderstatus
+"""
+
+ORACLE_SQL["boilerplate_chunk_removal"] = """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+        FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    hot AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING count(DISTINCT doc_id) > 2
+    ),
+    marked AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk,
+               (h.chunk IS NOT NULL) AS is_hot
+        FROM chunks c LEFT JOIN hot h ON c.chunk = h.chunk
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN NOT is_hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_chunks,
+           md5(COALESCE(string_agg(
+               CASE WHEN NOT is_hot THEN chunk END, ' ' ORDER BY chunk_idx), ''))
+               AS kept_text_md5
+    FROM marked
+    GROUP BY doc_id
+"""
+
+ORACLE_SQL["epoch_shuffle_docs"] = f"""
+    SELECT doc_id,
+           {smp.hash_hex_sql(['doc_id'], 'epoch-1')} AS sort_key
+    FROM documents
+    ORDER BY sort_key, doc_id
 """

@@ -357,3 +357,11 @@ def test_embedding_exact_pairs_plan_is_blocked_not_cross_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_epoch_shuffle_is_range_partitioned_parallel_sort(spark):
+    """The epoch shuffle's global ORDER BY must plan as a range-
+    partitioned parallel sort — never a single-task total ordering."""
+    plan = _plan(spark, "epoch_shuffle_docs")
+    assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan

@@ -428,3 +428,51 @@ def test_token_offsets_persist_registered_for_release(spark):
     assert len(sc._jsc.sc().getRDDStorageInfo()) >= baseline + 1
     dd.release_cached()
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline
+
+
+def test_remove_boilerplate_chunks_semantics(spark):
+    """A 10-word block shared by 4 documents is boilerplate (df > 2) and
+    must vanish from ALL of them — including its first occurrence, the
+    difference from passage_dedup — while content in <= 2 docs stays."""
+    from neynar_parquet_importer_spark.operators.corpus import (
+        remove_boilerplate_chunks,
+    )
+
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e "
+            f"unique{i}f unique{i}g unique{i}h unique{i}i unique{i}j")
+        for i in range(4)
+    ]
+    rows.append((10, "standalone words that appear nowhere else in this corpus at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in remove_boilerplate_chunks(
+            df, "text", "doc_id", chunk_words=10, max_chunk_df=2
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i].n_chunks == 2 and out[i].kept_chunks == 1, out[i]
+        assert boiler not in out[i].kept_text  # dropped everywhere
+        assert f"unique{i}a" in out[i].kept_text
+    # 11 words -> 2 chunks, both unique -> both kept
+    assert out[10].kept_chunks == out[10].n_chunks == 2
+    assert "standalone" in out[10].kept_text
+
+
+def test_epoch_shuffle_is_deterministic_and_seed_sensitive(spark):
+    """Same seed -> identical permutation regardless of partition layout;
+    different seed -> a different permutation of the same rows."""
+    from neynar_parquet_importer_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = [r.doc_id for r in epoch_shuffle(df, ["doc_id"], "epoch-1").collect()]
+    b = [
+        r.doc_id
+        for r in epoch_shuffle(df.repartition(7), ["doc_id"], "epoch-1").collect()
+    ]
+    c = [r.doc_id for r in epoch_shuffle(df, ["doc_id"], "epoch-2").collect()]
+    assert a == b, "permutation must be layout-invariant"
+    assert sorted(a) == sorted(c) == list(range(500))
+    assert a != c, "a new epoch seed must yield a new permutation"
