@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "orders_export_sorted",
     "cohort_retention",
     "unigram_logprob_score",
+    "bigram_logprob_score",
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
     "embedding_dedup_clusters_lsh",
@@ -99,6 +100,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "embedding_pq_topk",
     "json_extract_sum",
     "graph_edges",
     "graph_degrees",

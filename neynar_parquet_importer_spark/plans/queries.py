@@ -707,6 +707,7 @@ def reset_corpus_caches() -> None:
     non-local URI where mtime keying can't see it."""
     _EMB_DIM_CACHE.clear()
     _IVF_CENTROID_CACHE.clear()
+    _PQ_CODEBOOK_CACHE.clear()
 
 
 def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
@@ -1335,6 +1336,52 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering, one order up from the unigram model:
+    score each document by the mean negative conditional log-probability
+    of its bigrams, P(w2|w1) = c(w1 w2) / c(w1 ·), under corpus-trained
+    counts. Catches locally-incoherent text the unigram model cannot
+    (every word common, the transitions nonsense). Self-trained on the
+    corpus, so no probability is zero and no smoothing constant leaks
+    into the contract.
+
+    Scale shape: the bigram stream is posexplode + lead (the codegen
+    shingling shape), both count models are partial+final aggregates
+    keyed by ngram, and the rejoin shuffles per-bigram rows on their
+    natural keys — no driver state, no broadcast of anything unbounded.
+    Documents with fewer than two tokens have no bigram and drop out
+    (same rule in the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bfreq = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cfreq = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    return (
+        big.join(bfreq, ["w1", "w2"])
+        .join(cfreq, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("cb") / F.col("cc"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis-Spirakis, weight =
     n_chars): longer documents are proportionally likelier, yet the
@@ -1629,6 +1676,25 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 via product quantization + asymmetric distance
+    (ADC): each vector is its 8-byte PQ code, the query ships as one
+    distance-table literal, and scoring is 8 table lookups per row — the
+    compressed-domain regime a 100 TB ANN corpus queries in (no float
+    vectors touched at query time). Completes the index family next to
+    the LSH (data-oblivious) and IVF (adaptive-probe) paths. Rows-only
+    oracle; recall properties in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    key = _emb_cache_key(sf_dir)
+    if key not in _PQ_CODEBOOK_CACHE:
+        _PQ_CODEBOOK_CACHE[key] = sim.pq_codebooks(emb, n_sub=8, n_centroids=16)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return sim.pq_topk(
+        emb, list(qvec), k=20, codebooks=_PQ_CODEBOOK_CACHE[key]
+    )
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,12 +2035,14 @@ QUERIES = {
     "orders_export_sorted": orders_export_sorted,
     "cohort_retention": cohort_retention,
     "unigram_logprob_score": unigram_logprob_score,
+    "bigram_logprob_score": bigram_logprob_score,
     "dedup_simhash": dedup_simhash,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_cosine_scores": embedding_cosine_scores,
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "embedding_pq_topk": embedding_pq_topk,
     "graph_edges": graph_edges,
     "graph_nodes": graph_nodes,
     "graph_degrees": graph_degrees,
@@ -3175,4 +3243,26 @@ ORACLE_SQL["epoch_shuffle_docs"] = f"""
            {smp.hash_hex_sql(['doc_id'], 'epoch-1')} AS sort_key
     FROM documents
     ORDER BY sort_key, doc_id
+"""
+
+ORACLE_SQL["bigram_logprob_score"] = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+            FROM t WHERE len(w) >= 2
+        )
+    ),
+    bf AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+    cf AS (SELECT w1, count(*) AS cc FROM pairs GROUP BY w1)
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(bf.cb * 1.0 / cf.cc)), 4) AS avg_neg_logprob
+    FROM pairs p JOIN bf USING (w1, w2) JOIN cf USING (w1)
+    GROUP BY p.doc_id
 """

@@ -634,3 +634,32 @@ def test_connected_components_releases_superseded_labels(spark):
     assert cached <= 4, f"{cached} frames added after a 14-round chain"
     dd.release_cached()
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= baseline
+
+
+def test_pq_topk_recall_on_clustered_corpus(spark):
+    """PQ/ADC top-k must recover most planted near-copies of the query
+    (the clustered regime), like the IVF and LSH paths."""
+    from neynar_parquet_importer_spark.operators.similarity import pq_topk
+
+    df, q, planted = _clustered_corpus(spark)
+    got = {r.vec_id for r in pq_topk(df, q, k=len(planted)).collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"PQ recall {recall} < 0.8"
+
+
+def test_pq_adc_tracks_exact_cosine(spark):
+    """ADC scores from 8-byte codes must correlate with exact cosine:
+    the exact top-5 of a clustered corpus must appear in the ADC top-25
+    (the planted 20-copy cluster quantizes to ONE code, so within-cluster
+    order is a tie — compression loses precision, not the cluster
+    structure), and approx_cos must be bounded."""
+    from neynar_parquet_importer_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    df, q, planted = _clustered_corpus(spark)
+    exact5 = {r.vec_id for r in brute_force_topk(df, q, k=5).collect()}
+    adc = pq_topk(df, q, k=len(planted) + 5).collect()
+    assert exact5 <= {r.vec_id for r in adc}
+    assert all(-1.0 <= r.approx_cos <= 1.0001 for r in adc)
