@@ -216,6 +216,15 @@ def minhash_lsh_candidates(
     self-joins per bucket. The join is an equi-join on (band, hash): a
     single shuffle, skew-handled by AQE; output is distinct unordered
     pairs with the estimated Jaccard from full-signature agreement.
+
+    Inherent skew note: a cluster of d EXACT duplicates collides in every
+    band and emits d(d-1)/2 candidate pairs — quadratic in the dup-group
+    size, by construction of banding (any LSH implementation pays it).
+    The standard pipeline mitigation is upstream, not here: run
+    :func:`exact_dedup` first and band only the canonical representatives
+    (16-byte-key groupBy — cheap at any scale), so d collapses to 1 per
+    identical-content group before near-dup detection. AQE's skew-join
+    split bounds what remains.
     """
     n = bands * rows_per_band
     # the banding self-join reads signatures twice; persist so the
