@@ -210,3 +210,105 @@ def corpus_summary(curated: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+def budget_delta(batch: DataFrame, previous: DataFrame | None = None) -> DataFrame:
+    """Per-(split, lang) doc/token delta of one curated micro-batch.
+
+    ``batch`` carries the latest version of each fingerprint it restates
+    (curate_stream's output: doc_id, lang, fp, n_tokens, split, ...);
+    ``previous`` the sink's prior version of those same fingerprints
+    (None/empty when all are first-seen). A first-seen fp contributes
+    (+1 doc, +n_tokens) to its cell; a superseding version moves the
+    contribution between cells (lang, split, and token count can all
+    change when new content wins the fingerprint); an unchanged restate
+    nets to zero — the fold is idempotent per version.
+    """
+    plus = batch.select("split", "lang", F.lit(1).alias("dd"), F.col("n_tokens").alias("dt"))
+    if previous is not None:
+        minus = previous.select(
+            "split", "lang", F.lit(-1).alias("dd"), (-F.col("n_tokens")).alias("dt")
+        )
+        plus = plus.unionByName(minus)
+    return plus.groupBy("split", "lang").agg(
+        F.sum("dd").alias("doc_delta"), F.sum("dt").alias("token_delta")
+    )
+
+
+def fold_budget_batch(
+    spark,
+    doc_sink,
+    budget_sink,
+    batch: DataFrame,
+    epoch: int,
+    version_column: str = "doc_id",
+) -> None:
+    """Sink-as-state maintenance of the per-(split, lang) training budget:
+    O(batch) work per micro-batch instead of re-aggregating the curated
+    corpus (O(state)) every time the mixture scheduler wants fresh totals
+    — the W10 pattern (and the graph counts fold, graph/counts.py) applied
+    to training-data bookkeeping.
+
+    Protocol mirrors fold_counts_batch exactly: the doc sink (PK fp)
+    supplies each restated fingerprint's prior version, stale replays
+    (batch version older than the sink's) are filtered before the delta,
+    the budget upsert runs first stamping ``epoch``, and crash replay is
+    guarded PER CELL (a (split, lang) row already stamped at >= epoch
+    absorbed this delta; a whole-batch gate would lose un-swapped
+    buckets' deltas under the lake sink's non-atomic multi-bucket swap).
+    """
+    from ..operators.dedup import last_writer_wins
+
+    latest = last_writer_wins(batch, ["fp"], [F.desc(version_column)])
+    prior_all = doc_sink.read()
+    prior = None
+    if prior_all is not None:
+        prior = prior_all.join(
+            latest.select("fp"), "fp", "left_semi"
+        )
+        pv = prior.select("fp", F.col(version_column).alias("__prior_v"))
+        latest = (
+            latest.join(pv, "fp", "left")
+            .filter(
+                F.col("__prior_v").isNull()
+                | (F.col(version_column) >= F.col("__prior_v"))
+            )
+            .drop("__prior_v")
+        )
+        # only fps actually restated by the surviving batch rows matter
+        prior = prior.join(latest.select("fp"), "fp", "left_semi")
+    delta = budget_delta(latest, prior)
+    old = budget_sink.read()
+    if old is None:
+        old_subset = spark.createDataFrame(
+            [], "split string, lang string, n_docs long, n_tokens long"
+        )
+    else:
+        old_subset = old.select("split", "lang", "n_docs", "n_tokens").join(
+            delta.select("split", "lang"), ["split", "lang"], "left_semi"
+        )
+        absorbed = old.filter(F.col("updated_at") >= epoch).select("split", "lang")
+        delta = delta.join(absorbed, ["split", "lang"], "left_anti")
+    merged = old_subset.join(delta, ["split", "lang"], "full_outer").select(
+        "split",
+        "lang",
+        (F.coalesce("n_docs", F.lit(0)) + F.coalesce("doc_delta", F.lit(0))).alias(
+            "n_docs"
+        ),
+        (
+            F.coalesce("n_tokens", F.lit(0)) + F.coalesce("token_delta", F.lit(0))
+        ).alias("n_tokens"),
+    ).withColumn("updated_at", F.lit(epoch).cast("long"))
+    budget_sink.upsert(merged, epoch)
+    doc_sink.upsert(latest, epoch)
+
+
+def read_budget(budget_sink) -> DataFrame | None:
+    """Live budget view: cells whose counts returned to zero are dropped,
+    matching a fresh corpus_summary-style recompute over the doc sink."""
+    df = budget_sink.read()
+    if df is None:
+        return None
+    return df.select("split", "lang", "n_docs", "n_tokens").filter(
+        (F.col("n_docs") != 0) | (F.col("n_tokens") != 0)
+    )

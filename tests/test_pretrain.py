@@ -145,3 +145,105 @@ def test_curate_stream_rejects_oversized_benchmark(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="batch leg"):
         curate_stream(stream, benchmark=bench)
+
+
+def _budget_sinks(spark, tmp_path):
+    from neynar_parquet_importer_spark.sinks.lake_upsert import LakeUpsertSink
+
+    doc_sink = LakeUpsertSink(
+        spark, str(tmp_path / "docs"), ("fp",), "doc_id"
+    )
+    budget_sink = LakeUpsertSink(
+        spark, str(tmp_path / "budget"), ("split", "lang"), "updated_at"
+    )
+    return doc_sink, budget_sink
+
+
+BUDGET_SCHEMA = (
+    "doc_id long, lang string, fp string, n_tokens long, split string"
+)
+
+
+def _recompute(doc_sink):
+    return sorted(
+        tuple(r)
+        for r in doc_sink.read()
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .collect()
+    )
+
+
+def test_budget_fold_matches_recompute_over_lifecycles(spark, tmp_path):
+    """Randomized fingerprint lifecycles (re-observations move documents
+    between (split, lang) cells and change token counts): after every
+    folded micro-batch, the incrementally-maintained budget must equal
+    the full recompute over the doc sink — O(batch) maintenance with
+    O(state) answers."""
+    import random
+
+    from neynar_parquet_importer_spark.plans.pretrain import (
+        fold_budget_batch,
+        read_budget,
+    )
+
+    rng = random.Random(7)
+    doc_sink, budget_sink = _budget_sinks(spark, tmp_path)
+    fps = [f"fp{i}" for i in range(12)]
+    langs, splits = ["en", "de", "zh"], ["train", "val"]
+    doc_id = 0
+    for epoch in range(1, 5):
+        rows = []
+        for fp in rng.sample(fps, rng.randrange(3, 9)):
+            doc_id += 1
+            rows.append(
+                (
+                    doc_id,
+                    rng.choice(langs),
+                    fp,
+                    rng.randrange(1, 200),
+                    rng.choice(splits),
+                )
+            )
+        batch = spark.createDataFrame(rows, BUDGET_SCHEMA)
+        fold_budget_batch(spark, doc_sink, budget_sink, batch, epoch)
+        got = sorted(tuple(r) for r in read_budget(budget_sink).collect())
+        assert got == _recompute(doc_sink), f"epoch {epoch}"
+
+
+def test_budget_fold_partial_stamp_replay_converges(spark, tmp_path):
+    """Crash mid-budget-upsert (some cells stamped at the epoch, others
+    not, docs un-advanced): replay must apply exactly the missing cells'
+    deltas and a second replay must be a no-op."""
+    from neynar_parquet_importer_spark.plans.pretrain import (
+        fold_budget_batch,
+        read_budget,
+    )
+
+    doc_sink, budget_sink = _budget_sinks(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "en", "a", 100, "train"), (2, "de", "b", 50, "val")], BUDGET_SCHEMA
+    )
+    fold_budget_batch(spark, doc_sink, budget_sink, b1, 1)
+
+    # epoch 2 touches (train,en) and (val,zh); simulate a crash that
+    # stamped only (train,en)
+    b2 = spark.createDataFrame(
+        [(3, "en", "c", 25, "train"), (4, "zh", "d", 10, "val")], BUDGET_SCHEMA
+    )
+    budget_sink.upsert(
+        spark.createDataFrame(
+            [("train", "en", 125, 2, 2)],
+            "split string, lang string, n_tokens long, n_docs long, updated_at long",
+        ).select("split", "lang", "n_docs", "n_tokens", "updated_at"),
+        2,
+    )
+    fold_budget_batch(spark, doc_sink, budget_sink, b2, 2)  # replay
+
+    want = sorted(
+        [("train", "en", 2, 125), ("val", "de", 1, 50), ("val", "zh", 1, 10)]
+    )
+    got = sorted(tuple(r) for r in read_budget(budget_sink).collect())
+    assert got == want, (got, want)
+    fold_budget_batch(spark, doc_sink, budget_sink, b2, 2)  # second replay
+    assert sorted(tuple(r) for r in read_budget(budget_sink).collect()) == want
