@@ -247,3 +247,58 @@ def test_budget_fold_partial_stamp_replay_converges(spark, tmp_path):
     assert got == want, (got, want)
     fold_budget_batch(spark, doc_sink, budget_sink, b2, 2)  # second replay
     assert sorted(tuple(r) for r in read_budget(budget_sink).collect()) == want
+
+
+def test_curate_stream_feeds_budget_fold_end_to_end(spark, tmp_path):
+    """The full streaming story in one flow: micro-batches -> stateless
+    curation -> foreachBatch folds BOTH sinks (docs keyed by fingerprint,
+    budgets keyed by (split, lang)). A later batch restating the same
+    content under a new id supersedes the old doc AND moves/keeps its
+    budget contribution — the maintained budget always equals the
+    recompute over the doc sink."""
+    import os
+
+    from neynar_parquet_importer_spark.plans.pretrain import (
+        fold_budget_batch,
+        read_budget,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    write_batch("b1", [(1, GOOD, "en"), (2, GOOD.replace("fox", "owl"), "en")])
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{src}/*")
+    curated = curate_stream(stream, strat_fractions={"en": 1.0})
+    doc_sink, budget_sink = _budget_sinks(spark, tmp_path)
+
+    def sink_batch(batch_df, batch_id):
+        fold_budget_batch(
+            spark, doc_sink, budget_sink, batch_df, epoch=batch_id + 1
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    for n, rows in [
+        (1, None),
+        (2, [(10, GOOD, "en")]),  # same fp as doc 1, new id: supersedes
+    ]:
+        if rows is not None:
+            write_batch(f"b{n}", rows)
+        q = curated.writeStream.foreachBatch(sink_batch).option(
+            "checkpointLocation", ckpt
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in read_budget(budget_sink).collect())
+        assert got == _recompute(doc_sink), f"after batch {n}"
+
+    # the restated content replaced doc 1 (same fp), so totals are
+    # unchanged: still 2 docs in (train/.../en cells combined)
+    assert doc_sink.read().count() == 2
+    assert sum(r[2] for r in (tuple(x) for x in read_budget(budget_sink).collect())) == 2
