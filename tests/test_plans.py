@@ -365,3 +365,15 @@ def test_epoch_shuffle_is_range_partitioned_parallel_sort(spark):
     plan = _plan(spark, "epoch_shuffle_docs")
     assert "rangepartitioning" in plan.lower()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_new_corpus_ops_stay_jvm_with_broadcast_hot_lists(spark):
+    """boilerplate removal and bigram scoring are pure JVM plans: no
+    Python evaluation anywhere, the boilerplate hot list arrives as a
+    broadcast join, and the count models aggregate partial-then-final."""
+    plan = _plan(spark, "boilerplate_chunk_removal")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # df > cap hot list
+    plan = _plan(spark, "bigram_logprob_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on the count models
