@@ -288,24 +288,40 @@ def shingle_novelty(
     ordering-based proxy for "marginal contribution" when curating with
     a fixed ingestion order.
 
-    Two aggregations over the shingle stream: min-id per shingle
-    (shuffle carries 16-byte md5 keys), then an id-partitioned average.
+    Execution shape: a shingle with min-id m contributes one "novel"
+    credit to doc m and nothing to anyone else, so novelty folds into two
+    DOC-cardinality aggregates over one persisted distinct stream —
+    per-doc set size, and per-doc count of shingles it is first owner of
+    (min-id per shingle re-grouped by owner). The final join is between
+    two one-row-per-doc frames, NOT the shingle-cardinality
+    stream-vs-firsts join (which shuffled the full shingle stream a
+    second time and re-ran the explode per side). At 100 TB this removes
+    the largest shuffle of the query outright.
+
     Reuses :func:`~.dedup._shingle_stream` so the tokenization contract
     matches the dedup/contamination family and the DuckDB oracles.
     """
-    sh = (
+    from .dedup import _persist  # shared persist registry (release_cached)
+
+    sh = _persist(
         _shingle_stream(df, text_col, id_col, shingle_n)
         .select("id", F.md5(F.col("shingle")).alias("sh"))
         .distinct()
     )
-    firsts = sh.groupBy("sh").agg(F.min("id").alias("first_doc"))
-    return (
-        sh.join(firsts, "sh")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.avg((F.col("id") == F.col("first_doc")).cast("double")).alias(
-                "novelty"
-            ),
-        )
+    per_doc = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return per_doc.join(novel, "id", "left").select(
+        "id",
+        "n_shingles",
+        # exact-integer sums, so count/count == the oracle's avg(0/1) to
+        # the last ulp
+        (
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("novelty"),
     )

@@ -58,22 +58,24 @@ def token_offsets(
     # dedup.release_cached() like the other operator-internal persists.
     ranged = _persist(ranged.withColumn("pid", F.spark_partition_id()))
 
-    # phase 1+2: per-partition totals -> driver-side running base offsets.
-    # also carry min(id) so bases can be ordered by id range, not pid
-    # (repartitionByRange assigns ascending pids, but ordering by the
-    # actual id range is the invariant that matters)
-    parts = (
-        ranged.groupBy("pid")
-        .agg(F.sum("n_tokens").alias("part_tokens"), F.min("id").alias("min_id"))
-        .collect()
+    # phase 1+2: per-partition totals -> running base offsets. The totals
+    # frame is one row per partition (thousands at worst), so the
+    # exclusive cumsum runs as a single-task window over a provably tiny
+    # frame — and stays fully in-plan: no driver collect, no
+    # createDataFrame round trip, one fewer job. Bases are ordered by
+    # min(id), not pid (repartitionByRange assigns ascending pids, but
+    # the actual id range is the invariant that matters).
+    parts = ranged.groupBy("pid").agg(
+        F.sum("n_tokens").alias("part_tokens"), F.min("id").alias("min_id")
     )
-    base = 0
-    bases = []
-    for row in sorted(parts, key=lambda r: r["min_id"]):
-        bases.append((row["pid"], base))
-        base += row["part_tokens"]
+    wb = Window.orderBy("min_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     bases_df = F.broadcast(
-        spark.createDataFrame(bases, "pid int, base long")
+        parts.select(
+            "pid",
+            F.coalesce(F.sum("part_tokens").over(wb), F.lit(0)).alias("base"),
+        )
     )
 
     # phase 3: parallel within-partition cumsum on top of the base

@@ -1248,20 +1248,25 @@ def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
-    revenue view aggregates first (one shuffle on suppkey); the max
-    arrives via an unpartitioned window over the tiny aggregated frame,
-    so no second scan and no self-join."""
+    revenue view aggregates first (one shuffle on suppkey) and is persisted
+    so it computes once; the max collapses to a one-row aggregate that
+    broadcast-joins back as an equi-join on the value — no unpartitioned
+    window (which would funnel the aggregated frame through one task)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+    rev = dd._persist(
+        li.groupBy("l_suppkey").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
         )
     )
-    mx = F.max("total_revenue").over(Window.partitionBy())
-    top = rev.withColumn("mx", mx).filter(F.col("total_revenue") == F.col("mx"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+    ).drop("mx")
     supplier = _t(spark, sf_dir, "supplier")
     return top.join(supplier, top.l_suppkey == supplier.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
@@ -1743,19 +1748,31 @@ def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node out/in degree over the projected edge set — the profile
     query of any graph load (find hubs before a MERGE storm hits the graph
-    sink). Two grouped counts + a full outer join on the node id; the
-    aggregates are partial+final so the shuffle carries one row per node."""
+    sink). ONE scan: each edge explodes into its two endpoint rows tagged
+    (out, in), then a single partial+final aggregate sums both counters
+    per node. The earlier two-grouped-counts + full-outer-join plan read
+    the events table (and re-parsed the JSON edge projection) twice and
+    paid a third shuffle for the join; this shape pays one scan and one
+    shuffle carrying a row per (node, partition)."""
     e = graph_edges(spark, sf_dir)
-    out_deg = e.groupBy(F.col("src_id").alias("node_id")).agg(
-        F.count(F.lit(1)).alias("out_degree")
-    )
-    in_deg = e.groupBy(F.col("dst_id").alias("node_id")).agg(
-        F.count(F.lit(1)).alias("in_degree")
-    )
-    return out_deg.join(in_deg, "node_id", "full").select(
-        "node_id",
-        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+    ends = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src_id").alias("node_id"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("dst_id").alias("node_id"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("n")
+    ).select("n.node_id", "n.o", "n.i")
+    return ends.groupBy("node_id").agg(
+        F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
     )
 
 

@@ -307,8 +307,19 @@ def test_sequence_packing_never_single_partition_window(spark):
     window with empty PARTITION BY collapsing the corpus to one task."""
     plan = _plan(spark, "pack_training_sequences")
     assert "rangepartitioning" in plan.lower()  # phase-1 ordered split
-    # the only windows run per-pid, so no single-partition exchange feeds one
-    assert "Exchange SinglePartition" not in plan
+    # the corpus-side windows run per-pid; the ONLY single-partition
+    # exchange allowed is the one feeding the base-offset cumsum over the
+    # per-partition TOTALS (one row per partition — provably tiny), i.e.
+    # its immediate child must be the part_tokens aggregate
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert single, "expected the tiny totals cumsum exchange"
+    for i in single:
+        child = "\n".join(lines[i + 1 : i + 3])
+        assert "part_tokens" in child, (
+            "single-partition exchange feeds something other than the "
+            "per-partition totals:\n" + child
+        )
 
 
 def test_interval_self_join_is_hash_banded(spark):
