@@ -347,50 +347,92 @@ def lsh_near_dup_pairs(
     # NOTE: cand still contains multi-table duplicate pairs (~10%); the
     # rerank is cheap per row, so dedup runs AFTER the threshold filter,
     # on the (tiny) surviving set — a shuffle of results, not candidates
-    # exact-cosine rerank: join the flattened vectors back — pairwise dot
-    # is a single codegen'd multiply-add chain (64 terms fits codegen
-    # comfortably), norms precomputed once per vector.
-    # The broadcast sides are SEMI-JOIN RESTRICTED to ids that appear in
-    # a candidate pair first: candidates are a vanishing fraction of the
-    # corpus at scale, so the broadcast is bounded by the candidate set —
-    # broadcasting the full flattened corpus would cap out at ~2M vectors.
-    # expressions are built as SQL strings: ONE py4j round trip instead of
-    # hundreds of Column-object calls (plan construction was costing more
-    # driver time than the executors spent running it)
-    cand = _persist(cand)  # read three times: two id sets + the rerank join
+    # (measured: deduping 290k candidates first cost 2s to save 7% of a
+    # 1s rerank).
+    # exact-cosine rerank: plain equi-joins pull each side's vector onto
+    # the pair row, then ONE Arrow-batched numpy kernel computes all
+    # cosines row-wise ((A*B).sum(1) — O(pairs x dim), no matmul needed).
+    # This replaced a flattened-column broadcast build that read the
+    # candidate frame three times (two id collections + the join) and was
+    # bounded by how many candidate vectors fit in a broadcast; the plain
+    # joins have no such cap — the optimizer broadcasts the vector side
+    # while it is small and falls back to shuffle joins at corpus scale.
+    vecs = df.select(
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
 
-    def _flat_side(prefix: str):
-        exprs = [f"{id_col} as id_{prefix}"] + [
-            f"cast({vec_col}[{i}] as double) as {prefix}{i}" for i in range(dim)
-        ]
-        sumsq = " + ".join(f"{prefix}{i}*{prefix}{i}" for i in range(dim))
-        ids = cand.select(F.col(f"id_{prefix}").alias("cid")).distinct()
-        return (
-            df.join(
-                F.broadcast(ids), F.col(id_col) == F.col("cid"), "left_semi"
-            )
-            .selectExpr(*exprs)
-            .withColumn(f"nrm_{prefix}", F.expr(f"sqrt({sumsq})"))
+    @pandas_udf("double")
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.vstack(va.to_numpy())
+        b = np.vstack(vb.to_numpy())
+        num = (a * b).sum(axis=1)
+        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        return pd.Series(
+            np.divide(num, den, out=np.zeros_like(num), where=den > 0)
         )
 
-    a_side = _flat_side("a")
-    b_side = _flat_side("b")
-    # AQE coalesces the candidate shuffle to ~1 partition by SIZE (a few
-    # MB), but the rerank is CPU-bound (64-term dot per row) — spread it
-    # across the cluster explicitly
-    par = df.sparkSession.sparkContext.defaultParallelism
-    joined = (
-        cand.repartition(par)
-        .join(F.broadcast(a_side), "id_a")
-        .join(F.broadcast(b_side), "id_b")
-    )
-    pdot = F.expr(" + ".join(f"a{i}*b{i}" for i in range(dim)))
-    denom = F.col("nrm_a") * F.col("nrm_b")
-    cos = F.when(denom > 0, pdot / denom).otherwise(F.lit(0.0))
+    paired = cand.join(
+        vecs.withColumnsRenamed({"__rid": "id_a", "__v": "__va"}), "id_a"
+    ).join(vecs.withColumnsRenamed({"__rid": "id_b", "__v": "__vb"}), "id_b")
     return (
-        joined.select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
+        paired.select(
+            "id_a",
+            "id_b",
+            F.round(_pair_cos("__va", "__vb"), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def near_dup_pairs_adaptive(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.5,
+    exact_below: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup pairs with a corpus-size crossover: below ``exact_below``
+    vectors, run the exact blocked-BLAS all-pairs scan; above it, the
+    multi-table LSH candidate + rerank path.
+
+    The FAISS-style dispatch rule: an index only pays when n^2 dominates
+    its fixed overhead. Exact blocked pairs cost ~n^2·dim/2 fused
+    multiply-adds at BLAS rate — at dim=64 and n=1e5 that is ~3e11 flops,
+    seconds on a small cluster — while the LSH path pays bucketing UDFs, a
+    multiprobe explode, a collision join, and a rerank join regardless of
+    n. Measured at bench scale (n=2e3) the LSH path costs ~5x the exact
+    scan; the crossover sits around n~1e5 for dim~64 (scale ``exact_below``
+    down for wider vectors: it is the n where n^2·dim work overtakes the
+    index overhead, so ~1e5·sqrt(64/dim) is a reasonable rule of thumb).
+
+    Contract note: below the crossover the output is the EXACT pair set
+    (a deterministic superset of what LSH banding would admit — every
+    colliding pair above threshold, plus borderline pairs LSH might have
+    missed), which is both faster and strictly better recall; downstream
+    consumers (clustering, keeper selection) only ever benefit. Above the
+    crossover the LSH recall contract applies (see
+    :func:`lsh_near_dup_pairs`). Tests pin that both regimes agree on
+    planted-dup corpora by forcing each path.
+    """
+    if df.count() <= exact_below:
+        # kernel already filters on raw >= threshold; round for the same
+        # presentation contract as the LSH branch
+        return exact_cosine_pairs_blocked(
+            df, threshold, vec_col=vec_col, id_col=id_col
+        ).select("id_a", "id_b", F.round("cos_raw", 4).alias("cos_sim"))
+    return lsh_near_dup_pairs(
+        df,
+        dim,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        **lsh_kwargs,
     )
 
 

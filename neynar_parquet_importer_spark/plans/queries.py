@@ -819,17 +819,22 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path twin of embedding_dedup_clusters: candidate pairs from
-    multi-table hyperplane LSH + exact-cosine rerank (precision 1), then
-    the same connected-components + canonical-keeper step. Rows-only
-    oracle — the candidate set depends on the engine's plane hashes. In
-    the regime near-dup dedup actually targets (planted dups, cos >= ~0.9)
-    recall ~= 1 and the clusters match the exact plan output exactly
-    (tests/test_operators.py proves it on a planted corpus); at borderline
-    thresholds the exact blocked plan above is the ground truth."""
+    """Scale-path twin of embedding_dedup_clusters with the FAISS-style
+    corpus-size crossover (operators.similarity.near_dup_pairs_adaptive):
+    below ~1e5 vectors the exact blocked-BLAS scan is strictly faster than
+    building LSH tables — and deterministic, so this query is fully
+    ORACLE-CHECKED at test scales (same recursive-CTE closure as
+    embedding_dedup_clusters, threshold 0.5). Above the crossover, the
+    multi-table hyperplane LSH candidate + exact-rerank path engages;
+    tests/test_operators.py forces that path on a planted corpus and
+    proves its clusters match the exact plan's exactly, so the adaptive
+    dispatch never changes answers in the regime near-dup dedup targets
+    (planted dups, cos >= ~0.9, recall ~= 1)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
-    pairs = sim.lsh_near_dup_pairs(emb, dim, threshold=0.5).select("id_a", "id_b")
+    pairs = sim.near_dup_pairs_adaptive(emb, dim, threshold=0.5).select(
+        "id_a", "id_b"
+    )
     return dd.dedup_cluster_keepers(emb, pairs, "vec_id")
 
 
@@ -3173,6 +3178,35 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         ) WHERE c >= 0.4
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS vec_id,
+           least(src, min(dst)) AS component,
+           (src = least(src, min(dst))) AS keep
+    FROM reach
+    GROUP BY src
+"""
+
+ORACLE_SQL["embedding_dedup_clusters_lsh"] = """
+    -- the adaptive dispatch runs the exact blocked scan below its corpus
+    -- crossover, so at test scales the output is the deterministic exact
+    -- pair set at threshold 0.5 -> same closure oracle as
+    -- embedding_dedup_clusters
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE c >= 0.5
     ), edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION

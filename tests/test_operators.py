@@ -561,6 +561,53 @@ def test_lsh_clusters_match_exact_on_planted_corpus(spark):
     assert len(via_exact) >= 3 * n_groups  # every planted clique clustered
 
 
+def test_near_dup_pairs_adaptive_dispatch(spark):
+    """The corpus-size crossover: below exact_below the adaptive path must
+    emit the exact blocked pair set; with the gate forced off
+    (exact_below=0) it must take the LSH path and agree with the forced
+    LSH output on the same corpus."""
+    import numpy as np
+
+    from neynar_parquet_importer_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        lsh_near_dup_pairs,
+        near_dup_pairs_adaptive,
+    )
+
+    rng = np.random.RandomState(47)
+    dim = 64
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(rng.randn(120, dim))
+    ]
+    for p in range(8):
+        v = rng.randn(dim)
+        rows.append((200 + 2 * p, [float(x) for x in v]))
+        rows.append((201 + 2 * p, [float(x) for x in v + 0.04 * rng.randn(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in exact_cosine_pairs_blocked(df, 0.9).select("id_a", "id_b").collect()
+    )
+    via_gate = sorted(
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_adaptive(df, dim, threshold=0.9).collect()
+    )
+    assert via_gate == exact  # small corpus -> exact branch, full pair set
+
+    forced_lsh = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(df, dim, threshold=0.9).collect()
+    )
+    via_gate_lsh = sorted(
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_adaptive(
+            df, dim, threshold=0.9, exact_below=0
+        ).collect()
+    )
+    assert via_gate_lsh == forced_lsh  # gate off -> LSH branch verbatim
+
+
 def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
     """Stop-shingle mitigation: one boilerplate sentence shared by 30% of
     the corpus must not make the inverted-index self-join quadratic in its
