@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import random
 import time
-from collections.abc import Callable, Iterable, Sequence
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from itertools import islice
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +68,30 @@ def chunk_rows_for_param_limit(
         yield rows[i : i + per_chunk]
 
 
+def iter_chunks_for_param_limit(
+    rows_iter: Iterable[Sequence],
+    n_columns: int,
+    max_params: int = POSTGRES_MAX_BIND_PARAMS,
+) -> Iterator[list[tuple]]:
+    """Streaming form of :func:`chunk_rows_for_param_limit`: consume the
+    row iterator lazily, yielding one materialized chunk at a time with
+    len(chunk) * n_columns <= max_params. Executor Python memory is
+    bounded by the CHUNK size, never the partition size — after the
+    connection-budget coalesce, a 100 TB batch makes each partition
+    enormous, so materializing it up front (the reference's own hazard,
+    db.py:796-797, and this writer's pre-round-4 behavior) is a
+    scale-killer."""
+    if n_columns <= 0:
+        raise ValueError("n_columns must be positive")
+    per_chunk = max(1, max_params // n_columns)
+    it = iter(rows_iter)
+    while True:
+        chunk = [tuple(r) for r in islice(it, per_chunk)]
+        if not chunk:
+            return
+        yield chunk
+
+
 def retry_with_backoff(
     fn: Callable[[], None],
     attempts: int = 5,
@@ -109,6 +134,77 @@ def _psycopg_connect(dsn: str):
     return psycopg.connect(dsn)
 
 
+def write_partition_rows(
+    rows_iter: Iterable[Sequence],
+    connect: Callable,
+    dsn: str,
+    table: str,
+    columns: Sequence[str],
+    primary_key: Sequence[str],
+    version_column: str = "updated_at",
+    max_params: int = POSTGRES_MAX_BIND_PARAMS,
+    retry: Callable[[Callable[[], None]], None] = retry_with_backoff,
+) -> None:
+    """One partition's upsert loop (the body ``jdbc_upsert_writer`` runs
+    inside foreachPartition; module-level so tests drive it directly).
+
+    - STREAMS the partition: rows are pulled lazily one param-limit chunk
+      at a time (:func:`iter_chunks_for_param_limit`), so executor Python
+      memory is bounded by chunk size, not partition size;
+    - connects lazily (an empty partition opens no connection);
+    - each chunk commits independently under the retry wrapper, and a
+      failed attempt DROPS the connection so the next attempt reconnects
+      — a mid-batch connection loss resumes from the failed chunk (prior
+      chunks are committed; re-execution of the failed chunk is
+      idempotent because the statement is a recency-guarded upsert).
+    """
+    chunks = iter_chunks_for_param_limit(rows_iter, len(columns), max_params)
+    state: dict = {"cm": None, "conn": None}
+
+    def ensure_conn():
+        if state["cm"] is None:
+            cm = connect(dsn)
+            state["cm"] = cm
+            state["conn"] = cm.__enter__()
+        return state["conn"]
+
+    def drop_conn(failed: bool = False) -> None:
+        cm, conn = state["cm"], state["conn"]
+        state["cm"] = state["conn"] = None
+        if cm is None:
+            return
+        try:
+            if failed and hasattr(conn, "close"):
+                # psycopg close() == rollback the aborted transaction;
+                # per-chunk work was committed explicitly already
+                conn.close()
+            else:
+                cm.__exit__(None, None, None)
+        except Exception:
+            pass  # a dead socket may refuse even the close
+
+    try:
+        for chunk in chunks:
+            sql = build_upsert_sql(
+                table, columns, primary_key, version_column, n_rows=len(chunk)
+            )
+            params = [v for row in chunk for v in row]
+
+            def run() -> None:
+                conn = ensure_conn()
+                try:
+                    with conn.cursor() as cur:
+                        cur.execute(sql, params)
+                    conn.commit()
+                except Exception:
+                    drop_conn(failed=True)
+                    raise
+
+            retry(run)
+    finally:
+        drop_conn()
+
+
 def jdbc_upsert_writer(
     df: DataFrame,
     dsn: str,
@@ -123,7 +219,10 @@ def jdbc_upsert_writer(
     connection budget (reference settings.py:64-66 pool_size=90) is
     ENFORCED by capping the write-side partition count — a 100 TB batch
     with thousands of scan partitions coalesces (no shuffle) down to the
-    pool budget instead of opening a connection per input split.
+    pool budget instead of opening a connection per input split. Each
+    partition streams through :func:`write_partition_rows`, so the
+    coalesced (hence huge) partitions never materialize in executor
+    Python memory.
 
     ``connect_fn(dsn)`` injects the connection factory (default: psycopg).
     It must be picklable (it ships to executors) and return a DBAPI-ish
@@ -135,21 +234,8 @@ def jdbc_upsert_writer(
     connect = _psycopg_connect if connect_fn is None else connect_fn
 
     def write_partition(rows_iter) -> None:
-        rows = [tuple(r) for r in rows_iter]
-        if not rows:
-            return
-        with connect(dsn) as conn:
-            for chunk in chunk_rows_for_param_limit(rows, len(columns)):
-                sql = build_upsert_sql(
-                    table, columns, primary_key, version_column, n_rows=len(chunk)
-                )
-                params = [v for row in chunk for v in row]
-
-                def run() -> None:
-                    with conn.cursor() as cur:
-                        cur.execute(sql, params)
-                    conn.commit()
-
-                retry_with_backoff(run)
+        write_partition_rows(
+            rows_iter, connect, dsn, table, columns, primary_key, version_column
+        )
 
     deduped.foreachPartition(write_partition)

@@ -107,6 +107,195 @@ def test_jdbc_writer_path_executes_sql_in_process(spark, tmp_path):
     assert rows == [(1, "a-newer", 11), (2, "b2", 20), (3, "c", 20)]
 
 
+# -- failure-path + streaming contracts (direct partition-body drive) -------
+#
+# write_partition_rows is the exact body foreachPartition runs; driving it
+# directly lets these tests observe laziness and failure handling without
+# crossing an executor boundary (that crossing is covered above).
+
+class _DuckCursor2:
+    def __init__(self, con):
+        self._con = con
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def execute(self, sql, params):
+        self._con.execute(sql.replace("%s", "?"), list(params))
+
+
+class _DuckConn2:
+    def __init__(self, dsn):
+        import duckdb
+
+        self._con = duckdb.connect(dsn)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._con.close()
+        return False
+
+    def close(self):
+        self._con.close()
+
+    def cursor(self):
+        return _DuckCursor2(self._con)
+
+    def commit(self):
+        pass
+
+
+def _no_sleep_retry(attempts):
+    def retry(fn):
+        for i in range(attempts):
+            try:
+                fn()
+                return
+            except Exception:
+                if i == attempts - 1:
+                    raise
+    return retry
+
+
+def test_writer_streams_partition_lazily():
+    """Scale contract: the partition body must pull rows one param-limit
+    chunk at a time — after the connection-budget coalesce a real
+    partition is enormous, so materializing it before chunking (the
+    pre-round-4 behavior, and the reference's own hazard db.py:796-797)
+    is unbounded executor memory. Observed directly: at every statement
+    execution, the source iterator has yielded no more than one chunk
+    beyond what has already been executed."""
+    from neynar_parquet_importer_spark.sinks.jdbc_upsert import (
+        write_partition_rows,
+    )
+
+    yielded = {"n": 0}
+    executed: list[tuple[int, int]] = []  # (rows_executed_so_far, yielded_at_exec)
+
+    def rows():
+        for i in range(10):
+            yielded["n"] += 1
+            yield (i, f"v{i}", 1)
+
+    class _Cursor:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def execute(self, sql, params):
+            executed.append((len(params) // 3, yielded["n"]))
+
+    class _Conn:
+        def __init__(self, dsn):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def cursor(self):
+            return _Cursor()
+
+        def commit(self):
+            pass
+
+    # 3 columns, max_params=9 -> 3 rows per chunk, 4 chunks for 10 rows
+    write_partition_rows(
+        rows(), _Conn, "dsn", "t", ["id", "v", "updated_at"], ["id"],
+        max_params=9, retry=_no_sleep_retry(1),
+    )
+    assert [r for r, _ in executed] == [3, 3, 3, 1]
+    done = 0
+    for rows_in_chunk, yielded_at_exec in executed:
+        # lazily pulled: one chunk of lookahead beyond committed work
+        assert yielded_at_exec <= done + 3
+        done += rows_in_chunk
+    assert yielded["n"] == 10
+
+
+def test_mid_batch_connection_drop_resumes_from_failed_chunk(tmp_path):
+    """A connection lost mid-partition must not lose or duplicate data:
+    prior chunks are committed, the failed chunk's retry RECONNECTS (the
+    dead connection is dropped) and re-executes idempotently."""
+    import duckdb
+
+    from neynar_parquet_importer_spark.sinks.jdbc_upsert import (
+        write_partition_rows,
+    )
+
+    db = str(tmp_path / "dropconn.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR, updated_at BIGINT)")
+    con.close()
+
+    connects = {"n": 0}
+    fail_state = {"armed": True}
+
+    class _FlakyCursor(_DuckCursor2):
+        def execute(self, sql, params):
+            # simulate the socket dying while executing the SECOND chunk,
+            # exactly once
+            if fail_state["armed"] and params and params[0] == 2:
+                fail_state["armed"] = False
+                raise RuntimeError("connection dropped mid-batch")
+            super().execute(sql, params)
+
+    class _FlakyConn(_DuckConn2):
+        def __init__(self, dsn):
+            connects["n"] += 1
+            super().__init__(dsn)
+
+        def cursor(self):
+            return _FlakyCursor(self._con)
+
+    rows = [(i, f"v{i}", 1) for i in range(4)]
+    # 3 columns, max_params=6 -> 2 rows per chunk; chunk 2 starts at id=2
+    write_partition_rows(
+        rows, _FlakyConn, db, "t", ["id", "v", "updated_at"], ["id"],
+        max_params=6, retry=_no_sleep_retry(3),
+    )
+    assert connects["n"] == 2  # the retry opened a fresh connection
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, v FROM t ORDER BY id").fetchall()
+    con.close()
+    assert got == [(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")]
+
+
+def test_duplicate_pk_in_one_statement_is_rejected_without_dedup(tmp_path):
+    """The engine-level hazard the PK dedup guards: one statement touching
+    the same PK twice is REJECTED by the database (Postgres raises 'row
+    updated twice'; DuckDB raises a duplicate-key constraint error — same
+    contract). Driving the partition body with un-deduped rows must fail;
+    the full writer (which dedups in prepare_upsert_frame) succeeds on
+    identical input — proven by test_jdbc_writer_path_executes_sql_in_process."""
+    import duckdb
+
+    from neynar_parquet_importer_spark.sinks.jdbc_upsert import (
+        write_partition_rows,
+    )
+
+    db = str(tmp_path / "duppk.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR, updated_at BIGINT)")
+    con.close()
+
+    rows = [(1, "a", 10), (1, "a-newer", 11)]
+    with pytest.raises(Exception, match="(?i)duplicate|updated twice"):
+        write_partition_rows(
+            rows, _DuckConn2, db, "t", ["id", "v", "updated_at"], ["id"],
+            retry=_no_sleep_retry(1),
+        )
+
+
 # -- live services (skip cleanly in the sandbox) ----------------------------
 
 @pytest.mark.skipif(
