@@ -286,6 +286,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_shingle_df: int | float | None = None,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (the rerank step after
     LSH). Joins shingle sets back onto the candidate pairs — candidates are
@@ -294,7 +296,16 @@ def ngram_jaccard_pairs(
     Shingling is restricted to documents that actually appear in a
     candidate pair (semi-join first): at 100 TB the candidate set is a
     vanishing fraction of the corpus and shingling everything would
-    dominate the query."""
+    dominate the query.
+
+    ``max_shingle_df`` applies the SAME stop-shingle rule as
+    :func:`jaccard_all_pairs` (absolute count or corpus fraction), so
+    both exact-Jaccard paths share one definition and "LSH approximates
+    the all-pairs ground truth" holds on corpora with hot shingles.
+    Document frequency is corpus-wide by definition, so enabling the cap
+    here costs one full-corpus shingle aggregation; pass a precomputed
+    ``hot`` frame (from :func:`hot_shingles`, built once per corpus) to
+    amortize it the way a production pipeline would."""
     candidates = _persist(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
@@ -311,6 +322,10 @@ def ngram_jaccard_pairs(
         .select("id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
+    if hot is None and max_shingle_df is not None:
+        hot = hot_shingles(df, max_shingle_df, text_col, id_col, shingle_n)
+    if hot is not None:
+        dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
     exploded = _persist(
         dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
@@ -341,26 +356,80 @@ def ngram_jaccard_pairs(
 DEFAULT_MAX_SHINGLE_DF = 1000
 
 
+def hot_shingles(
+    df: DataFrame,
+    max_shingle_df: int | float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(shingle-hash) frame of the stop shingles: distinct shingles whose
+    corpus-wide document frequency exceeds the cap.
+
+    ``max_shingle_df`` is either an ABSOLUTE document count (int >= 1) or
+    a FRACTION of the corpus (float in (0, 1)). The fractional form is
+    the one that means the same thing at every scale: an absolute
+    df=1000 is vanishingly rare at 10^9 docs while genuine boilerplate
+    (df = 0.5% of the corpus) sails under it; df > 0.5% names the same
+    shingles at sf0.001 and at 100 TB. The corpus size joins in as a
+    broadcast one-row count frame — no driver-side collect.
+
+    In a production pipeline this frame is computed once per corpus and
+    persisted beside it; every consumer here also accepts a precomputed
+    frame so that amortization is expressible.
+    """
+    dist = (
+        _shingle_stream(df, text_col, id_col, shingle_n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    return _hot_from_dist(dist, df, max_shingle_df)
+
+
+def _hot_from_dist(
+    dist: DataFrame, df: DataFrame, max_shingle_df: int | float
+) -> DataFrame:
+    """Stop-shingle set from an existing distinct (id, shingle) stream;
+    ``df`` supplies the corpus row count for the fractional form."""
+    dfreq = dist.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if isinstance(max_shingle_df, float):
+        if not 0 < max_shingle_df < 1:
+            raise ValueError(
+                "fractional max_shingle_df must be in (0, 1); got "
+                f"{max_shingle_df}"
+            )
+        n = df.select(F.count(F.lit(1)).alias("__n_docs"))
+        return (
+            dfreq.crossJoin(F.broadcast(n))
+            .filter(F.col("df") > F.col("__n_docs") * F.lit(max_shingle_df))
+            .select("shingle")
+        )
+    return dfreq.filter(F.col("df") > int(max_shingle_df)).select("shingle")
+
+
 def capped_distinct_shingles(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | float | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(id, shingle-hash, sz) — each document's distinct shingle set with
-    globally hot shingles (document frequency > ``max_shingle_df``)
+    globally hot shingles (document frequency > ``max_shingle_df``,
+    absolute count or corpus fraction — see :func:`hot_shingles`)
     removed, and ``sz`` = the capped set size.
 
     The df-cap is the stop-shingle mitigation for inverted-index joins:
     a shingle shared by d documents fans out to d(d-1)/2 pairs in a
     self-join, so ONE boilerplate 3-gram in 1% of a 100 TB corpus makes
     the pair aggregate quadratic in that posting list. Capping df bounds
-    per-key fanout at max_shingle_df^2 and removes exactly the shingles
-    that carry no near-dup signal (boilerplate shared across unrelated
-    documents). Semantics are explicit, not approximate: downstream
-    Jaccard is computed over the CAPPED sets on both sides of the ratio,
-    a rule the DuckDB oracles mirror verbatim.
+    per-key fanout and removes exactly the shingles that carry no
+    near-dup signal (boilerplate shared across unrelated documents).
+    Semantics are explicit, not approximate: downstream Jaccard is
+    computed over the CAPPED sets on both sides of the ratio, a rule the
+    DuckDB oracles mirror verbatim — and ONE rule shared by every exact-
+    Jaccard path (all-pairs and LSH rerank), so the two agree on corpora
+    with hot shingles.
 
     The hot list itself is tiny (it's the df > cap tail), so it ships as
     a broadcast anti-join — no extra shuffle of the shingle stream.
@@ -371,12 +440,7 @@ def capped_distinct_shingles(
         .distinct()
     )
     if max_shingle_df is not None:
-        hot = (
-            dist.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
+        hot = _hot_from_dist(dist, df, max_shingle_df)
         dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
     return dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
 
@@ -387,7 +451,7 @@ def jaccard_all_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | float | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs above ``threshold`` — the
     oracle-checkable ground truth the LSH family approximates — computed

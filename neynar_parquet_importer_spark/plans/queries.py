@@ -1171,15 +1171,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates reranked by exact shingle Jaccard."""
+    """LSH candidates reranked by exact shingle Jaccard — under the SAME
+    fractional stop-shingle cap as dedup_ngram_jaccard_allpairs, so both
+    exact-Jaccard paths share one definition. At jaccard >= 0.8 the
+    16-band x 4-row banding collides with probability ~1 - 3e-4 per pair,
+    so the rerank output equals the capped all-pairs ground truth at 0.8
+    on every tested corpus — making this query ORACLE-CHECKED (the
+    all-pairs SQL at 0.8); the banding recall contract is additionally
+    property-tested in tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3)
     cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).select(
         "id_a", "id_b"
     )
-    return dd.ngram_jaccard_pairs(docs, cands, "text", "doc_id").filter(
-        F.col("jaccard") >= 0.8
-    )
+    return dd.ngram_jaccard_pairs(
+        docs, cands, "text", "doc_id", max_shingle_df=0.05
+    ).filter(F.col("jaccard") >= 0.8)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,9 +1626,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs shingle Jaccard (>= 0.5) — the oracle-checked ground
     truth for the whole near-dup family (inverted-index plan, not a cross
-    join; see operators.dedup.jaccard_all_pairs)."""
+    join; see operators.dedup.jaccard_all_pairs). The stop-shingle cap is
+    the FRACTIONAL form (df > 5% of the corpus): a fraction names the
+    same boilerplate at every corpus size, where an absolute count means
+    less and less as the corpus grows — the oracle mirrors the same
+    fraction against count(*) of documents."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.jaccard_all_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return dd.jaccard_all_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=0.05
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2572,9 +2585,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "dedup_ngram_jaccard_allpairs": """
-        -- Jaccard over df-capped shingle sets: shingles in more than 1000
-        -- documents (the engine's DEFAULT_MAX_SHINGLE_DF stop-shingle rule)
-        -- are removed from both sides of the ratio before pairing.
+        -- Jaccard over df-capped shingle sets: shingles in more than 5%
+        -- of the corpus (the engine's FRACTIONAL stop-shingle rule) are
+        -- removed from both sides of the ratio before pairing.
         WITH base AS (
             SELECT doc_id,
                    CASE WHEN len(t) >= 3
@@ -2588,7 +2601,8 @@ ORACLE_SQL: dict[str, str] = {
         ), shx AS (
             SELECT doc_id, unnest(s) AS shingle FROM base
         ), hot AS (
-            SELECT shingle FROM shx GROUP BY shingle HAVING count(*) > 1000
+            SELECT shingle FROM shx GROUP BY shingle
+            HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
         ), capped AS (
             SELECT doc_id, list(shingle) AS s
             FROM shx ANTI JOIN hot USING (shingle)
@@ -2602,6 +2616,40 @@ ORACLE_SQL: dict[str, str] = {
             FROM capped a JOIN capped b ON a.doc_id < b.doc_id
         )
         WHERE jaccard >= 0.5
+    """,
+    "dedup_ngram_jaccard": """
+        -- the LSH rerank's ground truth: at jaccard >= 0.8 the 16x4
+        -- banding collides with probability ~1 - 3e-4 per pair, so the
+        -- reranked candidate set equals the capped all-pairs set at 0.8
+        -- (verified at every test sf; banding recall property-tested)
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct(list_transform(
+                               generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents)
+        ), shx AS (
+            SELECT doc_id, unnest(s) AS shingle FROM base
+        ), hot AS (
+            SELECT shingle FROM shx GROUP BY shingle
+            HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+        ), capped AS (
+            SELECT doc_id, list(shingle) AS s
+            FROM shx ANTI JOIN hot USING (shingle)
+            GROUP BY doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.8
     """,
     "dedup_clusters": """
         WITH RECURSIVE base AS (

@@ -608,12 +608,19 @@ def test_near_dup_pairs_adaptive_dispatch(spark):
     assert via_gate_lsh == forced_lsh  # gate off -> LSH branch verbatim
 
 
-def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
+@pytest.mark.parametrize(
+    "cap",
+    [100, 100 / 1006.0],  # absolute count, and the same rule as a corpus fraction
+    ids=["absolute", "fractional"],
+)
+def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark, cap):
     """Stop-shingle mitigation: one boilerplate sentence shared by 30% of
     the corpus must not make the inverted-index self-join quadratic in its
     posting list. The df-cap removes hot shingles from candidate
     generation (bounding the shuffle-row count) while planted near-dup
-    pairs — whose signal lives in non-hot shingles — are still found."""
+    pairs — whose signal lives in non-hot shingles — are still found.
+    Parameterized over BOTH cap forms: the absolute document count and the
+    equivalent corpus fraction must name the same stop shingles."""
     from neynar_parquet_importer_spark.operators.dedup import (
         capped_distinct_shingles,
         jaccard_all_pairs,
@@ -644,7 +651,7 @@ def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
 
     hot_pairs = 300 * 299 // 2  # per hot shingle
     uncapped = n_candidates(None)
-    capped = n_candidates(100)
+    capped = n_candidates(cap)
     assert uncapped >= hot_pairs, "hot shingle must dominate the uncapped join"
     # the capped join must have shed the hot posting list's quadratic term
     assert capped < uncapped - 5 * hot_pairs
@@ -653,7 +660,7 @@ def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
     got = {
         (r.id_a, r.id_b)
         for r in jaccard_all_pairs(
-            df, "text", "doc_id", threshold=0.5, max_shingle_df=100
+            df, "text", "doc_id", threshold=0.5, max_shingle_df=cap
         ).collect()
     }
     assert planted <= got, f"df-cap lost planted pairs {planted - got}"
