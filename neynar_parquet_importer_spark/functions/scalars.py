@@ -48,7 +48,15 @@ def epoch_seconds_to_ts(col: Column | str) -> Column:
 
 def window_start(ts: Column | str, duration_s: int) -> Column:
     """Tumbling-window start for a timestamp column: floor(epoch/dur)*dur,
-    returned as epoch seconds (bigint) for stable cross-engine comparison."""
+    returned as epoch seconds (bigint) for stable cross-engine comparison.
+    Epoch seconds come from an NTZ-to-NTZ timestampdiff so the alignment
+    is timezone-independent (``unix_timestamp`` on a TIMESTAMP_NTZ column
+    converts via the session zone and would shift window boundaries under
+    a non-UTC session)."""
     c = F.col(ts) if isinstance(ts, str) else ts
-    epoch = F.unix_timestamp(c)
+    epoch = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
     return (F.floor(epoch / duration_s) * duration_s).cast("long")

@@ -38,6 +38,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _ntz_epoch_seconds(ts_col: str):
+    """Epoch seconds from a TIMESTAMP_NTZ column, timezone-independent:
+    an NTZ-to-NTZ timestampdiff. ``unix_timestamp(ts)`` on an NTZ column
+    converts via the SESSION timezone — every query here must use this
+    form instead so results don't silently depend on session.py pinning
+    UTC (tests flip the session TZ to prove it)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.5/§2.6/§2.7: joins, aggs, sorts — the general
 # surface Spark gives for free, exercised TPC-H-style)
@@ -936,9 +947,12 @@ def scalar_subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> 
 
 def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-user trailing-1-hour average event value
-    (time-based frame over the epoch, not a row count)."""
+    (time-based frame over the epoch, not a row count). Epoch seconds via
+    NTZ-to-NTZ timestampdiff — unix_timestamp on a TIMESTAMP_NTZ column
+    converts through the session timezone and would only match the oracle
+    because the session pins UTC."""
     ev = _t(spark, sf_dir, "events")
-    epoch = F.unix_timestamp("ts")
+    epoch = _ntz_epoch_seconds("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)
@@ -1095,7 +1109,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     state + timeout) is streaming.sessionize.sessionize_stream."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp("ts")
+    # NTZ-safe epoch (see moving_avg_user_value)
+    epoch = _ntz_epoch_seconds("ts")
     gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sessioned = ev.withColumn(
@@ -1312,7 +1327,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins UTC). user-week distinct first, so the join and both aggregates
     run on the collapsed frame."""
     ev = _t(spark, sf_dir, "events")
-    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    secs = _ntz_epoch_seconds("ts")
     wk = F.floor(secs / 604800).cast("long")
     user_weeks = ev.select("user_id", wk.alias("week_idx")).distinct()
     firsts = user_weeks.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))

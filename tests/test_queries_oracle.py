@@ -62,6 +62,38 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "moving_avg_user_value",
+        "sessionize_events",
+        "tumbling_event_counts",
+        "cohort_retention",
+        "events_interval_pairs",
+    ],
+)
+def test_time_queries_are_session_timezone_independent(spark, name):
+    """Every epoch-arithmetic query must use the NTZ-safe timestampdiff
+    form: results may not change when the session timezone flips away
+    from the UTC the engine session pins (unix_timestamp on an NTZ column
+    would shift by the zone offset and only LOOK correct under UTC)."""
+    key = "spark.sql.session.timeZone"
+    utc_rows = _multiset(
+        [tuple(r) for r in QUERIES[name](spark, SF).collect()],
+        QUERIES[name](spark, SF).columns,
+    )
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/New_York")  # DST zone, -5/-4 offset
+        flipped_rows = _multiset(
+            [tuple(r) for r in QUERIES[name](spark, SF).collect()],
+            QUERIES[name](spark, SF).columns,
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert flipped_rows == utc_rows, f"{name} depends on the session timezone"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF)
