@@ -150,7 +150,7 @@ def main() -> None:
     # transient host contention (a noisy-neighbor window during pass 1
     # hits different queries in pass 2, so the min recovers the true
     # figure; measured contention inflated single-pass numbers up to 14x)
-    timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(2):
         for name in BENCH_QUERIES:
             release_cached()
@@ -162,9 +162,8 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            t = round(time.perf_counter() - t0, 3)
-            if name not in timings or t < timings[name]:
-                timings[name] = t
+            passes[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(ts) for name, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -176,13 +175,29 @@ def main() -> None:
     }
     print(json.dumps(payload))
 
-    # append-only run history: one timestamped file per run under
-    # .benchmarks/, so round-over-round deltas survive truncated stdout
-    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    # append-only run history, one timestamped file per run, carrying the
+    # RAW per-pass timings too — so "regression or noise?" questions are
+    # answerable from artifacts (a real regression shows in both passes;
+    # contention shows as one inflated pass). Written OUTSIDE version
+    # control: .benchmarks/ is gitignored, or point SPARK_GRAFT_BENCH_DIR
+    # anywhere else.
+    hist_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks"),
+    )
     os.makedirs(hist_dir, exist_ok=True)
     ts = time.strftime("%Y%m%dT%H%M%S")
     with open(os.path.join(hist_dir, f"bench-{ts}-sf{sf}.json"), "w") as f:
-        json.dump({**payload, "run_at": ts, "cpus": os.environ.get("SPARK_GRAFT_CPUS")}, f, indent=1)
+        json.dump(
+            {
+                **payload,
+                "passes": passes,
+                "run_at": ts,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            },
+            f,
+            indent=1,
+        )
         f.write("\n")
     spark.stop()
 

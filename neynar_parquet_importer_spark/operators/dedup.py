@@ -38,7 +38,16 @@ def _persist(df: DataFrame) -> DataFrame:
 
 def release_cached() -> None:
     """Unpersist every signature frame cached by this module's operators,
-    and free any checkpointed iteration states still held."""
+    and free any checkpointed iteration states still held.
+
+    INVALIDATION contract: persisted frames survive release (they
+    silently recompute from lineage on next use), but localCheckpoint-
+    backed frames — e.g. a :func:`connected_components` result on the
+    iterative path — have their lineage truncated to the checkpoint
+    blocks, so using such a result AFTER release_cached() fails with
+    'checkpoint block not found' instead of recomputing. Consume (or
+    copy out, e.g. write/collect) clustering results before calling
+    this; it is a between-queries reset, not a mid-query cache trim."""
     while _CACHED:
         _CACHED.pop().unpersist()
     while _CKPTS:

@@ -259,6 +259,11 @@ def fold_budget_batch(
     """
     from ..operators.dedup import last_writer_wins
 
+    # the budget sink's own version column stamps/guards the fold; read
+    # it from the sink (a sink built with any other version column would
+    # otherwise be silently mis-guarded by a hardcoded 'updated_at')
+    budget_vcol = getattr(budget_sink, "version_column", "updated_at")
+
     latest = last_writer_wins(batch, ["fp"], [F.desc(version_column)])
     prior_all = doc_sink.read()
     prior = None
@@ -287,7 +292,7 @@ def fold_budget_batch(
         old_subset = old.select("split", "lang", "n_docs", "n_tokens").join(
             delta.select("split", "lang"), ["split", "lang"], "left_semi"
         )
-        absorbed = old.filter(F.col("updated_at") >= epoch).select("split", "lang")
+        absorbed = old.filter(F.col(budget_vcol) >= epoch).select("split", "lang")
         delta = delta.join(absorbed, ["split", "lang"], "left_anti")
     merged = old_subset.join(delta, ["split", "lang"], "full_outer").select(
         "split",
@@ -298,7 +303,7 @@ def fold_budget_batch(
         (
             F.coalesce("n_tokens", F.lit(0)) + F.coalesce("token_delta", F.lit(0))
         ).alias("n_tokens"),
-    ).withColumn("updated_at", F.lit(epoch).cast("long"))
+    ).withColumn(budget_vcol, F.lit(epoch).cast("long"))
     budget_sink.upsert(merged, epoch)
     doc_sink.upsert(latest, epoch)
 

@@ -211,6 +211,30 @@ def test_budget_fold_matches_recompute_over_lifecycles(spark, tmp_path):
         assert got == _recompute(doc_sink), f"epoch {epoch}"
 
 
+def test_budget_fold_honors_sink_version_column(spark, tmp_path):
+    """The fold must guard and stamp with the BUDGET SINK's own version
+    column (read from the sink), not a hardcoded 'updated_at' — a sink
+    built with any other column would be silently mis-guarded."""
+    from neynar_parquet_importer_spark.plans.pretrain import (
+        fold_budget_batch,
+        read_budget,
+    )
+    from neynar_parquet_importer_spark.sinks.lake_upsert import LakeUpsertSink
+
+    doc_sink = LakeUpsertSink(spark, str(tmp_path / "docs"), ("fp",), "doc_id")
+    budget_sink = LakeUpsertSink(
+        spark, str(tmp_path / "budget"), ("split", "lang"), "stamped_epoch"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "en", "a", 100, "train"), (2, "de", "b", 50, "val")], BUDGET_SCHEMA
+    )
+    fold_budget_batch(spark, doc_sink, budget_sink, b1, 1)
+    fold_budget_batch(spark, doc_sink, budget_sink, b1, 1)  # replay: no-op
+    want = sorted([("train", "en", 1, 100), ("val", "de", 1, 50)])
+    assert sorted(tuple(r) for r in read_budget(budget_sink).collect()) == want
+    assert "stamped_epoch" in budget_sink.read().columns
+
+
 def test_budget_fold_partial_stamp_replay_converges(spark, tmp_path):
     """Crash mid-budget-upsert (some cells stamped at the epoch, others
     not, docs un-advanced): replay must apply exactly the missing cells'
