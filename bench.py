@@ -96,11 +96,13 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_repetition",
     "text_pii_redaction",
+    "text_gopher_repetition",
     "embedding_cosine_scores",
     "embedding_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_pq_topk",
+    "embedding_semdedup",
     "json_extract_sum",
     "graph_edges",
     "graph_degrees",
@@ -114,6 +116,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "token_count_histogram",
     "lang_mixing_weights",
+    "lang_mixing_temperature",
     "quality_filter_funnel",
     "embedding_norm_stats",
     "pretrain_curated_docs",

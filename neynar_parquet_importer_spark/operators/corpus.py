@@ -147,6 +147,90 @@ def mixing_weights(
     )
 
 
+def mixing_weights_temperature(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling weights (the multilingual alpha-
+    sampling rule of mBERT/XLM-R/mT5): stratum share p_l = n_l/N is
+    flattened to q_l = p_l^alpha / sum(p^alpha), and each stratum's
+    per-document sampling weight is q_l/p_l — alpha=1 reproduces natural
+    proportions, alpha->0 approaches uniform-over-strata (the limit
+    :func:`mixing_weights` computes exactly).
+
+    Same execution shape as mixing_weights: one shuffled count per
+    stratum, then unpartitioned windows over the provably tiny strata
+    frame for the two normalizers.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(strata_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    p = F.col("n_docs") / total
+    pa = F.pow(p, F.lit(alpha))
+    q = pa / F.sum(pa).over(w)
+    return counts.select(
+        strata_col,
+        "n_docs",
+        F.round(p, round_to).alias("share"),
+        F.round(q, round_to).alias("temp_share"),
+        F.round(q / p, round_to).alias("sample_weight"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_bigram_frac: float = 0.20,
+    max_dup_trigram_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1 shape)
+    adapted to n-gram positions: per document, the fraction of bigram
+    positions occupied by the single most frequent bigram, and the
+    fraction of trigram positions whose trigram occurs more than once in
+    the document. ``repetition_ok`` applies the thresholds (defaults in
+    the spirit of Gopher's 0.20 top-2-gram / 0.30 dup-n-gram rules).
+
+    Execution shape: each n-gram stream aggregates (id, gram) -> count
+    (partial+final, one shuffle on the pair key), then a doc-level
+    aggregate folds max/total/dup-covered counts; the two doc-cardinality
+    frames join on id. No text ever shuffles — only 8-byte gram hashes.
+    Tokenization reuses :func:`~.dedup._shingle_stream`, so the oracle
+    SQL mirrors the same whole-text-shingle-for-short-docs contract.
+    """
+
+    def _per_doc(n: int, prefix: str) -> DataFrame:
+        grams = _shingle_stream(df, text_col, id_col, n).select(
+            "id", F.xxhash64("shingle").alias("g")
+        )
+        per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("id").agg(
+            F.max("c").alias(f"{prefix}_top"),
+            F.sum("c").alias(f"{prefix}_n"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                f"{prefix}_dup"
+            ),
+        )
+
+    bi = _per_doc(2, "b")
+    tri = _per_doc(3, "t")
+    top_bigram_frac = F.round(F.col("b_top") / F.col("b_n"), 6)
+    dup_trigram_frac = F.round(F.col("t_dup") / F.col("t_n"), 6)
+    return bi.join(tri, "id").select(
+        "id",
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+        (
+            (top_bigram_frac <= max_top_bigram_frac)
+            & (dup_trigram_frac <= max_dup_trigram_frac)
+        ).alias("repetition_ok"),
+    )
+
+
 def passage_chunks(
     df: DataFrame,
     text_col: str = "text",

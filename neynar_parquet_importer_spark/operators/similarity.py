@@ -541,6 +541,103 @@ def exact_cosine_pairs_blocked(
     )
 
 
+def within_cell_cosine_pairs(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """(id_a < id_b, cos_raw) for pairs IN THE SAME k-means cell with
+    cosine >= threshold — the candidate structure of SemDeDup (Abbas et
+    al. 2023): comparisons drop from n^2 to sum(|cell|^2), on the
+    observation that semantic near-dups land in the same coarse cluster.
+
+    One shuffle on the cell id, then each cell is one applyInPandas task
+    computing its pairwise cosines as chunked numpy/BLAS matmuls (same
+    kernel discipline as :func:`exact_cosine_pairs_blocked`; chunk_rows
+    bounds the score-matrix memory). Cells of a balanced quantizer are
+    n/k rows; an unbalanced hot cell degrades toward n^2 — pick k so
+    cells fit a task, the same tuning FAISS applies."""
+    cells = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        ivf_assign(vec_col, centroids).alias("cell"),
+    )
+    thr = float(threshold)
+
+    def compute(key, pdf):
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        x = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), chunk_rows):
+            e = s + chunk_rows
+            scores = x[s:e] @ x.T
+            denom = np.outer(nrm[s:e], nrm)
+            cos = np.divide(
+                scores, denom, out=np.zeros_like(scores), where=denom > 0
+            )
+            ii, jj = np.nonzero(cos >= thr)
+            ia, ib = ids[s:e][ii], ids[jj]
+            keep = ia < ib
+            out_a.append(ia[keep])
+            out_b.append(ib[keep])
+            out_c.append(cos[ii, jj][keep])
+        cat = (
+            lambda parts, dt: np.concatenate(parts).astype(dt)
+            if parts
+            else np.array([], dtype=dt)
+        )
+        return pd.DataFrame(
+            {
+                "id_a": cat(out_a, np.int64),
+                "id_b": cat(out_b, np.int64),
+                "cos_raw": cat(out_c, np.float64),
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(
+        compute, "id_a long, id_b long, cos_raw double"
+    )
+
+
+def semdedup_keepers(
+    df: DataFrame,
+    threshold: float = 0.9,
+    centroids: Sequence[Sequence[float]] | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: cluster the corpus with the IVF coarse quantizer, detect
+    near-duplicate pairs WITHIN each cell, connect them into components,
+    and keep the min-id representative per component. Returns
+    (id_col, component, keep) for every clustered document (documents in
+    no pair are implicit singletons — kept, same contract as
+    dedup_cluster_keepers).
+
+    vs the exact pipeline (exact_cosine_pairs_blocked -> components):
+    comparisons shrink from n^2 to sum(|cell|^2) at the cost of missing
+    cross-cell pairs; at the high thresholds semantic dedup runs (~0.9+)
+    near-identical vectors quantize to the same cell with ~certainty, so
+    the miss rate is the quantizer's boundary mass (property-tested on a
+    planted corpus)."""
+    from .dedup import dedup_cluster_keepers
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
+        )
+    pairs = within_cell_cosine_pairs(
+        df, centroids, threshold, vec_col, id_col
+    ).select("id_a", "id_b")
+    return dedup_cluster_keepers(df, pairs, id_col)
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -1169,6 +1169,29 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tx.repetition_score("text").alias("repetition"))
 
 
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document (top-bigram position
+    fraction, duplicated-trigram position fraction, pass/fail rule) —
+    ORACLE-CHECKED; see operators.corpus.gopher_repetition for the
+    n-gram-position adaptation and the execution shape."""
+    docs = _t(spark, sf_dir, "documents")
+    out = crp.gopher_repetition(docs, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "repetition_ok",
+    )
+
+
+def lang_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) language sampling weights — the
+    mBERT/XLM-R/mT5 alpha-sampling rule; ORACLE-CHECKED. Complements
+    lang_mixing_weights (the alpha->0 uniform limit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return crp.mixing_weights_temperature(docs, "lang", alpha=0.3)
+
+
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub plumbing: per-category match counts + fingerprint of the
     redacted text (witnesses the replacement without shipping the text)."""
@@ -1725,6 +1748,28 @@ _IVF_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 _PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
 
 
+def _ivf_centroids_cached(emb: DataFrame, sf_dir: str) -> list[list[float]]:
+    key = _emb_cache_key(sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = sim.ivf_centroids(emb, n_centroids=16)
+    return _IVF_CENTROID_CACHE[key]
+
+
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus
+    (the cached IVF coarse quantizer), detect near-dup pairs WITHIN each
+    cell only, connect components, keep the min-id representative.
+    Comparisons drop from n^2 to sum(|cell|^2) — the semantic-dedup scale
+    shape. Rows-only oracle (cells come from the trained quantizer);
+    properties in tests/test_operators.py: within-cell pairs are a subset
+    of the exact pair set, and planted high-cos dups are deduplicated
+    identically to the exact pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semdedup_keepers(
+        emb, threshold=0.4, centroids=_ivf_centroids_cached(emb, sf_dir)
+    )
+
+
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-20 via product quantization + asymmetric distance
     (ADC): each vector is its 8-byte PQ code, the query ships as one
@@ -1751,12 +1796,9 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are trained once per corpus and cached (in production they'd
     be a persisted artifact beside the partitioned-by-cell corpus)."""
     emb = _t(spark, sf_dir, "embeddings")
-    key = _emb_cache_key(sf_dir)
-    if key not in _IVF_CENTROID_CACHE:
-        _IVF_CENTROID_CACHE[key] = sim.ivf_centroids(emb, n_centroids=16)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     out = sim.ivf_topk(
-        emb, list(qvec), k=20, centroids=_IVF_CENTROID_CACHE[key], nprobe=6
+        emb, list(qvec), k=20, centroids=_ivf_centroids_cached(emb, sf_dir), nprobe=6
     )
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -2073,6 +2115,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_repetition": text_repetition,
     "text_pii_redaction": text_pii_redaction,
+    "text_gopher_repetition": text_gopher_repetition,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2101,6 +2144,7 @@ QUERIES = {
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_pq_topk": embedding_pq_topk,
+    "embedding_semdedup": embedding_semdedup,
     "graph_edges": graph_edges,
     "graph_nodes": graph_nodes,
     "graph_degrees": graph_degrees,
@@ -2113,6 +2157,7 @@ QUERIES = {
     "top_trigrams": top_trigrams,
     "token_count_histogram": token_count_histogram,
     "lang_mixing_weights": lang_mixing_weights,
+    "lang_mixing_temperature": lang_mixing_temperature,
     "quality_filter_funnel": quality_filter_funnel,
     "embedding_norm_stats": embedding_norm_stats,
     "pretrain_curated_docs": pretrain_curated_docs,
@@ -2887,6 +2932,62 @@ ORACLE_SQL: dict[str, str] = {
                round(n_docs / sum(n_docs) OVER (), 6) AS share,
                round(sum(n_docs) OVER () / (count(*) OVER () * n_docs), 6) AS weight
         FROM counts
+    """,
+    "lang_mixing_temperature": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ), shares AS (
+            SELECT lang, n_docs,
+                   n_docs / sum(n_docs) OVER () AS p,
+                   pow(n_docs / sum(n_docs) OVER (), 0.3) AS pa
+            FROM counts
+        )
+        SELECT lang, n_docs,
+               round(p, 6) AS share,
+               round(pa / sum(pa) OVER (), 6) AS temp_share,
+               round((pa / sum(pa) OVER ()) / p, 6) AS sample_weight
+        FROM shares
+    """,
+    "text_gopher_repetition": """
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, unnest(s) AS g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM words)
+        ), bc AS (
+            SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+        ), bstat AS (
+            SELECT doc_id, max(c) AS b_top, sum(c) AS b_n FROM bc GROUP BY doc_id
+        ), tri AS (
+            SELECT doc_id, unnest(s) AS g FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(
+                                   generate_series(1, len(t) - 2),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                            ELSE [array_to_string(t, ' ')] END AS s
+                FROM words)
+        ), tc AS (
+            SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g
+        ), tstat AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS t_dup,
+                   sum(c) AS t_n
+            FROM tc GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round(b_top / b_n::DOUBLE, 6) AS top_bigram_frac,
+               round(t_dup / t_n::DOUBLE, 6) AS dup_trigram_frac,
+               (round(b_top / b_n::DOUBLE, 6) <= 0.20
+                AND round(t_dup / t_n::DOUBLE, 6) <= 0.30) AS repetition_ok
+        FROM bstat b JOIN tstat USING (doc_id)
     """,
     "quality_filter_funnel": """
         WITH feats AS (

@@ -561,6 +561,68 @@ def test_lsh_clusters_match_exact_on_planted_corpus(spark):
     assert len(via_exact) >= 3 * n_groups  # every planted clique clustered
 
 
+def test_semdedup_within_cell_pairs_subset_of_exact(spark):
+    """SemDeDup precision is structural: within-cell pairs are computed
+    exactly, so they must be a subset of the exact all-pairs set at the
+    same threshold (the only approximation is MISSING cross-cell pairs)."""
+    from neynar_parquet_importer_spark.catalog import load_table
+    from neynar_parquet_importer_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        ivf_centroids,
+        within_cell_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=8)
+    sem = {
+        (r.id_a, r.id_b)
+        for r in within_cell_cosine_pairs(emb, cents, 0.4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_cosine_pairs_blocked(emb, 0.4).select("id_a", "id_b").collect()
+    }
+    assert sem <= exact
+    assert sem, "within-cell pair set unexpectedly empty at threshold 0.4"
+
+
+def test_semdedup_matches_exact_on_planted_corpus(spark):
+    """In the regime semantic dedup targets (near-identical planted dups,
+    cos ~ 1), duplicates quantize to the same k-means cell, so SemDeDup's
+    keeper output must equal the exact pipeline's."""
+    import numpy as np
+
+    from neynar_parquet_importer_spark.operators.dedup import (
+        dedup_cluster_keepers,
+    )
+    from neynar_parquet_importer_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        semdedup_keepers,
+    )
+
+    rng = np.random.RandomState(61)
+    dim, n_noise, n_groups = 64, 150, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.randn(n_noise, dim))]
+    nid = n_noise
+    for _ in range(n_groups):
+        v = rng.randn(dim)
+        for _ in range(3):
+            rows.append((nid, [float(x) for x in v + 0.03 * rng.randn(dim)]))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact_pairs = exact_cosine_pairs_blocked(df, 0.9).select("id_a", "id_b")
+    via_exact = sorted(
+        tuple(r) for r in dedup_cluster_keepers(df, exact_pairs, "vec_id").collect()
+    )
+    via_sem = sorted(
+        tuple(r)
+        for r in semdedup_keepers(df, threshold=0.9, n_centroids=8).collect()
+    )
+    assert via_exact == via_sem
+    assert len(via_exact) >= 3 * n_groups
+
+
 def test_near_dup_pairs_adaptive_dispatch(spark):
     """The corpus-size crossover: below exact_below the adaptive path must
     emit the exact blocked pair set; with the gate forced off
