@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "embedding_pq_topk",
     "embedding_semdedup",
+    "embedding_knn_join",
     "json_extract_sum",
     "graph_edges",
     "graph_degrees",

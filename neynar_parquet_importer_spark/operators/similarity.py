@@ -20,7 +20,7 @@ import math
 from typing import Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -538,6 +538,102 @@ def exact_cosine_pairs_blocked(
 
     return rep.groupBy("ti", "tj").applyInPandas(
         compute, "id_a long, id_b long, cos_raw double"
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Exact k-NN join: for EVERY query vector, its top-k corpus
+    neighbors by cosine — the batch retrieval primitive (hard-negative
+    mining, embedding-index audits, retrieval eval) that single-query
+    top-k doesn't cover.
+
+    Execution shape for a small-to-moderate query batch against an
+    arbitrarily large corpus: the query matrix broadcasts to every task
+    (queries are the SMALL side by contract — thousands, not the
+    corpus), each corpus partition computes its scores as one chunked
+    numpy/BLAS matmul and keeps only its LOCAL top-k per query
+    (mapInPandas, so nothing but k rows per query per partition survive
+    the scan), and a final per-query TakeOrdered-style aggregate merges
+    the partition winners — shuffle volume is O(partitions * |Q| * k),
+    never O(n). Ties broken by ascending neighbor id, so results are
+    deterministic and oracle-checkable.
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(query_id_col).cast("long"), F.col(vec_col)
+    ).collect()
+    if not q_rows:
+        raise ValueError("queries frame is empty")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_nrm[q_nrm == 0] = 1.0
+    kk = int(k)
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            x = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            out_q, out_n, out_c = [], [], []
+            for s in range(0, len(ids), chunk_rows):
+                e = s + chunk_rows
+                cos = (x[s:e] @ q_mat.T) / np.outer(nrm[s:e], q_nrm)
+                out_q.append(np.repeat(q_ids, len(ids[s:e])))
+                out_n.append(np.tile(ids[s:e], len(q_ids)))
+                out_c.append(cos.T.ravel())
+            qi = np.concatenate(out_q)
+            ni = np.concatenate(out_n)
+            ci = np.concatenate(out_c)
+            # local top-k per query: sort by (query, -cos, neighbor id)
+            order = np.lexsort((ni, -ci, qi))
+            qi, ni, ci = qi[order], ni[order], ci[order]
+            rank = np.arange(len(qi)) - np.searchsorted(qi, qi, side="left")
+            keep = rank < kk
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[keep],
+                    "neighbor_id": ni[keep],
+                    "cos_raw": ci[keep],
+                }
+            )
+
+    local = base.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cos_raw double"
+    )
+    # global merge: per-query top-k over the partition winners (a tiny
+    # frame — O(partitions * |Q| * k) rows)
+    w_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("cos_raw"), F.col("neighbor_id")
+        )
+    )
+    return (
+        local.withColumn("rnk", w_rank)
+        .filter(F.col("rnk") <= kk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rnk",
+        )
     )
 
 

@@ -1755,6 +1755,22 @@ def _ivf_centroids_cached(emb: DataFrame, sf_dir: str) -> list[list[float]]:
     return _IVF_CENTROID_CACHE[key]
 
 
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN (the batch retrieval primitive: hard-negative
+    mining, retrieval eval): top-10 cosine neighbors for each of the
+    first five vectors as queries — ORACLE-CHECKED against the DuckDB
+    cross-join + row_number twin. Execution: the query matrix broadcasts,
+    each corpus partition keeps only its local top-k per query via one
+    BLAS matmul (mapInPandas), and a per-query merge ranks the
+    O(partitions x |Q| x k) partition winners — shuffle never carries
+    the corpus (operators.similarity.knn_join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.knn_join(emb, queries, k=10)
+
+
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus
     (the cached IVF coarse quantizer), detect near-dup pairs WITHIN each
@@ -2145,6 +2161,7 @@ QUERIES = {
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_semdedup": embedding_semdedup,
+    "embedding_knn_join": embedding_knn_join,
     "graph_edges": graph_edges,
     "graph_nodes": graph_nodes,
     "graph_degrees": graph_degrees,
@@ -3364,6 +3381,30 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["embedding_knn_join"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(e.embedding::DOUBLE[], q.qv) AS num,
+               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qv, q.qv)) AS den
+        FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS c,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CASE WHEN den > 0 THEN num / den ELSE 0.0 END DESC,
+                            neighbor_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= 10
 """
 
 ORACLE_SQL["embedding_dedup_clusters_lsh"] = """
