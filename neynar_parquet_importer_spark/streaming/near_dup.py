@@ -1,0 +1,203 @@
+"""Streaming (cross-batch) near-duplicate dedup: MinHash/LSH against a
+persisted signature store, folded one micro-batch at a time.
+
+The batch dedup family (operators/dedup.py) answers "which documents in
+THIS corpus are near-dups of each other". A streaming ingest needs the
+first-wins form: as micro-batches arrive, each document is checked
+against everything ACCEPTED so far, duplicates are marked (never
+accepted), and survivors join the state — so the accepted set is always
+near-dup-free under the ingestion order. This is the W10 sink-as-state
+pattern (graph/counts.py, plans/pretrain.fold_budget_batch) applied to
+content dedup:
+
+- **state** lives in two keyed sinks (any LakeUpsertSink-shaped store):
+  ``sig_sink`` — one row per accepted doc (id, signature array), and
+  ``bucket_sink`` — the exploded LSH index, one row per (band, bucket,
+  id). Both are plain tables: at 100 TB they are partitioned parquet /
+  the warehouse, and the per-batch probe below is an equi-join against
+  them, never a scan of history;
+- **per batch**: signatures for the batch (one corpus-scan aggregate),
+  intra-batch LSH + estimated-Jaccard pairs -> connected components ->
+  a first-wins representative per batch cluster; representatives probe
+  the persisted bucket index (equi-join on (band, bucket)), matches are
+  verified by signature agreement (>= threshold) against ``sig_sink``;
+  a component whose representative matches state is entirely dup-of
+  that state doc. Survivor representatives upsert into both sinks;
+- **crash replay** is idempotent: both sinks are recency-guarded keyed
+  upserts (re-upserting a survivor is a last-writer-wins no-op), and
+  the state probe EXCLUDES self-matches by id — a doc the crashed run
+  already accepted sits in the index and would otherwise match itself
+  and flip from accepted to dup on the re-fold; with the exclusion, the
+  re-fold reproduces the original verdicts exactly (test pinned).
+
+Estimated Jaccard = fraction of agreeing MinHash members, the same
+statistic ``minhash_lsh_candidates`` reports; exact-rerank (shingle
+Jaccard via ``ngram_jaccard_pairs``) can be layered on the emitted
+(dup, dup_of) pairs when the text is still at hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _persist,
+    connected_components,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    release_cached,  # noqa: F401  (re-exported convenience for callers)
+)
+
+SIG_SCHEMA = "id long, signature array<bigint>, updated_at long"
+BUCKET_SCHEMA = "band int, bucket long, id long, updated_at long"
+
+
+def _band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) for every signature row — the exploded LSH
+    index shape shared by the in-batch join and the persisted store."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _sig_agreement(a: str, b: str):
+    agree = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda x: x)
+    )
+    return agree / F.size(a)
+
+
+def near_dup_fold_batch(
+    spark: SparkSession,
+    sig_sink,
+    bucket_sink,
+    batch: DataFrame,
+    epoch: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fold one micro-batch through the streaming near-dup filter.
+
+    Returns the batch's dedup verdicts as a DataFrame
+    ``(id, is_dup, dup_of)`` — ``dup_of`` is the accepted doc the
+    cluster representative matched (state first-wins), or the batch
+    cluster's first (min-id) member for intra-batch dups, or the doc
+    itself for accepted docs. Survivors' signatures and bucket keys are
+    upserted into the sinks before returning (so the RESULT frame is
+    computed eagerly — it must describe the state transition that
+    actually happened, not a lazy plan over mutated state).
+    """
+    sigs = _persist(
+        minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
+    )
+
+    # --- intra-batch clusters, first(min-id)-wins representative -------
+    intra = minhash_lsh_candidates(
+        sigs, bands=bands, rows_per_band=rows_per_band
+    ).filter(F.col("est_jaccard") >= threshold)
+    comps = connected_components(intra.select("id_a", "id_b"))
+    labels = sigs.select("id").join(comps, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("rep")
+    )
+
+    # --- representatives probe the persisted LSH index -----------------
+    reps = labels.select(F.col("rep").alias("id")).distinct().join(
+        sigs, "id"
+    )
+    state_sigs = sig_sink.read()
+    matches = None
+    if state_sigs is not None:
+        rep_keys = _band_keys(reps, bands, rows_per_band)
+        state_buckets = bucket_sink.read()
+        cand = (
+            rep_keys.join(
+                state_buckets.withColumnsRenamed({"id": "state_id"}),
+                ["band", "bucket"],
+            )
+            # self-match exclusion is what makes crash REPLAY idempotent:
+            # a doc accepted by the crashed run is already in the index
+            # and would otherwise match itself at agreement 1 and flip
+            # from accepted to dup on the re-fold
+            .filter(F.col("id") != F.col("state_id"))
+            .select("id", "state_id")
+            .distinct()
+        )
+        verified = (
+            cand.join(reps.select("id", "signature"), "id")
+            .join(
+                state_sigs.select(
+                    F.col("id").alias("state_id"),
+                    F.col("signature").alias("state_sig"),
+                ),
+                "state_id",
+            )
+            .filter(_sig_agreement("signature", "state_sig") >= threshold)
+        )
+        matches = verified.groupBy("id").agg(
+            F.min("state_id").alias("dup_of_state")
+        )
+
+    resolved = labels.join(
+        reps.select(F.col("id").alias("rep")).withColumn("__is_rep", F.lit(1)),
+        "rep",
+        "left",
+    )
+    if matches is not None:
+        resolved = resolved.join(
+            matches.withColumnsRenamed({"id": "rep"}), "rep", "left"
+        )
+    else:
+        resolved = resolved.withColumn("dup_of_state", F.lit(None).cast("long"))
+
+    verdict = resolved.select(
+        "id",
+        (
+            F.col("dup_of_state").isNotNull() | (F.col("id") != F.col("rep"))
+        ).alias("is_dup"),
+        F.coalesce("dup_of_state", "rep").alias("dup_of"),
+    )
+    # eager: the sink upserts below change state; the returned verdicts
+    # must reflect the PRE-upsert state this batch was judged against
+    out_rows = verdict.collect()
+
+    # --- accept survivors into the state -------------------------------
+    accepted_ids = [r["id"] for r in out_rows if not r["is_dup"]]
+    if accepted_ids:
+        acc = sigs.join(
+            spark.createDataFrame([(i,) for i in accepted_ids], "id long"),
+            "id",
+            "left_semi",
+        )
+        acc = _persist(acc)
+        sig_sink.upsert(
+            acc.withColumn("updated_at", F.lit(epoch).cast("long")), epoch
+        )
+        bucket_sink.upsert(
+            _band_keys(acc, bands, rows_per_band).withColumn(
+                "updated_at", F.lit(epoch).cast("long")
+            ),
+            epoch,
+        )
+    return spark.createDataFrame(out_rows, "id long, is_dup boolean, dup_of long")

@@ -1,0 +1,143 @@
+"""Streaming cross-batch near-dup dedup (streaming/near_dup.py): the
+first-wins fold against persisted MinHash state — detection across
+batches, intra-batch clustering, crash-replay idempotency, and
+equivalence with the batch LSH pipeline on an ordered corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.operators.dedup import release_cached
+from neynar_parquet_importer_spark.sinks.lake_upsert import LakeUpsertSink
+from neynar_parquet_importer_spark.streaming.near_dup import near_dup_fold_batch
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _sinks(spark, tmp_path):
+    sig = LakeUpsertSink(spark, str(tmp_path / "sigs"), ("id",), "updated_at")
+    buckets = LakeUpsertSink(
+        spark, str(tmp_path / "buckets"), ("band", "bucket", "id"), "updated_at"
+    )
+    return sig, buckets
+
+
+def _doc(words: str, salt: str = "") -> str:
+    return (words + " " + salt).strip()
+
+
+_G = {
+    "a": "alpha beaver canyon delta ember falcon garnet harbor indigo jasper katydid lumen",
+    "b": "meadow nectar onyx prairie quartz russet sierra tundra umber velvet willow xenon",
+    "c": "anchor bastion cipher dynamo enclave fresco glacier hollow isthmus junction keystone lagoon",
+}
+
+
+def _fold(spark, sinks, rows, epoch, **kw):
+    batch = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = near_dup_fold_batch(spark, sinks[0], sinks[1], batch, epoch, **kw)
+    verdicts = {r["id"]: (r["is_dup"], r["dup_of"]) for r in out.collect()}
+    release_cached()
+    return verdicts
+
+
+def test_cross_batch_near_dup_detected(spark, tmp_path):
+    sinks = _sinks(spark, tmp_path)
+    v1 = _fold(
+        spark,
+        sinks,
+        [(1, _doc(_G["a"])), (2, _doc(_G["b"]))],
+        epoch=1,
+    )
+    assert v1 == {1: (False, 1), 2: (False, 2)}
+
+    # batch 2: a near-copy of doc 1, and a genuinely new doc
+    v2 = _fold(
+        spark,
+        sinks,
+        [(3, _doc(_G["a"], "tail")), (4, _doc(_G["c"]))],
+        epoch=2,
+    )
+    assert v2[3] == (True, 1)  # first-wins: dup of the accepted state doc
+    assert v2[4] == (False, 4)
+    # state only ever holds accepted docs
+    assert sorted(r["id"] for r in sinks[0].read().collect()) == [1, 2, 4]
+
+
+def test_intra_batch_cluster_first_wins(spark, tmp_path):
+    sinks = _sinks(spark, tmp_path)
+    v = _fold(
+        spark,
+        sinks,
+        [
+            (10, _doc(_G["a"])),
+            (11, _doc(_G["a"], "x")),
+            (12, _doc(_G["a"], "y")),
+            (13, _doc(_G["b"])),
+        ],
+        epoch=1,
+    )
+    assert v[10] == (False, 10)
+    assert v[11] == (True, 10)
+    assert v[12] == (True, 10)
+    assert v[13] == (False, 13)
+    assert sorted(r["id"] for r in sinks[0].read().collect()) == [10, 13]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Crash between sink upserts and verdict consumption: re-folding the
+    same batch must reproduce the verdicts (no self-match flip) and leave
+    state unchanged."""
+    sinks = _sinks(spark, tmp_path)
+    _fold(spark, sinks, [(1, _doc(_G["a"]))], epoch=1)
+    rows2 = [(2, _doc(_G["a"], "tail")), (3, _doc(_G["b"]))]
+    first = _fold(spark, sinks, rows2, epoch=2)
+    state_after = sorted(tuple(r) for r in sinks[0].read().collect())
+    replay = _fold(spark, sinks, rows2, epoch=2)
+    assert replay == first == {2: (True, 1), 3: (False, 3)}
+    assert sorted(tuple(r) for r in sinks[0].read().collect()) == state_after
+
+
+def test_streaming_fold_matches_batch_pipeline(spark, tmp_path):
+    """On an id-ordered corpus of near-dup cliques, the streaming
+    first-wins accepted set must equal the batch pipeline's keeper set
+    (LSH pairs -> components -> min-id keeper)."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        dedup_cluster_keepers,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # interleave cliques across ids so each micro-batch below holds one
+    # member of each clique — every dup detection is CROSS-batch
+    rows = []
+    nid = 0
+    for i in range(3):
+        for g in ["a", "b", "c"]:  # 3-member cliques
+            rows.append((nid, _doc(_G[g], f"v{i}")))
+            nid += 1
+
+    # batch ground truth
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = minhash_lsh_candidates(sigs).filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    keepers = {
+        r["doc_id"]
+        for r in dedup_cluster_keepers(docs, pairs, "doc_id").collect()
+        if r["keep"]
+    }
+    clustered = {
+        r["doc_id"] for r in dedup_cluster_keepers(docs, pairs, "doc_id").collect()
+    }
+    batch_accepted = keepers | ({r[0] for r in rows} - clustered)
+    release_cached()
+
+    # streaming: same corpus in 3 ordered micro-batches
+    sinks = _sinks(spark, tmp_path)
+    accepted = set()
+    for e, lo in enumerate([0, 3, 6], start=1):
+        v = _fold(spark, sinks, rows[lo : lo + 3], epoch=e)
+        accepted |= {i for i, (dup, _) in v.items() if not dup}
+    assert accepted == batch_accepted
