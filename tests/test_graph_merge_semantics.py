@@ -109,6 +109,138 @@ def test_merge_set_updates_props_last_batch_wins():
 
 
 # ---------------------------------------------------------------------------
+# Partition-body contracts (write_merge_partition drives the same loop
+# foreachPartition runs; the Cypher executes against networkx)
+# ---------------------------------------------------------------------------
+
+def _no_sleep_retry(attempts):
+    def retry(fn):
+        for i in range(attempts):
+            try:
+                fn()
+                return
+            except Exception:
+                if i == attempts - 1:
+                    raise
+    return retry
+
+
+class _Driver:
+    def close(self):
+        pass
+
+
+def test_merge_partition_connection_drop_reconnects_and_resumes():
+    """A bolt session lost mid-partition: the failed chunk's retry must
+    reopen a session and re-run it; prior chunks stay applied and the
+    replayed chunk is idempotent (MERGE)."""
+    from neynar_parquet_importer_spark.graph.writer import (
+        write_merge_partition,
+    )
+
+    g = nx.MultiDiGraph()
+    opens = {"n": 0}
+    fail = {"armed": True}
+    cypher = node_merge_cypher("User", "fid", ["fid", "name"])
+
+    class _Sess:
+        def run(self, cy, batch):
+            if fail["armed"] and batch[0]["fid"] == 3:  # the second chunk
+                fail["armed"] = False
+                raise RuntimeError("bolt connection dropped")
+            apply_cypher(g, cy, batch)
+
+        def close(self):
+            pass
+
+    def open_session():
+        opens["n"] += 1
+        return _Driver(), _Sess()
+
+    rows = [{"fid": i, "name": f"u{i}"} for i in range(1, 5)]
+    write_merge_partition(
+        rows, open_session, cypher, batch_size=2,
+        to_dict=lambda r: r, retry=_no_sleep_retry(3),
+    )
+    assert opens["n"] == 2  # the retry opened a fresh session
+    assert sorted(n[1] for n in g.nodes) == [1, 2, 3, 4]
+    assert g.nodes[("User", 3)]["name"] == "u3"
+
+
+def test_merge_partition_streams_lazily_and_connects_lazily():
+    """Rows are pulled one UNWIND chunk at a time (bounded lookahead) and
+    an empty partition opens no session at all."""
+    from neynar_parquet_importer_spark.graph.writer import (
+        write_merge_partition,
+    )
+
+    cypher = node_merge_cypher("User", "fid", ["fid"])
+    yielded = {"n": 0}
+    seen: list[tuple[int, int]] = []
+
+    def rows():
+        for i in range(7):
+            yielded["n"] += 1
+            yield {"fid": i}
+
+    class _Sess:
+        def run(self, cy, batch):
+            seen.append((len(batch), yielded["n"]))
+
+        def close(self):
+            pass
+
+    write_merge_partition(
+        rows(), lambda: (_Driver(), _Sess()), cypher, batch_size=3,
+        to_dict=lambda r: r, retry=_no_sleep_retry(1),
+    )
+    assert [n for n, _ in seen] == [3, 3, 1]
+    done = 0
+    for n_batch, yielded_at in seen:
+        assert yielded_at <= done + 3  # one chunk of lookahead
+        done += n_batch
+
+    opens = {"n": 0}
+
+    def open_session():
+        opens["n"] += 1
+        return _Driver(), _Sess()
+
+    write_merge_partition(
+        iter([]), open_session, cypher, batch_size=3,
+        to_dict=lambda r: r, retry=_no_sleep_retry(1),
+    )
+    assert opens["n"] == 0
+
+
+def test_write_edges_partition_via_interpreter():
+    """The edge writer's partition body MERGEs implicit endpoints and
+    relationship props through the same streaming loop."""
+    from neynar_parquet_importer_spark.graph.writer import (
+        edge_merge_cypher,
+        write_merge_partition,
+    )
+
+    g = nx.MultiDiGraph()
+    cypher = edge_merge_cypher("FOLLOWS", "User", "User", "fid", "fid", ["ts"])
+
+    class _Sess:
+        def run(self, cy, batch):
+            apply_cypher(g, cy, batch)
+
+        def close(self):
+            pass
+
+    rows = [{"src": 1, "dst": 2, "ts": 5}, {"src": 2, "dst": 3, "ts": 6}]
+    write_merge_partition(
+        rows, lambda: (_Driver(), _Sess()), cypher, batch_size=1,
+        to_dict=lambda r: r, retry=_no_sleep_retry(1),
+    )
+    assert sorted(n[1] for n in g.nodes) == [1, 2, 3]  # implicit endpoints
+    assert g.number_of_edges(("User", 1), ("User", 2)) == 1
+
+
+# ---------------------------------------------------------------------------
 # Graph schema bootstrap gating (neo4j_schema.py:17-60 semantics)
 # ---------------------------------------------------------------------------
 

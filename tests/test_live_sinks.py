@@ -342,11 +342,16 @@ def test_live_neo4j_node_merge_idempotent(spark):
         with driver.session() as session:
             session.run(f"MATCH (n:{label}) DETACH DELETE n")
 
+    from neynar_parquet_importer_spark.graph.writer import write_edges
+
     nodes = spark.createDataFrame(
         [(1, "alice"), (2, "bob")], "id long, name string"
     )
     write_nodes(nodes, NEO4J_URI, auth, label, key="id")
     write_nodes(nodes, NEO4J_URI, auth, label, key="id")  # MERGE idempotency
+    edges = spark.createDataFrame([(1, 2, 7)], "src long, dst long, ts long")
+    write_edges(edges, NEO4J_URI, auth, "KNOWS", label, label, "id", "id")
+    write_edges(edges, NEO4J_URI, auth, "KNOWS", label, label, "id", "id")
 
     with neo4j.GraphDatabase.driver(NEO4J_URI, auth=auth) as driver:
         with driver.session() as session:
@@ -355,6 +360,10 @@ def test_live_neo4j_node_merge_idempotent(spark):
                 r["n.name"]
                 for r in session.run(f"MATCH (n:{label}) RETURN n.name")
             )
+            e = session.run(
+                f"MATCH (:{label})-[r:KNOWS]->(:{label}) RETURN count(r) AS c"
+            ).single()["c"]
             session.run(f"MATCH (n:{label}) DETACH DELETE n")
     assert n == 2
     assert names == ["alice", "bob"]
+    assert e == 1  # MERGE kept the edge single across re-imports

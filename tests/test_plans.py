@@ -322,6 +322,48 @@ def test_sequence_packing_never_single_partition_window(spark):
         )
 
 
+def test_knn_join_merges_local_topk(spark):
+    """The k-NN join must scan the corpus via MapInPandas (per-partition
+    BLAS local top-k) and merge winners with Spark's rank-limit pushdown
+    (WindowGroupLimit partial+final) partitioned by query — never an
+    unpartitioned global sort of all scores."""
+    plan = _plan(spark, "embedding_knn_join")
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert "windowspecdefinition(query_id" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semdedup_pairs_shuffle_once_on_cell(spark):
+    """within_cell_cosine_pairs must plan as ONE shuffle on the cell id
+    feeding one applyInPandas kernel — the n^2 -> sum(|cell|^2) shape."""
+    from neynar_parquet_importer_spark.catalog import load_table
+    from neynar_parquet_importer_spark.operators.similarity import (
+        ivf_centroids,
+        within_cell_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = ivf_centroids(emb, n_centroids=8)
+    plan = (
+        within_cell_cosine_pairs(emb, cents, 0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gopher_repetition_stays_jvm_side(spark):
+    """The repetition filters are pure codegen aggregates — no Python in
+    the plan, and the final combine is a doc-cardinality join."""
+    plan = _plan(spark, "text_gopher_repetition")
+    assert "EvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interval_self_join_is_hash_banded(spark):
     """The banded interval self-join must plan as an equi hash/sort-merge
     join on (user, band) — never a nested-loop over per-user pairs."""
