@@ -515,12 +515,22 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens, fully JVM-side.
 
     For each bit position, sum +-1 over token hashes' bit values; the
     sign vector packs into one long. Expressed with higher-order array
     functions so whole-stage codegen applies per row (no shuffle).
+
+    ``token_hash`` picks the 64-bit token hash family: ``xxhash64``
+    (fastest, engine-specific) or ``md5`` (the first 16 hex chars of
+    md5 reinterpreted as a signed 64-bit value — one md5 per DISTINCT
+    token, still codegen). The md5 form is ENGINE-PORTABLE: DuckDB
+    reconstructs the identical signed value from the same hex, which
+    makes the whole SimHash pipeline — signatures, pigeonhole blocking
+    (exact for the hamming threshold), verification — oracle-checkable
+    end to end.
     """
     # Same codegen-friendly shape as minhash_signatures: explode tokens,
     # hash each once (codegen), then a hash aggregate with one signed
@@ -530,12 +540,25 @@ def simhash(
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    tok = F.coalesce(F.col("tok"), F.lit(""))
+    if token_hash == "md5":
+        m = F.md5(tok)
+        hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        # hi << 32 wraps into the sign bit (bitwise shift is unchecked),
+        # reproducing the two's-complement value DuckDB derives from the
+        # same hex via signed arithmetic
+        token_h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    elif token_hash == "xxhash64":
+        token_h = F.xxhash64(tok)
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     base = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         ).alias("tok"),
-    ).select("id", F.xxhash64(F.coalesce(F.col("tok"), F.lit(""))).alias("h"))
+    ).select("id", token_h.alias("h"))
     votes = [
         F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)

@@ -1691,8 +1691,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) — ORACLE-CHECKED end to end:
+    token hashes derive from md5 (engine-portable, one md5 per distinct
+    token), pigeonhole blocking is EXACT for the threshold (any pair
+    within hamming 3 agrees on >= 1 of 4 chunks), so the output is
+    precisely the SQL-expressible set {pairs: hamming(simhash) <= 3} and
+    DuckDB recomputes the identical signatures bit for bit."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_near_duplicates(dd.simhash(docs), max_hamming=3)
+    return dd.simhash_near_duplicates(
+        dd.simhash(docs, token_hash="md5"), max_hamming=3
+    )
 
 
 def dedup_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3407,6 +3415,44 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["dedup_simhash"] = """
+    -- full SimHash recomputation: md5-derived signed-64 token hashes,
+    -- per-bit majority votes, packed signature, exact hamming pairs.
+    -- (The engine's pigeonhole blocking is exact for hamming <= 3, so
+    -- the all-pairs form here defines the same output set.)
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                 * 4294967296 + lo AS h
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+                   CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+            FROM toks)
+    ), bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h CROSS JOIN range(0, 64) t(b)
+        GROUP BY doc_id, b
+    ), sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN
+                   CASE WHEN b = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << b) END
+                 ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 ORACLE_SQL["embedding_knn_join"] = """
