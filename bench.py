@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_redaction",
     "text_gopher_repetition",
+    "text_substring_dup_stats",
     "embedding_cosine_scores",
     "embedding_topk",
     "embedding_lsh_topk",

@@ -231,6 +231,71 @@ def gopher_repetition(
     )
 
 
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication statistics per document (the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" signal, at k-gram granularity): a position is DUPLICATED if
+    its ``gram_n``-token window occurs more than once in the corpus
+    (another document, or elsewhere in the same one). Emits per doc the
+    window count, duplicated-window count and fraction, and the longest
+    RUN of consecutive duplicated positions — the run length is what
+    distinguishes a quoted paragraph (long run, cut it) from scattered
+    idiom overlap (short runs, keep).
+
+    Execution shape: one positional k-gram stream (the codegen
+    posexplode+lead form), one aggregate on the 8-byte gram hash for
+    global occurrence counts, one equi-join back on that hash (1:1 per
+    position — no pair fanout, so no df-cap is needed here), then
+    per-doc windows: consecutive duplicated positions grouped by the
+    classic ``pos - row_number`` gap trick and folded into the doc
+    aggregate. Suffix-automaton exactness at arbitrary lengths is not
+    attempted — k-gram granularity is the standard distributed
+    compromise (a duplicated substring of length >= gram_n tokens is
+    exactly a run of >= 1 duplicated windows).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _persist, _shingle_stream
+
+    pos = _persist(
+        _shingle_stream(df, text_col, id_col, gram_n).select(
+            "id", "pos", F.xxhash64("shingle").alias("g")
+        )
+    )
+    counts = pos.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    marked = pos.join(counts, "g").select(
+        "id", "pos", (F.col("occ") > 1).alias("dup")
+    )
+    wd = Window.partitionBy("id", "dup").orderBy("pos")
+    runs = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wd)
+    )
+    per_run = runs.groupBy("id", "dup", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    run_stats = per_run.groupBy("id").agg(
+        F.max(F.when(F.col("dup"), F.col("run_len")).otherwise(0)).alias(
+            "max_dup_run"
+        )
+    )
+    doc_stats = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("dup_grams"),
+    )
+    return doc_stats.join(run_stats, "id").select(
+        "id",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+        "max_dup_run",
+    )
+
+
 def passage_chunks(
     df: DataFrame,
     text_col: str = "text",

@@ -1184,6 +1184,22 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication per document at 10-gram granularity
+    (Lee et al. 2022 signal): duplicated-window fraction + longest
+    duplicated run — ORACLE-CHECKED (DuckDB recomputes positional grams,
+    global occurrence counts, and the run decomposition)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = crp.substring_dup_stats(docs, "text", "doc_id", gram_n=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "dup_grams",
+        "dup_fraction",
+        "max_dup_run",
+    )
+
+
 def lang_mixing_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.3) language sampling weights — the
     mBERT/XLM-R/mT5 alpha-sampling rule; ORACLE-CHECKED. Complements
@@ -2166,6 +2182,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_pii_redaction": text_pii_redaction,
     "text_gopher_repetition": text_gopher_repetition,
+    "text_substring_dup_stats": text_substring_dup_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3415,6 +3432,49 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["text_substring_dup_stats"] = """
+    -- positional 10-gram stream with the engine's short-doc contract:
+    -- for len < 10 the single window is the whole text (the slice
+    -- t[i:i+9] truncates to available tokens, so one formula covers
+    -- both); a position is duplicated when its gram occurs > 1 time
+    -- corpus-wide; runs decompose via the pos - row_number gap trick
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS g
+        FROM words,
+             unnest(generate_series(1, greatest(len(t) - 9, 1))) AS u(i)
+    ), occ AS (
+        SELECT g, count(*) AS n FROM pos GROUP BY g
+    ), marked AS (
+        SELECT doc_id, pos, (n > 1) AS dup
+        FROM pos JOIN occ USING (g)
+    ), runs AS (
+        SELECT doc_id, dup,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id, dup ORDER BY pos) AS grp
+        FROM marked
+    ), per_run AS (
+        SELECT doc_id, dup, grp, count(*) AS run_len
+        FROM runs GROUP BY doc_id, dup, grp
+    ), run_stats AS (
+        SELECT doc_id,
+               CAST(max(CASE WHEN dup THEN run_len ELSE 0 END) AS BIGINT)
+                   AS max_dup_run
+        FROM per_run GROUP BY doc_id
+    ), doc_stats AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_grams
+        FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, dup_grams,
+           round(dup_grams / n_grams::DOUBLE, 6) AS dup_fraction,
+           max_dup_run
+    FROM doc_stats JOIN run_stats USING (doc_id)
 """
 
 ORACLE_SQL["dedup_simhash"] = """
