@@ -476,3 +476,36 @@ def test_epoch_shuffle_is_deterministic_and_seed_sensitive(spark):
     assert a == b, "permutation must be layout-invariant"
     assert sorted(a) == sorted(c) == list(range(500))
     assert a != c, "a new epoch seed must yield a new permutation"
+
+
+def test_substring_dup_stats_planted_span(spark):
+    """A 15-token span shared verbatim by two documents must surface as
+    a run of exactly 15-5+1=11 duplicated 5-gram positions in each,
+    while fully-unique documents report zero duplication; an internal
+    repeat within ONE document also counts (occurrence > 1 is
+    corpus-wide, same-doc included)."""
+    from neynar_parquet_importer_spark.operators.corpus import (
+        substring_dup_stats,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(15))
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(10)) + " " + span),
+        (1, span + " " + " ".join(f"b{i}" for i in range(10))),
+        (2, " ".join(f"c{i}" for i in range(25))),
+        # internal repetition: the same 5 tokens twice in one doc
+        (3, " ".join(f"d{i % 5}" for i in range(10))
+            + " " + " ".join(f"e{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r for r in substring_dup_stats(df, "text", "doc_id", gram_n=5).collect()
+    }
+    # docs 0/1: 25 tokens -> 21 windows; the shared span contributes 11
+    # consecutive duplicated positions
+    for d in (0, 1):
+        assert out[d].n_grams == 21
+        assert out[d].dup_grams == 11
+        assert out[d].max_dup_run == 11
+    assert out[2].dup_grams == 0 and out[2].max_dup_run == 0
+    assert out[3].dup_grams > 0  # internal repeat detected
