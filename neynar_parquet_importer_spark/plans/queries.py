@@ -1268,8 +1268,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3)
-    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).select(
-        "id_a", "id_b"
+    # estimated-Jaccard pre-filter before the exact rerank (the standard
+    # three-stage LSH pipeline): a pair with true jaccard >= 0.8 has
+    # P[signature agreement < 0.5] = P[Binom(64, 0.8) < 32] ~ 1e-8, so
+    # est >= 0.5 sheds the collision noise (most banding candidates on a
+    # common-vocabulary corpus) at no recall cost — the exact rerank then
+    # touches a vanishing candidate set
+    cands = (
+        dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
     )
     hot = _hot_shingles_cached(spark, docs, sf_dir, 0.05)
     return dd.ngram_jaccard_pairs(
