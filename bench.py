@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "token_count_histogram",
     "lang_mixing_weights",
     "lang_mixing_temperature",
+    "dsir_importance_weights",
     "quality_filter_funnel",
     "embedding_norm_stats",
     "pretrain_curated_docs",

@@ -231,6 +231,67 @@ def gopher_repetition(
     )
 
 
+def dsir_log_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", unigram
+    feature family): per source document,
+    ``sum over tokens of ln p_target(tok) - ln p_source(tok)`` with
+    additive-``alpha`` smoothing over the joint vocabulary. High weight
+    = the document looks like the target domain; resampling source docs
+    proportional to exp(weight) shifts the corpus toward the target.
+
+    Execution shape: both corpora aggregate to token-count tables (one
+    shuffle each on the token key), a full-outer join + one-row totals
+    frame turn them into a per-token log-ratio table (O(vocab), the
+    small side at any corpus scale), and each source document folds its
+    token stream through one join + grouped sum. No text shuffles —
+    only tokens and counters."""
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+
+    src, tgt = toks(source), toks(target)
+    sc = src.groupBy("tok").agg(F.count(F.lit(1)).alias("ns"))
+    tc = tgt.groupBy("tok").agg(F.count(F.lit(1)).alias("nt"))
+    stats = (
+        sc.join(tc, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("ns", F.lit(0)).alias("ns"),
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+        )
+    )
+    # Spark resolves names case-insensitively by default, so the totals
+    # must not collide with ns/nt
+    totals = F.broadcast(
+        stats.agg(
+            F.sum("ns").alias("tot_s"),
+            F.sum("nt").alias("tot_t"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+    )
+    ratio = (
+        F.log((F.col("nt") + alpha) / (F.col("tot_t") + alpha * F.col("vocab")))
+        - F.log((F.col("ns") + alpha) / (F.col("tot_s") + alpha * F.col("vocab")))
+    )
+    scored = src.join(stats, "tok").crossJoin(totals)
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(ratio), round_to).alias("log_weight"),
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     text_col: str = "text",

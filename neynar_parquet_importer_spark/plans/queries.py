@@ -2026,6 +2026,19 @@ def contamination_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crp.ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=3)
 
 
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling log-weights: every 20th document plays
+    the target domain (same convention as contamination_vs_benchmark),
+    the rest are scored by summed unigram log-probability ratios with
+    additive smoothing — ORACLE-CHECKED (DuckDB recomputes both count
+    tables, the smoothed ratios, and the per-doc fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 20 == 0)
+    src = docs.filter(F.col("doc_id") % 20 != 0)
+    out = crp.dsir_log_weights(src, tgt, "text", "doc_id", alpha=0.5)
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "log_weight")
+
+
 def top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide 20 most frequent trigrams (count + doc frequency),
     deterministic under ties; plans as partial agg + TakeOrderedAndProject."""
@@ -2234,6 +2247,7 @@ QUERIES = {
     "token_count_histogram": token_count_histogram,
     "lang_mixing_weights": lang_mixing_weights,
     "lang_mixing_temperature": lang_mixing_temperature,
+    "dsir_importance_weights": dsir_importance_weights,
     "quality_filter_funnel": quality_filter_funnel,
     "embedding_norm_stats": embedding_norm_stats,
     "pretrain_curated_docs": pretrain_curated_docs,
@@ -3440,6 +3454,37 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["dsir_importance_weights"] = """
+    WITH src AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 20 != 0
+    ), tgt AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 20 = 0
+    ), sc AS (
+        SELECT tok, count(*) AS ns FROM src GROUP BY tok
+    ), tc AS (
+        SELECT tok, count(*) AS nt FROM tgt GROUP BY tok
+    ), stats AS (
+        SELECT tok, COALESCE(ns, 0) AS ns, COALESCE(nt, 0) AS nt
+        FROM sc FULL OUTER JOIN tc USING (tok)
+    ), tot AS (
+        SELECT CAST(sum(ns) AS DOUBLE) AS tot_s,
+               CAST(sum(nt) AS DOUBLE) AS tot_t,
+               CAST(count(*) AS DOUBLE) AS vocab
+        FROM stats
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(
+               ln((nt + 0.5) / (tot_t + 0.5 * vocab))
+               - ln((ns + 0.5) / (tot_s + 0.5 * vocab))
+           ), 4) AS log_weight
+    FROM src JOIN stats USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
 """
 
 ORACLE_SQL["text_substring_dup_stats"] = """
