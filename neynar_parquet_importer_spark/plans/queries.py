@@ -1287,15 +1287,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: exact-Jaccard pairs (>= 0.7, over df-capped
-    shingle sets — the stop-shingle rule both engine and oracle apply) ->
-    connected components (iterative min-label propagation) -> canonical
-    keeper per cluster. The oracle twin computes the same components with
-    a recursive-CTE transitive closure, making this an ORACLE-CHECKED
-    iterative algorithm."""
+    shingle sets — the same FRACTIONAL stop-shingle rule as the rest of
+    the Jaccard family, mirrored in the oracle) -> connected components
+    (iterative min-label propagation) -> canonical keeper per cluster.
+    The oracle twin computes the same components with a recursive-CTE
+    transitive closure, making this an ORACLE-CHECKED iterative
+    algorithm."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.jaccard_all_pairs(docs, "text", "doc_id", threshold=0.7).select(
-        "id_a", "id_b"
-    )
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.7, max_shingle_df=0.05
+    ).select("id_a", "id_b")
     return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
 
 
@@ -2823,8 +2824,9 @@ ORACLE_SQL: dict[str, str] = {
         ), shx AS (
             SELECT doc_id, unnest(s) AS shingle FROM base
         ), hot AS (
-            -- the engine's DEFAULT_MAX_SHINGLE_DF stop-shingle rule
-            SELECT shingle FROM shx GROUP BY shingle HAVING count(*) > 1000
+            -- the engine's fractional stop-shingle rule (df > 5%)
+            SELECT shingle FROM shx GROUP BY shingle
+            HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
         ), sh AS (
             SELECT doc_id, list(shingle) AS s
             FROM shx ANTI JOIN hot USING (shingle)
