@@ -509,3 +509,34 @@ def test_substring_dup_stats_planted_span(spark):
         assert out[d].max_dup_run == 11
     assert out[2].dup_grams == 0 and out[2].max_dup_run == 0
     assert out[3].dup_grams > 0  # internal repeat detected
+
+
+def test_text_stats_degenerate_docs(spark):
+    """Empty and sub-n-token documents follow the whole-text-shingle
+    contract everywhere: they contribute exactly one window at pos 0,
+    and two empty documents are duplicates OF EACH OTHER."""
+    from neynar_parquet_importer_spark.operators.corpus import (
+        gopher_repetition,
+        substring_dup_stats,
+    )
+
+    rows = [
+        (0, ""),                      # empty -> one '' window
+        (1, ""),                      # its duplicate
+        (2, "lonely"),                # single token
+        (3, "two words"),             # below trigram width
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sub = {r.id: r for r in substring_dup_stats(df, "text", "doc_id", gram_n=5).collect()}
+    assert all(sub[i].n_grams == 1 for i in range(4))
+    assert sub[0].dup_grams == 1 and sub[1].dup_grams == 1  # '' == ''
+    assert sub[0].max_dup_run == 1
+    assert sub[2].dup_grams == 0 and sub[3].dup_grams == 0
+
+    gop = {r.id: r for r in gopher_repetition(df, "text", "doc_id").collect()}
+    for i in range(4):
+        # one whole-text window per n-gram family -> top fraction is 1,
+        # nothing repeats within the doc
+        assert gop[i].top_bigram_frac == 1.0
+        assert gop[i].dup_trigram_frac == 0.0
