@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "lang_mixing_weights",
     "lang_mixing_temperature",
     "dsir_importance_weights",
+    "rag_passage_windows",
     "quality_filter_funnel",
     "embedding_norm_stats",
     "pretrain_curated_docs",

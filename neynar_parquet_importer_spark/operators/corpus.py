@@ -231,6 +231,51 @@ def gopher_repetition(
     )
 
 
+def passage_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size passage extraction (the RAG/retrieval
+    chunking shape: ``size``-token windows every ``stride`` tokens, so
+    consecutive passages overlap by ``size - stride``). Returns
+    (id, passage_idx, passage, n_tokens); the final passage may be
+    shorter, and a document shorter than ``size`` yields exactly one
+    passage (itself) — every token belongs to >= 1 passage.
+
+    Pure codegen projection: tokenized once per row, start offsets from
+    a ``sequence`` explode, each passage via ``slice`` + ``array_join``
+    (ordinary expressions, not interpreted lambda HOFs). No shuffle at
+    all — chunking 100 TB is embarrassingly parallel and plans as one
+    scan stage."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # number of windows: 1 + ceil((n - size) / stride) when n > size
+    n_pass = F.greatest(
+        (F.ceil((n - F.lit(size)) / F.lit(stride)) + 1).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(
+        F.lit(0), (n_pass - 1) * F.lit(stride), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"), F.explode(starts).alias("__start")
+    )
+    return exploded.select(
+        "id",
+        (F.col("__start") / stride).cast("int").alias("passage_idx"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, size), " "
+        ).alias("passage"),
+        F.least(F.lit(size), F.size("__toks") - F.col("__start")).alias(
+            "n_tokens"
+        ),
+    )
+
+
 def dsir_log_weights(
     source: DataFrame,
     target: DataFrame,

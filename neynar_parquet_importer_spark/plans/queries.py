@@ -2027,6 +2027,18 @@ def contamination_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crp.ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=3)
 
 
+def rag_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 32-token passages every 24 tokens per
+    document (final passage may be shorter; docs below one window yield
+    themselves) — ORACLE-CHECKED including the passage text. Pure
+    codegen projection, zero shuffle (see operators.corpus.passage_windows)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = crp.passage_windows(docs, "text", "doc_id", size=32, stride=24)
+    return out.select(
+        F.col("id").alias("doc_id"), "passage_idx", "passage", "n_tokens"
+    )
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling log-weights: every 20th document plays
     the target domain (same convention as contamination_vs_benchmark),
@@ -2249,6 +2261,7 @@ QUERIES = {
     "lang_mixing_weights": lang_mixing_weights,
     "lang_mixing_temperature": lang_mixing_temperature,
     "dsir_importance_weights": dsir_importance_weights,
+    "rag_passage_windows": rag_passage_windows,
     "quality_filter_funnel": quality_filter_funnel,
     "embedding_norm_stats": embedding_norm_stats,
     "pretrain_curated_docs": pretrain_curated_docs,
@@ -3456,6 +3469,25 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["rag_passage_windows"] = """
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(
+                   0,
+                   (CAST(greatest(ceil((len(t) - 32) / 24.0) + 1, 1) AS INTEGER) - 1) * 24,
+                   24)) AS s
+        FROM words
+    )
+    SELECT doc_id,
+           CAST(s / 24 AS INTEGER) AS passage_idx,
+           array_to_string(t[s+1:s+32], ' ') AS passage,
+           CAST(least(32, len(t) - s) AS INTEGER) AS n_tokens
+    FROM starts
 """
 
 ORACLE_SQL["dsir_importance_weights"] = """

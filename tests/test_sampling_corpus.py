@@ -540,3 +540,30 @@ def test_text_stats_degenerate_docs(spark):
         # nothing repeats within the doc
         assert gop[i].top_bigram_frac == 1.0
         assert gop[i].dup_trigram_frac == 0.0
+
+
+def test_passage_windows_cover_every_token(spark):
+    """Overlapping chunking contract: every token position lands in >= 1
+    passage, consecutive passages overlap by size - stride, the final
+    passage may be short, and sub-window docs yield themselves."""
+    from neynar_parquet_importer_spark.operators.corpus import passage_windows
+
+    text100 = " ".join(f"w{i}" for i in range(100))
+    rows = [(0, text100), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.id, r.passage_idx, r.passage, r.n_tokens)
+        for r in passage_windows(df, "text", "doc_id", size=32, stride=24).collect()
+    )
+    doc0 = [r for r in out if r[0] == 0]
+    assert [r[1] for r in doc0] == [0, 1, 2, 3]
+    assert [r[3] for r in doc0] == [32, 32, 32, 28]  # last window short
+    covered = set()
+    for _, idx, passage, n in doc0:
+        toks = passage.split(" ")
+        assert len(toks) == n
+        assert toks[0] == f"w{idx * 24}"  # stride placement
+        covered |= set(toks)
+    assert covered == {f"w{i}" for i in range(100)}
+    doc1 = [r for r in out if r[0] == 1]
+    assert doc1 == [(1, 0, "a b c", 3)]
