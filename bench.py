@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "sample_docs_hash",
     "train_val_test_counts",
+    "split_leakage_pairs",
     "stratified_sample_by_lang",
     "domain_capped_sample",
     "contamination_vs_benchmark",

@@ -1989,6 +1989,37 @@ def train_val_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (capped Jaccard >= 0.5)
+    whose members landed in DIFFERENT train/val/test splits — the eval-
+    contamination check every dedup-then-split pipeline must run (a val
+    doc near-identical to a train doc inflates eval). Composes the
+    inverted-index exact pair scan with the hash-split assignment; both
+    pieces and the composition are ORACLE-CHECKED. At 100 TB the split
+    lookup is two joins of the (tiny) pair set against a projection of
+    the corpus — the pair scan dominates, nothing new shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    )
+    splits = docs.select(
+        F.col("doc_id"),
+        smp.split_column(["doc_id"], _SPLIT_WEIGHTS, seed="split").alias("split"),
+    )
+    return (
+        pairs.join(
+            splits.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"}),
+            "id_a",
+        )
+        .join(
+            splits.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"}),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
 _STRAT_FRACTIONS = {"en": 0.05, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
 
 
@@ -2253,6 +2284,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "sample_docs_hash": sample_docs_hash,
     "train_val_test_counts": train_val_test_counts,
+    "split_leakage_pairs": split_leakage_pairs,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "domain_capped_sample": domain_capped_sample,
     "contamination_vs_benchmark": contamination_vs_benchmark,
@@ -3470,6 +3502,51 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
     FROM reach
     GROUP BY src
 """
+
+ORACLE_SQL["split_leakage_pairs"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hot AS (
+        SELECT shingle FROM shx GROUP BY shingle
+        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ), capped AS (
+        SELECT doc_id, list(shingle) AS s
+        FROM shx ANTI JOIN hot USING (shingle)
+        GROUP BY doc_id
+    ), pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ), splits AS (
+        SELECT doc_id,
+               {SPLIT_CASE} AS split
+        FROM documents
+    )
+    SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+    FROM pairs
+    JOIN splits sa ON sa.doc_id = id_a
+    JOIN splits sb ON sb.doc_id = id_b
+    WHERE sa.split != sb.split
+"""
+
+ORACLE_SQL["split_leakage_pairs"] = ORACLE_SQL["split_leakage_pairs"].replace(
+    "{SPLIT_CASE}", smp.split_case_sql(["doc_id"], _SPLIT_WEIGHTS, "split")
+)
 
 ORACLE_SQL["rag_passage_windows"] = """
     WITH words AS (
