@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "sample_docs_hash",
     "train_val_test_counts",
     "split_leakage_pairs",
+    "lang_label_confusion",
+    "source_near_dup_matrix",
+    "length_curriculum_buckets",
     "stratified_sample_by_lang",
     "domain_capped_sample",
     "contamination_vs_benchmark",

@@ -1989,6 +1989,90 @@ def train_val_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the confusion matrix between the corpus'
+    declared ``lang`` labels and the n-gram language-ID prediction — the
+    standard check before trusting either side for mixing/sampling
+    decisions. One scan + one grouped count; ORACLE-CHECKED (the oracle
+    recomputes the stopword-vote prediction in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            tx.language_id("text").alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def source_near_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit: which SOURCES duplicate each other — near-dup
+    pairs (capped Jaccard >= 0.5) aggregated into an unordered
+    source-pair matrix with pair counts and mean similarity. The
+    dedup-pipeline view a data vendor review starts from (a hot
+    cross-source cell = one feed scraping another). Pair scan reused
+    verbatim; the rollup is two tiny joins + one grouped aggregate;
+    ORACLE-CHECKED."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    )
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a"
+        ).join(
+            src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b"
+        )
+    )
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    return (
+        joined.select(lo.alias("source_a"), hi.alias("source_b"), "jaccard")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length curriculum: documents ranked into 8 equal-count
+    token-length buckets (ties broken by doc_id), summarized per bucket
+    — the batching/curriculum schedule input. The global rank comes from
+    the SAME two-phase range-partitioned prefix scan as sequence packing
+    (token_offsets with unit weights over a (n_tokens, doc_id) sort
+    key), never an unpartitioned ntile window funneling the corpus
+    through one task; bucket = rank*8 div N in exact integer math, the
+    formula the DuckDB oracle mirrors. ORACLE-CHECKED."""
+    from ..operators.packing import token_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.struct(
+            tx.token_count("text").alias("n_tokens"), F.col("doc_id")
+        ).alias("__ord"),
+    ).withColumn("__one", F.lit(1))
+    ranked = token_offsets(toks, id_col="__ord", token_col="__one")
+    n = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("n_total")))
+    return (
+        ranked.crossJoin(n)
+        .select(
+            F.col("id.n_tokens").alias("n_tokens"),
+            F.expr("(offset * 8) div n_total + 1").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
 def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit: near-duplicate pairs (capped Jaccard >= 0.5)
     whose members landed in DIFFERENT train/val/test splits — the eval-
@@ -2285,6 +2369,9 @@ QUERIES = {
     "sample_docs_hash": sample_docs_hash,
     "train_val_test_counts": train_val_test_counts,
     "split_leakage_pairs": split_leakage_pairs,
+    "lang_label_confusion": lang_label_confusion,
+    "source_near_dup_matrix": source_near_dup_matrix,
+    "length_curriculum_buckets": length_curriculum_buckets,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "domain_capped_sample": domain_capped_sample,
     "contamination_vs_benchmark": contamination_vs_benchmark,
@@ -3501,6 +3588,87 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["lang_label_confusion"] = """
+    SELECT lang AS declared,
+           CASE WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es > 0 AND es >= de AND es >= fr THEN 'es'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted,
+           count(*) AS n_docs
+    FROM (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b')) AS en,
+               len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|un|por|con|los)\\b')) AS es,
+               len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|mit|den|nicht|ein)\\b')) AS de,
+               len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|en|un|du|que|pour)\\b')) AS fr
+        FROM documents
+    )
+    GROUP BY declared, predicted
+"""
+
+ORACLE_SQL["source_near_dup_matrix"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hot AS (
+        SELECT shingle FROM shx GROUP BY shingle
+        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ), capped AS (
+        SELECT doc_id, list(shingle) AS s
+        FROM shx ANTI JOIN hot USING (shingle)
+        GROUP BY doc_id
+    ), pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY source_a, source_b
+"""
+
+ORACLE_SQL["length_curriculum_buckets"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+               END AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT n_tokens,
+               row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rnk,
+               count(*) OVER () AS n_total
+        FROM toks
+    )
+    SELECT (rnk * 8) // n_total + 1 AS bucket,
+           count(*) AS n_docs,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM ranked
+    GROUP BY bucket
 """
 
 ORACLE_SQL["split_leakage_pairs"] = """

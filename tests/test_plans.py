@@ -355,6 +355,14 @@ def test_semdedup_pairs_shuffle_once_on_cell(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_passage_windows_zero_shuffle(spark):
+    """RAG chunking is a pure projection: no Exchange, no Python in the
+    plan — chunking 100 TB must be embarrassingly parallel."""
+    plan = _plan(spark, "rag_passage_windows")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_gopher_repetition_stays_jvm_side(spark):
     """The repetition filters are pure codegen aggregates — no Python in
     the plan, and the final combine is a doc-cardinality join."""
