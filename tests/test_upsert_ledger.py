@@ -289,3 +289,35 @@ def test_upsert_sql_chunked_batches_equal_one_batch():
         _run_upsert(con_chunk, list(best.values()))
     q = "SELECT id, val, updated_at FROM tgt ORDER BY id"
     assert con_one.execute(q).fetchall() == con_chunk.execute(q).fetchall()
+
+
+def test_streaming_chunker_equals_list_chunker_property():
+    """iter_chunks_for_param_limit (the lazy partition path) must produce
+    exactly the chunks of chunk_rows_for_param_limit for any row count,
+    column width, and param limit."""
+    from hypothesis import given, settings as hsettings
+    from hypothesis import strategies as st
+
+    from neynar_parquet_importer_spark.sinks.jdbc_upsert import (
+        iter_chunks_for_param_limit,
+    )
+
+    @hsettings(max_examples=200, deadline=None)
+    @given(
+        n_rows=st.integers(0, 50),
+        n_cols=st.integers(1, 8),
+        max_params=st.integers(1, 40),
+    )
+    def check(n_rows, n_cols, max_params):
+        rows = [tuple(range(i, i + n_cols)) for i in range(n_rows)]
+        lazy = list(
+            iter_chunks_for_param_limit(iter(rows), n_cols, max_params)
+        )
+        strict = list(
+            chunk_rows_for_param_limit(rows, n_cols, max_params)
+        )
+        assert [list(c) for c in lazy] == [list(c) for c in strict]
+        assert all(len(c) * n_cols <= max(max_params, n_cols) for c in lazy)
+        assert [r for c in lazy for r in c] == rows  # order + completeness
+
+    check()
