@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "train_val_test_counts",
     "split_leakage_pairs",
     "lang_label_confusion",
+    "contrastive_negative_samples",
     "source_near_dup_matrix",
     "length_curriculum_buckets",
     "stratified_sample_by_lang",

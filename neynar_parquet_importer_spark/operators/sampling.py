@@ -220,3 +220,67 @@ def epoch_shuffle(
     return df.withColumn(order_col, h).orderBy(
         F.col(order_col).asc(), *[F.col(c) for c in key_cols]
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws ``k`` pseudo-random OTHER documents, the same
+    ones on every engine and layout. Returns (id_col, neg_idx,
+    neg_<id_col>).
+
+    Construction: documents get a dense 0..N-1 rank by id via the same
+    two-phase range-partitioned prefix scan as sequence packing (never a
+    single-task window); negative j of rank r is rank
+    ``(r + 1 + (h mod (N-1))) mod N`` with ``h`` the first 32 bits of
+    md5(seed:r:j) — the +1 shift makes self-selection impossible, and
+    md5 keeps the draw engine-portable (the DuckDB oracle reproduces it
+    byte for byte). The mapping back from target rank to document id is
+    one equi-join against the (persisted) rank frame. The mod draw has
+    the usual negligible modulo bias (~2^-32 * N).
+    """
+    from .dedup import _persist
+    from .packing import token_offsets
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    base = df.select(F.col(id_col).alias("__ord")).withColumn("__one", F.lit(1))
+    ranked = token_offsets(base, id_col="__ord", token_col="__one")
+    n = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("n_total")))
+    r = _persist(
+        ranked.crossJoin(n).select(
+            F.col("id").alias(id_col),
+            F.col("offset").alias("rnk"),
+            "n_total",
+        )
+    )
+    anchors = r.select(
+        id_col,
+        "rnk",
+        "n_total",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col("rnk"), F.col("neg_idx"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    target = F.pmod(
+        F.col("rnk") + 1 + F.pmod(h, F.col("n_total") - 1), F.col("n_total")
+    )
+    lookup = r.select(
+        F.col("rnk").alias("__t"), F.col(id_col).alias(f"neg_{id_col}")
+    )
+    return (
+        anchors.withColumn("__t", target)
+        .join(lookup, "__t")
+        .select(id_col, "neg_idx", f"neg_{id_col}")
+    )

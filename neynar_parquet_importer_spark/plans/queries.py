@@ -1989,6 +1989,15 @@ def train_val_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 4 pseudo-random other-doc
+    draws per anchor (md5-based, engine-portable, self-selection
+    impossible) — ORACLE-CHECKED byte for byte. Rank assignment uses the
+    two-phase range-partitioned prefix scan (operators.sampling.negative_samples)."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.negative_samples(docs, "doc_id", k=4, seed="neg")
+
+
 def lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-quality audit: the confusion matrix between the corpus'
     declared ``lang`` labels and the n-gram language-ID prediction — the
@@ -2370,6 +2379,7 @@ QUERIES = {
     "train_val_test_counts": train_val_test_counts,
     "split_leakage_pairs": split_leakage_pairs,
     "lang_label_confusion": lang_label_confusion,
+    "contrastive_negative_samples": contrastive_negative_samples,
     "source_near_dup_matrix": source_near_dup_matrix,
     "length_curriculum_buckets": length_curriculum_buckets,
     "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -3588,6 +3598,26 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["contrastive_negative_samples"] = """
+    WITH ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rnk,
+               count(*) OVER () AS n_total
+        FROM documents
+    ), anchors AS (
+        SELECT doc_id, rnk, n_total, unnest(generate_series(0, 3)) AS neg_idx
+        FROM ranked
+    ), targets AS (
+        SELECT doc_id, neg_idx,
+               (rnk + 1 + (CAST(concat('0x', substr(md5(
+                    'neg:' || CAST(rnk AS VARCHAR) || ':' || CAST(neg_idx AS VARCHAR)
+                ), 1, 8)) AS BIGINT) % (n_total - 1))) % n_total AS tr
+        FROM anchors
+    )
+    SELECT t.doc_id, t.neg_idx, r.doc_id AS neg_doc_id
+    FROM targets t JOIN ranked r ON r.rnk = t.tr
 """
 
 ORACLE_SQL["lang_label_confusion"] = """
