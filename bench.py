@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "split_leakage_pairs",
     "lang_label_confusion",
     "contrastive_negative_samples",
+    "contrastive_triplets",
     "source_near_dup_matrix",
     "length_curriculum_buckets",
     "stratified_sample_by_lang",

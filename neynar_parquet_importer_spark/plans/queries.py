@@ -1998,6 +1998,27 @@ def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.negative_samples(docs, "doc_id", k=4, seed="neg")
 
 
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end contrastive training-pair materialization: positives
+    are near-duplicate pairs (capped Jaccard >= 0.5, anchor = smaller
+    id), negatives are the deterministic md5 draws (2 per anchor,
+    negatives colliding with the positive filtered) — the triplet frame
+    a contrastive trainer consumes. Pure composition of two
+    oracle-checked operators and itself ORACLE-CHECKED."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    ).select(F.col("id_a").alias("anchor"), F.col("id_b").alias("positive"))
+    negs = smp.negative_samples(docs, "doc_id", k=2, seed="neg").select(
+        F.col("doc_id").alias("anchor"),
+        "neg_idx",
+        F.col("neg_doc_id").alias("negative"),
+    )
+    return pairs.join(negs, "anchor").filter(
+        F.col("negative") != F.col("positive")
+    ).select("anchor", "positive", "neg_idx", "negative")
+
+
 def lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-quality audit: the confusion matrix between the corpus'
     declared ``lang`` labels and the n-gram language-ID prediction — the
@@ -2380,6 +2401,7 @@ QUERIES = {
     "split_leakage_pairs": split_leakage_pairs,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
+    "contrastive_triplets": contrastive_triplets,
     "source_near_dup_matrix": source_near_dup_matrix,
     "length_curriculum_buckets": length_curriculum_buckets,
     "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -3598,6 +3620,58 @@ ORACLE_SQL["embedding_dedup_clusters"] = """
            (src = least(src, min(dst))) AS keep
     FROM reach
     GROUP BY src
+"""
+
+ORACLE_SQL["contrastive_triplets"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hot AS (
+        SELECT shingle FROM shx GROUP BY shingle
+        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ), capped AS (
+        SELECT doc_id, list(shingle) AS s
+        FROM shx ANTI JOIN hot USING (shingle)
+        GROUP BY doc_id
+    ), pairs AS (
+        SELECT id_a AS anchor, id_b AS positive FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS rnk,
+               count(*) OVER () AS n_total
+        FROM documents
+    ), anchors AS (
+        SELECT doc_id, rnk, n_total, unnest(generate_series(0, 1)) AS neg_idx
+        FROM ranked
+    ), targets AS (
+        SELECT doc_id, neg_idx,
+               (rnk + 1 + (CAST(concat('0x', substr(md5(
+                    'neg:' || CAST(rnk AS VARCHAR) || ':' || CAST(neg_idx AS VARCHAR)
+                ), 1, 8)) AS BIGINT) % (n_total - 1))) % n_total AS tr
+        FROM anchors
+    ), negs AS (
+        SELECT t.doc_id AS anchor, t.neg_idx, r.doc_id AS negative
+        FROM targets t JOIN ranked r ON r.rnk = t.tr
+    )
+    SELECT anchor, positive, neg_idx, negative
+    FROM pairs JOIN negs USING (anchor)
+    WHERE negative != positive
 """
 
 ORACLE_SQL["contrastive_negative_samples"] = """
