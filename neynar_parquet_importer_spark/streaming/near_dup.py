@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as _dedup
 from ..operators.dedup import (
     _persist,
     connected_components,
@@ -108,7 +109,22 @@ def near_dup_fold_batch(
     upserted into the sinks before returning (so the RESULT frame is
     computed eagerly — it must describe the state transition that
     actually happened, not a lazy plan over mutated state).
+
+    Scale shape: the verdict frame is pinned with an eager
+    ``localCheckpoint`` — materialized on EXECUTORS before the sink
+    upserts mutate state, never round-tripped through the driver — and
+    the accepted set is a ``left_semi`` join against it, so a catch-up
+    micro-batch of millions of docs stays distributed end to end. Every
+    frame persisted/checkpointed inside the fold is released before
+    returning (a long-running stream would otherwise leak one signature
+    cache per batch); the returned verdict frame is caller-owned — its
+    checkpoint blocks are reclaimed by Spark's ContextCleaner once the
+    caller drops the reference.
     """
+    # mark the module cache registries so everything THIS fold pins can be
+    # released on exit without touching frames the caller already holds
+    cache_mark = len(_dedup._CACHED)
+    ckpt_mark = len(_dedup._CKPTS)
     sigs = _persist(
         minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
     )
@@ -178,19 +194,17 @@ def near_dup_fold_batch(
         ).alias("is_dup"),
         F.coalesce("dup_of_state", "rep").alias("dup_of"),
     )
-    # eager: the sink upserts below change state; the returned verdicts
-    # must reflect the PRE-upsert state this batch was judged against
-    out_rows = verdict.collect()
+    # eager + lineage-truncated: the sink upserts below change state, so
+    # the verdicts must be MATERIALIZED against the pre-upsert state now —
+    # on executors (localCheckpoint), not via an O(batch) driver collect —
+    # and truncation detaches the result from every fold-local cached/
+    # checkpointed frame so those can all be released before returning
+    verdict = verdict.localCheckpoint(eager=True)
 
     # --- accept survivors into the state -------------------------------
-    accepted_ids = [r["id"] for r in out_rows if not r["is_dup"]]
-    if accepted_ids:
-        acc = sigs.join(
-            spark.createDataFrame([(i,) for i in accepted_ids], "id long"),
-            "id",
-            "left_semi",
-        )
-        acc = _persist(acc)
+    accepted = verdict.filter(~F.col("is_dup")).select("id")
+    if accepted.limit(1).count() > 0:
+        acc = _persist(sigs.join(accepted, "id", "left_semi"))
         sig_sink.upsert(
             acc.withColumn("updated_at", F.lit(epoch).cast("long")), epoch
         )
@@ -200,4 +214,12 @@ def near_dup_fold_batch(
             ),
             epoch,
         )
-    return spark.createDataFrame(out_rows, "id long, is_dup boolean, dup_of long")
+    # release every frame this fold pinned (batch signatures, banding
+    # caches, component states): the verdict checkpoint no longer depends
+    # on any of them, and a long-running stream must not accumulate one
+    # cached signature frame per micro-batch
+    while len(_dedup._CACHED) > cache_mark:
+        _dedup._CACHED.pop().unpersist()
+    while len(_dedup._CKPTS) > ckpt_mark:
+        _dedup._release_ckpt(_dedup._CKPTS[-1])
+    return verdict

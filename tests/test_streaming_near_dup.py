@@ -141,3 +141,42 @@ def test_streaming_fold_matches_batch_pipeline(spark, tmp_path):
         v = _fold(spark, sinks, rows[lo : lo + 3], epoch=e)
         accepted |= {i for i, (dup, _) in v.items() if not dup}
     assert accepted == batch_accepted
+
+
+def test_fold_is_distributed_and_releases_caches(spark, tmp_path):
+    """Scale-shape pins: the fold must never round-trip the batch through
+    the driver (no DataFrame.collect), must return an executor-
+    materialized (checkpoint-leaf) verdict frame that stays consumable
+    after release_cached(), and must leave the dedup module's cache
+    registries exactly as it found them (no per-batch leak)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from neynar_parquet_importer_spark.operators import dedup as dmod
+
+    sinks = _sinks(spark, tmp_path)
+    # seed state so the state-probe branch (the expensive path) runs too
+    _fold(spark, sinks, [(1, _doc(_G["a"]))], epoch=1)
+
+    n_cached, n_ckpt = len(dmod._CACHED), len(dmod._CKPTS)
+    batch = spark.createDataFrame(
+        [(2, _doc(_G["a"], "tail")), (3, _doc(_G["b"]))], DOC_SCHEMA
+    )
+    real_collect = DataFrame.collect
+    with mock.patch.object(
+        DataFrame,
+        "collect",
+        side_effect=AssertionError("driver collect inside fold"),
+    ):
+        out = near_dup_fold_batch(spark, sinks[0], sinks[1], batch, epoch=2)
+    # fold-local caches all released, registries restored
+    assert (len(dmod._CACHED), len(dmod._CKPTS)) == (n_cached, n_ckpt)
+    # verdict is a checkpoint leaf (materialized, lineage truncated) ...
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    # ... so it survives a full release_cached() and reads correctly
+    release_cached()
+    verdicts = {r["id"]: (r["is_dup"], r["dup_of"]) for r in real_collect(out)}
+    assert verdicts == {2: (True, 1), 3: (False, 3)}
+    assert sorted(r["id"] for r in sinks[0].read().collect()) == [1, 3]
