@@ -252,6 +252,14 @@ def passage_windows(
     scan stage."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # a gap between consecutive windows would leave tokens uncovered
+        # and generate phantom out-of-range starts (empty passages with
+        # negative n_tokens) — the overlap contract requires stride <= size
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): windows must "
+            "overlap or tile so every token is covered"
+        )
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
     # number of windows: 1 + ceil((n - size) / stride) when n > size

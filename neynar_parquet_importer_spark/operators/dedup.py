@@ -184,8 +184,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) via k universal-hash members.
+
+    ``hot`` (a stop-shingle frame from :func:`hot_shingles`) excludes
+    globally hot shingles from the signature, making the MinHash estimate
+    an unbiased estimator of the CAPPED Jaccard — the statistic the exact
+    paths (:func:`jaccard_all_pairs`, :func:`ngram_jaccard_pairs`)
+    compute under the same cap. Without it, a pair whose capped Jaccard
+    clears a threshold can have its signature agreement diluted by
+    non-shared boilerplate shingles, and a downstream estimated-Jaccard
+    filter loses the Binomial recall bound against capped ground truth.
+    A document whose every shingle is hot contributes no signature row
+    (its capped shingle set is empty — it cannot pair under the cap
+    either).
 
     Execution shape chosen for whole-stage codegen (higher-order array
     lambdas are interpreted in Spark and were ~40x slower here):
@@ -203,6 +216,10 @@ def minhash_signatures(
     base = _shingle_stream(df, text_col, id_col, shingle_n).select(
         "id", F.xxhash64(F.col("shingle")).alias("h")
     )
+    if hot is not None:
+        base = base.join(
+            F.broadcast(hot.select(F.col("shingle").alias("h"))), "h", "left_anti"
+        )
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
         for i in range(num_hashes)

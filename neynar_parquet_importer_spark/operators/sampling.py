@@ -242,6 +242,13 @@ def negative_samples(
     byte for byte). The mapping back from target rank to document id is
     one equi-join against the (persisted) rank frame. The mod draw has
     the usual negligible modulo bias (~2^-32 * N).
+
+    A corpus of a single document has no valid negative: the plan fails
+    loudly at execution (in-plan guard — no extra driver-side count job)
+    instead of silently returning an empty frame. When ``k >= N - 1``
+    the draws repeat targets (sampling is WITH replacement among the
+    N-1 others); callers wanting distinct negatives should
+    ``dropDuplicates([id_col, "neg_" + id_col])`` and accept < k rows.
     """
     from .dedup import _persist
     from .packing import token_offsets
@@ -273,9 +280,17 @@ def negative_samples(
         16,
         10,
     ).cast("long")
-    target = F.pmod(
-        F.col("rnk") + 1 + F.pmod(h, F.col("n_total") - 1), F.col("n_total")
+    # in-plan guard: n_total == 1 would make pmod(h, 0) NULL and the
+    # final inner join silently drop every row; raise instead. The guard
+    # rides the existing broadcast count — no separate driver count job.
+    denom = F.when(
+        F.col("n_total") >= 2, F.col("n_total") - 1
+    ).otherwise(
+        F.raise_error(
+            F.lit("negative_samples requires a corpus of >= 2 documents")
+        )
     )
+    target = F.pmod(F.col("rnk") + 1 + F.pmod(h, denom), F.col("n_total"))
     lookup = r.select(
         F.col("rnk").alias("__t"), F.col(id_col).alias(f"neg_{id_col}")
     )

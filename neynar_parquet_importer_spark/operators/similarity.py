@@ -584,6 +584,16 @@ def knn_join(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
 
+    def _topk(qi, ni, ci):
+        # top-k per query under (cos desc, neighbor id asc) — the same
+        # total order at every merge level, so chunk-local selection
+        # composes into exactly the global top-k
+        order = np.lexsort((ni, -ci, qi))
+        qi, ni, ci = qi[order], ni[order], ci[order]
+        rank = np.arange(len(qi)) - np.searchsorted(qi, qi, side="left")
+        keep = rank < kk
+        return qi[keep], ni[keep], ci[keep]
+
     def local_topk(batches):
         for pdf in batches:
             if not len(pdf):
@@ -592,27 +602,23 @@ def knn_join(
             x = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
             nrm = np.sqrt((x * x).sum(axis=1))
             nrm[nrm == 0] = 1.0
-            out_q, out_n, out_c = [], [], []
+            # running winners re-merged after every chunk: task memory is
+            # O(chunk_rows * |Q|) for the transient score matrix plus
+            # O(|Q| * k) for the winners — never O(|batch| * |Q|)
+            rq = rn = rc = None
             for s in range(0, len(ids), chunk_rows):
                 e = s + chunk_rows
                 cos = (x[s:e] @ q_mat.T) / np.outer(nrm[s:e], q_nrm)
-                out_q.append(np.repeat(q_ids, len(ids[s:e])))
-                out_n.append(np.tile(ids[s:e], len(q_ids)))
-                out_c.append(cos.T.ravel())
-            qi = np.concatenate(out_q)
-            ni = np.concatenate(out_n)
-            ci = np.concatenate(out_c)
-            # local top-k per query: sort by (query, -cos, neighbor id)
-            order = np.lexsort((ni, -ci, qi))
-            qi, ni, ci = qi[order], ni[order], ci[order]
-            rank = np.arange(len(qi)) - np.searchsorted(qi, qi, side="left")
-            keep = rank < kk
+                cq = np.repeat(q_ids, len(ids[s:e]))
+                cn = np.tile(ids[s:e], len(q_ids))
+                cc = cos.T.ravel()
+                if rq is not None:
+                    cq = np.concatenate([rq, cq])
+                    cn = np.concatenate([rn, cn])
+                    cc = np.concatenate([rc, cc])
+                rq, rn, rc = _topk(cq, cn, cc)
             yield pd.DataFrame(
-                {
-                    "query_id": qi[keep],
-                    "neighbor_id": ni[keep],
-                    "cos_raw": ci[keep],
-                }
+                {"query_id": rq, "neighbor_id": rn, "cos_raw": rc}
             )
 
     local = base.mapInPandas(

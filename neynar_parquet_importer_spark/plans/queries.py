@@ -1267,9 +1267,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs SQL at 0.8); the banding recall contract is additionally
     property-tested in tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    hot = _hot_shingles_cached(spark, docs, sf_dir, 0.05)
+    # signatures over the CAPPED shingle stream (hot shingles excluded),
+    # so signature agreement estimates the same capped Jaccard the exact
+    # rerank and the all-pairs oracle compute — without this, a pair with
+    # capped jaccard >= 0.8 but boilerplate-diluted raw sets can sit
+    # below every signature/banding threshold and break the recall bound
+    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3, hot=hot)
     # estimated-Jaccard pre-filter before the exact rerank (the standard
-    # three-stage LSH pipeline): a pair with true jaccard >= 0.8 has
+    # three-stage LSH pipeline): a pair with CAPPED jaccard >= 0.8 has
     # P[signature agreement < 0.5] = P[Binom(64, 0.8) < 32] ~ 1e-8, so
     # est >= 0.5 sheds the collision noise (most banding candidates on a
     # common-vocabulary corpus) at no recall cost — the exact rerank then
@@ -1279,7 +1285,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .select("id_a", "id_b")
     )
-    hot = _hot_shingles_cached(spark, docs, sf_dir, 0.05)
     return dd.ngram_jaccard_pairs(
         docs, cands, "text", "doc_id", hot=hot
     ).filter(F.col("jaccard") >= 0.8)

@@ -779,3 +779,62 @@ def test_pq_adc_tracks_exact_cosine(spark):
     adc = pq_topk(df, q, k=len(planted) + 5).collect()
     assert exact5 <= {r.vec_id for r in adc}
     assert all(-1.0 <= r.approx_cos <= 1.0001 for r in adc)
+
+
+def test_minhash_signatures_capped_by_hot(spark):
+    """Signatures over the CAPPED shingle stream estimate capped Jaccard:
+    two docs with an identical core but different globally-hot boilerplate
+    must agree highly once the hot shingles are excluded, while the
+    uncapped signatures stay diluted — the alignment that keeps the
+    LSH->rerank recall bound valid against capped ground truth."""
+    from neynar_parquet_importer_spark.operators.dedup import hot_shingles
+
+    core = " ".join(f"core{i}" for i in range(30))
+    boil_a = " ".join(f"hota{i}" for i in range(30))
+    boil_b = " ".join(f"hotb{i}" for i in range(30))
+    rows = [(1, f"{core} {boil_a}"), (2, f"{core} {boil_b}")]
+    # make both boilerplates corpus-hot (df > 30%) with unrelated fillers
+    for j in range(10):
+        rows.append((100 + j, f"filler{j}a filler{j}b {boil_a}"))
+        rows.append((200 + j, f"filler{j}c filler{j}d {boil_b}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = hot_shingles(docs, 0.3, "text", "doc_id", 3)
+
+    def agreement(sigs):
+        by_id = {r.id: r.signature for r in sigs.filter(F.col("id") < 3).collect()}
+        a, b = by_id[1], by_id[2]
+        return sum(x == y for x, y in zip(a, b)) / len(a)
+
+    capped = agreement(minhash_signatures(docs, num_hashes=64, hot=hot))
+    raw = agreement(minhash_signatures(docs, num_hashes=64))
+    # capped sets share 28/32 shingles (J ~ 0.875); raw sets ~0.3
+    assert capped >= 0.7
+    assert raw <= 0.55
+    assert capped > raw
+    release_cached()
+
+
+def test_knn_join_chunked_merge_exact(spark):
+    """Per-chunk top-k + running merge must reproduce the single-pass
+    result exactly, including cosine ties broken by ascending neighbor
+    id (duplicate vectors force ties across chunk boundaries)."""
+    from neynar_parquet_importer_spark.operators.similarity import knn_join
+
+    import math
+
+    vecs = []
+    for i in range(40):
+        ang = (i % 8) * math.pi / 16  # 5 exact duplicates per angle
+        vecs.append((i, [math.cos(ang), math.sin(ang)]))
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    out = lambda ch: sorted(
+        tuple(r) for r in knn_join(corpus, queries, k=7, chunk_rows=ch).collect()
+    )
+    big = out(10_000)  # one chunk per partition: the reference path
+    assert out(3) == big == out(7)
+    # ties at equal cosine resolve by ascending neighbor id
+    top_q0 = [r[1] for r in big if r[0] == 0][:5]
+    assert top_q0 == sorted(top_q0)

@@ -567,3 +567,27 @@ def test_passage_windows_cover_every_token(spark):
     assert covered == {f"w{i}" for i in range(100)}
     doc1 = [r for r in out if r[0] == 1]
     assert doc1 == [(1, 0, "a b c", 3)]
+
+
+def test_passage_windows_rejects_gapped_stride(spark):
+    """stride > size would leave tokens uncovered and emit phantom
+    out-of-range windows (empty text, negative n_tokens) — rejected."""
+    import pytest
+
+    from neynar_parquet_importer_spark.operators.corpus import passage_windows
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride .* must be <= size"):
+        passage_windows(df, "text", "doc_id", size=2, stride=10)
+
+
+def test_negative_samples_single_doc_fails_loudly(spark):
+    """A 1-document corpus has no valid negative: the in-plan guard must
+    raise at execution instead of silently returning an empty frame."""
+    import pytest
+
+    from neynar_parquet_importer_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(Exception, match="corpus of >= 2 documents"):
+        negative_samples(df, "doc_id", k=2).collect()
