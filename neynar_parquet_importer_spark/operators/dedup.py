@@ -185,8 +185,25 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     hot: DataFrame | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) via k universal-hash members.
+
+    ``hash_family`` picks the member-hash construction:
+
+    - ``"xxhash64"`` (default, fastest): member i is
+      ``min(xxhash64(xxhash64(shingle), i))`` — engine-internal, use for
+      pipelines that only ever compare signatures inside Spark.
+    - ``"md5"`` (ENGINE-PORTABLE): one md5 per distinct shingle yields
+      two 32-bit halves (h1, h2); member i is
+      ``min((h1 + i * h2) mod (2^31 - 1))`` — Kirsch-Mitzenmacher double
+      hashing, pure integer arithmetic another engine reproduces exactly
+      from the same md5 hex (the discipline that made SimHash
+      oracle-checkable). All values stay < 2^39, so the arithmetic is
+      overflow-free under ANSI semantics on any engine. This makes the
+      whole MinHash/LSH pipeline — signatures, band collisions
+      (bucket-hash equality <=> member-slice equality w.h.p.), estimated
+      Jaccard — value-checkable against a SQL twin.
 
     ``hot`` (a stop-shingle frame from :func:`hot_shingles`) excludes
     globally hot shingles from the signature, making the MinHash estimate
@@ -213,17 +230,36 @@ def minhash_signatures(
     # friendly, and its window shuffle on id is reused by the final
     # aggregation. Duplicate shingles don't change a min, so no distinct
     # pass is needed.
-    base = _shingle_stream(df, text_col, id_col, shingle_n).select(
-        "id", F.xxhash64(F.col("shingle")).alias("h")
-    )
+    stream = _shingle_stream(df, text_col, id_col, shingle_n)
+    if hash_family == "md5":
+        m = F.md5(F.col("shingle"))
+        base = stream.select(
+            "id",
+            F.xxhash64(F.col("shingle")).alias("h"),
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+    elif hash_family == "xxhash64":
+        base = stream.select("id", F.xxhash64(F.col("shingle")).alias("h"))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     if hot is not None:
+        # the stop-shingle frame is keyed by xxhash64 regardless of the
+        # member family (hot_shingles emits xxhash64 values)
         base = base.join(
             F.broadcast(hot.select(F.col("shingle").alias("h"))), "h", "left_anti"
         )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        _P = 2147483647  # 2^31 - 1; h1 + i*h2 < 2^39, overflow-free
+        aggs = [
+            F.min(F.pmod(F.col("h1") + i * F.col("h2"), F.lit(_P))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     return (
         base.groupBy("id")
         .agg(*aggs)

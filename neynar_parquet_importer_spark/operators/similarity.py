@@ -740,6 +740,45 @@ def semdedup_keepers(
     return dedup_cluster_keepers(df, pairs, id_col)
 
 
+def semdedup_keepers_adaptive(
+    df: DataFrame,
+    threshold: float = 0.9,
+    exact_below: int = 100_000,
+    centroids: "Sequence[Sequence[float]] | Callable[[], Sequence] | None" = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`semdedup_keepers` with the same FAISS-style corpus-size
+    crossover as :func:`near_dup_pairs_adaptive`: below ``exact_below``
+    vectors the pair scan runs EXACTLY (blocked BLAS, no quantizer) —
+    the single-cell limit of SemDeDup, deterministic and strictly better
+    recall than any cell partition (no boundary misses) — and the
+    clustering/keeper contract is unchanged. Above the crossover, the
+    k-means-cell path engages and comparisons drop from n^2 to
+    sum(|cell|^2) (SemDeDup's scale shape); its planted-dup equivalence
+    with the exact limit is property-tested by forcing each path.
+
+    The dispatch is what makes small-scale output a pure function of the
+    data (no trained-quantizer dependence), hence value-checkable against
+    a SQL twin, while the registered plan keeps the scale path."""
+    from .dedup import dedup_cluster_keepers
+
+    if df.count() <= exact_below:
+        pairs = exact_cosine_pairs_blocked(
+            df, threshold, vec_col=vec_col, id_col=id_col
+        ).select("id_a", "id_b")
+        return dedup_cluster_keepers(df, pairs, id_col)
+    if callable(centroids):
+        # lazy artifact hook: the quantizer (an expensive per-corpus
+        # train, cached/persisted beside the corpus in production) is
+        # only materialized when the cell path actually engages
+        centroids = centroids()
+    return semdedup_keepers(
+        df, threshold, centroids, n_centroids, vec_col, id_col
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -1226,8 +1226,20 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures -> LSH banding -> estimated-Jaccard filter —
+    the real scale pipeline (one signature aggregate, one banded
+    self-join), ORACLE-CHECKED end to end: the member family is the
+    engine-portable md5 + Kirsch-Mitzenmacher construction
+    (dedup.minhash_signatures hash_family="md5"), so the DuckDB twin
+    recomputes the identical signatures, replays band collisions as
+    member-slice equality (bucket-hash equality <=> slice equality up to
+    a ~2^-64 xxhash64 collision), and reproduces est_jaccard exactly.
+    The xxhash64 family remains the default for engine-internal
+    pipelines (streaming near-dup state)."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    sigs = dd.minhash_signatures(
+        docs, num_hashes=64, shingle_n=3, hash_family="md5"
+    )
     cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     return cands.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
@@ -1840,13 +1852,20 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cached IVF coarse quantizer), detect near-dup pairs WITHIN each
     cell only, connect components, keep the min-id representative.
     Comparisons drop from n^2 to sum(|cell|^2) — the semantic-dedup scale
-    shape. Rows-only oracle (cells come from the trained quantizer);
-    properties in tests/test_operators.py: within-cell pairs are a subset
-    of the exact pair set, and planted high-cos dups are deduplicated
-    identically to the exact pipeline."""
+    shape. ORACLE-CHECKED via the corpus-size crossover
+    (sim.semdedup_keepers_adaptive): below ~1e5 vectors the pair scan is
+    the exact single-cell limit (deterministic — no trained-quantizer
+    dependence — and strictly better recall than any cell partition), so
+    the recursive-CTE closure twin value-checks the whole
+    cluster-and-keep contract; above it the k-means-cell path engages,
+    and tests/test_operators.py force it on planted dups to prove it
+    matches the exact limit. Threshold 0.45 (vs clusters' 0.4/0.5) keeps
+    the three clustering queries distinct result sets."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.semdedup_keepers(
-        emb, threshold=0.4, centroids=_ivf_centroids_cached(emb, sf_dir)
+    return sim.semdedup_keepers_adaptive(
+        emb,
+        threshold=0.45,
+        centroids=lambda: _ivf_centroids_cached(emb, sf_dir),
     )
 
 
@@ -4102,4 +4121,77 @@ ORACLE_SQL["bigram_logprob_score"] = """
            round(avg(-ln(bf.cb * 1.0 / cf.cc)), 4) AS avg_neg_logprob
     FROM pairs p JOIN bf USING (w1, w2) JOIN cf USING (w1)
     GROUP BY p.doc_id
+"""
+
+ORACLE_SQL["dedup_minhash_lsh"] = """
+    -- full MinHash/LSH recomputation with the engine-portable member
+    -- family: md5(shingle) -> two 32-bit halves (h1, h2); member i =
+    -- min((h1 + i*h2) mod (2^31 - 1)) (Kirsch-Mitzenmacher double
+    -- hashing). A pair is a candidate iff SOME 4-member band agrees
+    -- fully (the engine's band bucket-hash equality, exact up to a
+    -- ~2^-64 xxhash64 bucket collision), and est_jaccard is the
+    -- 64-member agreement fraction; the >= 0.5 filter is agree >= 32.
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM shx
+    ), mem AS (
+        SELECT doc_id, i, min((h1 + i * h2) % 2147483647) AS m
+        FROM hh CROSS JOIN range(0, 64) t(i)
+        GROUP BY doc_id, i
+    ), sig AS (
+        SELECT doc_id, list(m ORDER BY i) AS sg FROM mem GROUP BY doc_id
+    ), scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range(1, 65), i -> a.sg[i] = b.sg[i])) AS agree,
+               len(list_filter(range(0, 16), bb ->
+                   a.sg[4*bb+1] = b.sg[4*bb+1] AND a.sg[4*bb+2] = b.sg[4*bb+2]
+                   AND a.sg[4*bb+3] = b.sg[4*bb+3] AND a.sg[4*bb+4] = b.sg[4*bb+4]
+               )) > 0 AS collide
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(agree / 64.0, 6) AS est_jaccard
+    FROM scored
+    WHERE collide AND agree >= 32
+"""
+
+ORACLE_SQL["embedding_semdedup"] = """
+    -- the crossover's exact single-cell limit at test scale: exact
+    -- cosine pairs >= 0.45 -> transitive closure -> min-id keeper,
+    -- identical contract to the engine's cluster-and-keep output
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE c >= 0.45
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS vec_id,
+           least(src, min(dst)) AS component,
+           (src = least(src, min(dst))) AS keep
+    FROM reach
+    GROUP BY src
 """

@@ -838,3 +838,85 @@ def test_knn_join_chunked_merge_exact(spark):
     # ties at equal cosine resolve by ascending neighbor id
     top_q0 = [r[1] for r in big if r[0] == 0][:5]
     assert top_q0 == sorted(top_q0)
+
+
+def test_semdedup_adaptive_dispatch(spark):
+    """Crossover contract for SemDeDup: below exact_below the output is
+    the exact single-cell limit; with the gate forced off the cell path
+    engages (never touching a callable centroids hook until then) and
+    matches the exact limit on a planted-dup corpus."""
+    import numpy as np
+
+    from neynar_parquet_importer_spark.operators.dedup import (
+        dedup_cluster_keepers,
+    )
+    from neynar_parquet_importer_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+        semdedup_keepers_adaptive,
+    )
+
+    rng = np.random.RandomState(83)
+    dim, n_noise, n_groups = 64, 120, 8
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.randn(n_noise, dim))]
+    nid = n_noise
+    for _ in range(n_groups):
+        v = rng.randn(dim)
+        for _ in range(3):
+            rows.append((nid, [float(x) for x in v + 0.03 * rng.randn(dim)]))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact_pairs = exact_cosine_pairs_blocked(df, 0.9).select("id_a", "id_b")
+    exact = sorted(
+        tuple(r) for r in dedup_cluster_keepers(df, exact_pairs, "vec_id").collect()
+    )
+
+    def boom():
+        raise AssertionError("centroids hook touched on the exact path")
+
+    below = sorted(
+        tuple(r)
+        for r in semdedup_keepers_adaptive(
+            df, threshold=0.9, exact_below=10_000, centroids=boom
+        ).collect()
+    )
+    above = sorted(
+        tuple(r)
+        for r in semdedup_keepers_adaptive(
+            df, threshold=0.9, exact_below=0, n_centroids=8
+        ).collect()
+    )
+    assert below == exact == above
+    release_cached()
+
+
+def test_minhash_md5_family_portable_and_effective(spark):
+    """The md5/Kirsch-Mitzenmacher member family: identical docs agree at
+    1.0, near-dups collide with high agreement, unrelated docs don't pair
+    — same behavioral contract as the xxhash64 family, with members in
+    [0, 2^31-1) derivable by any engine from the same md5 hex."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    core = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, core),
+            (2, core),
+            (3, core + " extra trailing words here"),
+            (4, " ".join(f"other{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=64, hash_family="md5")
+    for r in sigs.collect():
+        assert all(0 <= m < 2147483647 for m in r.signature)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert pairs.get((1, 3), 0) > 0.5
+    assert not any(4 in p for p in pairs)
+    release_cached()
