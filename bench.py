@@ -137,6 +137,14 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # optional subset (comma-separated names): scaling studies time one
+    # operator family at a larger sf without paying the full suite
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench_queries = (
+        [n for n in (q.strip() for q in only.split(",")) if n]
+        if only
+        else BENCH_QUERIES
+    )
     # showConsoleProgress is read at SparkContext init: pass it through
     # the builder so progress bars never interleave with the JSON line
     spark = get_spark(
@@ -150,7 +158,7 @@ def main() -> None:
     # the timed runs then measure data-proportional execution at the target
     # sf, which is the number that extrapolates to cluster scale.
     warm_dir = "/root/testdata/sf0.001"
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         try:
             QUERIES[name](spark, warm_dir).count()
         except Exception:
@@ -163,9 +171,22 @@ def main() -> None:
     # transient host contention (a noisy-neighbor window during pass 1
     # hits different queries in pass 2, so the min recovers the true
     # figure; measured contention inflated single-pass numbers up to 14x)
-    passes: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    passes: dict[str, list[float]] = {name: [] for name in bench_queries}
+    # host 1-min load average sampled at each query start, one sample per
+    # timed measurement: contention (the measured 4x noise source on a
+    # shared host) is then visible IN the artifact — an inflated pass
+    # with an inflated load sample is noise, not a regression
+    loads: dict[str, list[float]] = {name: [] for name in bench_queries}
+
+    def _load1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
     for _ in range(2):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             release_cached()
             spark.catalog.clearCache()  # queries are timed independently
             # force the context cleaner between queries: dead shuffle /
@@ -173,6 +194,7 @@ def main() -> None:
             # until a driver GC happens to run, squeezing execution
             # memory mid-sequence (measured 10x+ slowdowns)
             spark.sparkContext._jvm.System.gc()
+            loads[name].append(_load1())
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             passes[name].append(round(time.perf_counter() - t0, 3))
@@ -186,7 +208,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(payload))
+    # ONE compact line (no spaces), flushed, nothing printed after it on
+    # stdout: the round driver captures only the output tail, and a
+    # pretty-printed 111-query dict overflowed that window (BENCH_r4
+    # recorded parsed: null) — compact separators keep the whole payload
+    # inside the capture
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
     # append-only run history, one timestamped file per run, carrying the
     # RAW per-pass timings too — so "regression or noise?" questions are
@@ -205,6 +232,7 @@ def main() -> None:
             {
                 **payload,
                 "passes": passes,
+                "loadavg_1m": loads,
                 "run_at": ts,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
             },
