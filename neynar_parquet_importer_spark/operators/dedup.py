@@ -690,6 +690,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     driver_threshold: int = 1_000_000,
+    detach: bool = False,
 ) -> DataFrame:
     """(id, component) for every vertex of the (undirected) edge set;
     component = the minimum vertex id reachable from the vertex.
@@ -712,6 +713,16 @@ def connected_components(
     (dup groups are cliques or near-cliques); max_iter bounds runaway
     graphs. Both paths produce identical min-id labelings
     (tests/test_operators.py forces each and compares).
+
+    ``detach=True`` makes the result CALLER-OWNED: on the iterative path
+    the final labels are copied into a fresh eager ``localCheckpoint``
+    that is NOT registered in this module's release registries, so the
+    result stays consumable after :func:`release_cached` (the default
+    result's lineage is truncated to registry-held checkpoint blocks
+    and dies with them — the documented invalidation contract). The
+    driver union-find path is already independent, so detach is free
+    there. The detached copy's blocks are reclaimed by Spark's
+    ContextCleaner once the caller drops the frame.
     """
     # persist BEFORE the size probe: edges usually come off an expensive
     # pair-detection job, and both the probe and whichever path follows
@@ -788,20 +799,28 @@ def connected_components(
         labels = updated.select("u", "comp")
         if changed == 0:
             break
-    return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+    out = labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+    if detach:
+        # unregistered checkpoint: survives release_cached(); lifecycle
+        # passes to the caller (ContextCleaner reclaims on GC)
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def dedup_cluster_keepers(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    detach: bool = False,
 ) -> DataFrame:
     """Full dedup decision: (doc_id, component, keep) where keep marks the
     canonical (min-id) document of each near-dup cluster. Documents in no
     pair are implicit singletons (kept); only clustered docs appear here —
     at scale the anti-join of the corpus against this frame IS the
-    keep-set complement, no need to materialize singleton rows."""
-    comps = connected_components(pairs)
+    keep-set complement, no need to materialize singleton rows.
+    ``detach=True`` passes through to :func:`connected_components` so the
+    result survives :func:`release_cached`."""
+    comps = connected_components(pairs, detach=detach)
     return comps.select(
         F.col("id").alias(id_col),
         "component",

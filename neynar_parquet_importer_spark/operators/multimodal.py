@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake feature
-vector derived from the payload bytes. Everything Spark-side — schema,
-batch iteration, partitioning, UDF signatures — is real and tested, so
-swapping in a real decoder (PIL/torchaudio/ffmpeg) is a one-function
-change at the marked point.
+The decode step PROBES for Pillow at call time (inside the worker
+closure) and uses it when importable — no hard dependency; without it,
+``fake=True`` produces a deterministic feature vector derived from the
+payload bytes and ``fake=False`` raises the documented
+NotImplementedError (this container ships no image/audio libs).
+Everything Spark-side — schema, batch iteration, partitioning, UDF
+signatures — is real and tested either way; audio/video decoders
+(torchaudio/ffmpeg) would slot into the same ``_decode_real`` seam.
 
 At scale: mapInPandas streams Arrow batches through the Python worker;
 binary payloads never materialize on the driver, and
@@ -48,25 +49,96 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB: real deployments plug PIL/torchvision here.
+def _pil():
+    """Probe for Pillow AT CALL TIME (inside the executor-side closure,
+    so availability is decided where the decode actually runs). Returns
+    the PIL.Image module or None — never a hard dependency."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    ``fake=True`` yields a deterministic 8-dim feature from the sha256 of
-    the payload so the distributed plumbing is testable end-to-end.
-    """
-    if not fake:
+        return Image
+    except ImportError:
+        return None
+
+
+def _use_fake(fake: bool | None) -> bool:
+    """Resolve the three-state decode mode: True/False are explicit;
+    None means auto — use the real decoder iff Pillow is importable."""
+    if fake is None:
+        return _pil() is None
+    return bool(fake)
+
+
+def _decode_real(payload: bytes) -> list[float]:
+    """Real image decode -> deterministic 8-dim feature (per-channel RGB
+    mean + std, aspect ratio, bounded pixel count). Raises
+    NotImplementedError when Pillow is absent — the documented env-gated
+    stub boundary."""
+    image_mod = _pil()
+    if image_mod is None:
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
+            "image decoding requires Pillow, not present in this "
             "container; call with fake=True for the deterministic stub"
         )
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:8]]
+    import io
+
+    import numpy as np
+
+    img = image_mod.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    means = arr.mean(axis=(0, 1))
+    stds = arr.std(axis=(0, 1))
+    aspect = img.width / max(img.height, 1)
+    return [
+        *(float(x) for x in means),
+        *(float(x) for x in stds),
+        float(aspect),
+        float(min(1.0, arr.size / 1e6)),
+    ]
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Binary media rows -> feature rows via Arrow-batched mapInPandas."""
+def _resize_real(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize -> PNG re-encode; NotImplementedError without Pillow."""
+    image_mod = _pil()
+    if image_mod is None:
+        raise NotImplementedError(
+            "image resizing requires Pillow, not present in this "
+            "container; call with fake=True for the deterministic stub"
+        )
+    import io
+
+    img = image_mod.open(io.BytesIO(payload)).convert("RGB")
+    out = io.BytesIO()
+    img.resize((target_w, target_h)).save(out, format="PNG")
+    return out.getvalue()
+
+
+def decode_image(payload: bytes, fake: bool | None = False) -> list[float]:
+    """Image payload -> 8-dim feature vector.
+
+    ``fake=True`` yields a deterministic feature from the sha256 of the
+    payload so the distributed plumbing is testable end-to-end;
+    ``fake=False`` decodes with Pillow when importable (probe-and-use —
+    no hard dependency) and raises NotImplementedError otherwise;
+    ``fake=None`` auto-selects (real iff Pillow present).
+    """
+    if _use_fake(fake):
+        digest = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in digest[:8]]
+    return _decode_real(payload)
+
+
+def extract_features(df: DataFrame, fake: bool | None = True) -> DataFrame:
+    """Binary media rows -> feature rows via Arrow-batched mapInPandas.
+
+    ``fake=None`` auto-probes for Pillow INSIDE the worker closure (the
+    process where the decode runs), using the real decoder when present
+    and the deterministic sha256 stub otherwise; True/False force a
+    mode. The registered bench/oracle query pins fake=True so its output
+    stays engine-portable regardless of installed libraries."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_fake = _use_fake(fake)
         for pdf in batches:
             # single pass over the payload column: one sha256 per row feeds
             # both the hex digest and the (stubbed) feature, instead of three
@@ -81,13 +153,13 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     features.append(None)
                     continue
                 n_bytes.append(len(b))
-                if fake:
+                if use_fake:
                     digest = hashlib.sha256(b).digest()
                     sha_hex.append(digest.hex())
                     features.append([x / 255.0 for x in digest[:8]])
                 else:
                     sha_hex.append(hashlib.sha256(b).hexdigest())
-                    features.append(decode_image(b, fake=False))
+                    features.append(_decode_real(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -138,29 +210,30 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+    df: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool | None = True
 ) -> DataFrame:
     """Resize stage: binary in -> binary out with new dimensions, via
     Arrow-batched mapInPandas (the standard pre-processing step before a
-    vision encoder). The pixel work is STUBBED like decode_image (no
-    image libs here): ``fake=True`` emits a deterministic payload derived
+    vision encoder). ``fake=True`` emits a deterministic payload derived
     from the source bytes + target size, so batch shape, schema, and
-    null/dimension handling are tested end-to-end; a real deployment
-    replaces only the inner function with PIL/torchvision."""
+    null/dimension handling are tested end-to-end; ``fake=False`` (or
+    auto via None, probed in the worker) resizes with Pillow when
+    importable and raises the documented NotImplementedError otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_fake = _use_fake(fake)
         for pdf in batches:
             payloads: list[bytes | None] = []
             for b in pdf["payload"]:
                 if b is None:
                     payloads.append(None)
-                elif fake:
+                elif use_fake:
                     seed = hashlib.sha256(
                         bytes(b) + f":{target_w}x{target_h}".encode()
                     ).digest()
                     payloads.append(seed * 4)  # deterministic 128-byte stand-in
                 else:
-                    payloads.append(decode_image(b, fake=False))  # pragma: no cover
+                    payloads.append(_resize_real(bytes(b), target_w, target_h))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
