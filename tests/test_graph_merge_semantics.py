@@ -268,3 +268,95 @@ def test_graph_schema_gating():
                                      "nindexer_verifications"])
     assert len(all_s) == len(set(all_s)) == 11
     assert all("IF NOT EXISTS" in stmt for stmt in all_s)
+
+
+def _graph_canon(g):
+    return (
+        sorted((n, tuple(sorted(d.items()))) for n, d in g.nodes(data=True)),
+        sorted(
+            (u, v, tuple(sorted(d.items()))) for u, v, d in g.edges(data=True)
+        ),
+    )
+
+
+def test_edge_writer_mid_batch_drop_resumes_from_failed_chunk():
+    """S9-parity for the EDGE path (test_live_sinks mirrors this for
+    Postgres): a bolt session dying while executing the second edge
+    chunk must reconnect, re-run only that chunk, and keep prior chunks
+    applied — no lost or duplicated edges (MERGE replay is a no-op)."""
+    from neynar_parquet_importer_spark.graph.writer import (
+        write_merge_partition,
+    )
+
+    g = nx.MultiDiGraph()
+    opens = {"n": 0}
+    fail = {"armed": True}
+    cypher = edge_merge_cypher("FOLLOWS", "User", "User", "fid", "fid", ["ts"])
+
+    class _Sess:
+        def run(self, cy, batch):
+            if fail["armed"] and batch[0]["src"] == 3:  # second chunk
+                fail["armed"] = False
+                raise RuntimeError("bolt connection dropped")
+            apply_cypher(g, cy, batch)
+
+        def close(self):
+            pass
+
+    def open_session():
+        opens["n"] += 1
+        return _Driver(), _Sess()
+
+    rows = [{"src": i, "dst": i + 100, "ts": i} for i in range(1, 5)]
+    write_merge_partition(
+        rows, open_session, cypher, batch_size=2,
+        to_dict=lambda r: r, retry=_no_sleep_retry(3),
+    )
+    assert opens["n"] == 2
+    assert sorted(s[1] for s, _ in g.edges()) == [1, 2, 3, 4]
+
+
+def test_edge_writer_crash_replay_is_idempotent():
+    """Spark task-retry semantics: a crash mid-partition (retries
+    exhausted) leaves prior chunks applied AND the error propagated (so
+    the task fails and the WHOLE partition re-runs); the replay over the
+    partially-applied graph must converge to exactly the clean run's
+    graph — MERGE + last-batch-wins SET make the re-run safe."""
+    import pytest
+
+    from neynar_parquet_importer_spark.graph.writer import (
+        write_merge_partition,
+    )
+
+    cypher = edge_merge_cypher("FOLLOWS", "User", "User", "fid", "fid", ["ts"])
+    rows = [{"src": i, "dst": i + 100, "ts": i * 10} for i in range(1, 5)]
+
+    def run_partition(g, fail_chunk_src=None, attempts=1):
+        state = {"armed": fail_chunk_src is not None}
+
+        class _Sess:
+            def run(self, cy, batch):
+                if state["armed"] and batch[0]["src"] == fail_chunk_src:
+                    raise RuntimeError("connection dropped, stays down")
+                apply_cypher(g, cy, batch)
+
+            def close(self):
+                pass
+
+        write_merge_partition(
+            rows, lambda: (_Driver(), _Sess()), cypher, batch_size=2,
+            to_dict=lambda r: r, retry=_no_sleep_retry(attempts),
+        )
+
+    clean = nx.MultiDiGraph()
+    run_partition(clean)
+
+    crashed = nx.MultiDiGraph()
+    # connection stays down: retries exhaust and the error PROPAGATES
+    # (a swallowed error would mark the task successful with lost rows)
+    with pytest.raises(RuntimeError, match="stays down"):
+        run_partition(crashed, fail_chunk_src=3)
+    assert sorted(s[1] for s, _ in crashed.edges()) == [1, 2]  # partial
+
+    run_partition(crashed)  # the task retry: full partition replay
+    assert _graph_canon(crashed) == _graph_canon(clean)
