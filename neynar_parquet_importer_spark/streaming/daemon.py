@@ -50,6 +50,7 @@ def run_forever(
     sleep_fn=time.sleep,
     max_iterations: int | None = None,
     exit_after_max_wait: bool = False,
+    max_age_s: float = 21 * 24 * 3600,
 ) -> DaemonReport:
     """The per-table daemon loop.
 
@@ -62,7 +63,9 @@ def run_forever(
     raises instead; a supervisor restart then re-plans from the ledger.
 
     Clock and sleep are injectable so tests drive publication schedules
-    deterministically (including out-of-order arrivals).
+    deterministically (including out-of-order arrivals). ``max_age_s`` is
+    the W4 retention horizon handed to every catch-up: state older than
+    it triggers a fresh-snapshot restart (reference main.py:157-169).
     """
     iterations = files = rows = 0
     stopped_by = "max_iterations"
@@ -72,7 +75,9 @@ def run_forever(
             break
         now = now_fn()
         end = int(now) // pipe.duration * pipe.duration
-        report: ImportReport = pipe.run_catchup(end_timestamp=end, now=now)
+        report: ImportReport = pipe.run_catchup(
+            end_timestamp=end, now=now, max_age_s=max_age_s
+        )
         iterations += 1
         files += report.files_imported
         rows += report.rows_upserted

@@ -203,3 +203,82 @@ def test_run_tables_forever_multi_table(spark, tmp_path):
     for name, rep in reports.items():
         assert rep.stopped_by == "max_iterations", name
         assert rep.files_imported == 1, name
+
+
+def test_daemon_long_horizon_two_staleness_restarts(spark, tmp_path):
+    """W4/W5 rehearsal across TWO retention-horizon breaches: each cycle
+    the daemon (restarted as a fresh process — new pipeline over the
+    persisted ledger) detects stale state, re-imports from the NEWEST
+    full snapshot (lexicographic-max selection), skips windows the new
+    snapshot subsumes, and hands off to incrementals — after which the
+    ledger prefers the newest completed incremental as the resume point
+    (reference main.py:132-297)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    lake = str(tmp_path / "lake")
+    max_age = 100.0
+
+    def pipe():
+        # a NEW pipeline per phase = daemon process restart; the ledger
+        # reloads from the lake's jsonl
+        return ImportPipeline(spark, SPEC, src, lake, incremental_duration=10)
+
+    # ---- epoch 1: snapshot A + two incrementals --------------------------
+    _write_window(spark, src, 0, 100, [("a", 1, 2, _ts(50))], full=True)
+    _write_window(spark, src, 100, 110, [("b", 3, 4, _ts(105))])
+    _write_window(spark, src, 110, 120, [("c", 5, 6, _ts(115))])
+    clock = FakeClock(122.0, [])
+    p1 = pipe()
+    run_forever(p1, now_fn=clock.now, sleep_fn=clock.sleep,
+                max_iterations=1, max_age_s=max_age)
+    assert p1.ledger.resume_point() == 120
+
+    # windows published during the outage (the daemon is down; the new
+    # snapshot will subsume them — they must never be imported directly)
+    _write_window(spark, src, 120, 130, [("x", 90, 91, _ts(125))])
+
+    # ---- outage 1: now - 120 > max_age; snapshot B appears ---------------
+    _write_window(spark, src, 0, 1000, [("d", 7, 8, _ts(950)), ("b", 3, 4, _ts(105))], full=True)
+    _write_window(spark, src, 1000, 1010, [("e", 9, 10, _ts(1005))])
+
+    def publish_1010():
+        _write_window(spark, src, 1010, 1020, [("f", 11, 12, _ts(1015))])
+
+    clock = FakeClock(1012.0, [(1021.0, publish_1010)])
+    p2 = pipe()
+    run_forever(p2, now_fn=clock.now, sleep_fn=clock.sleep,
+                max_iterations=2, max_age_s=max_age)
+    # re-snapshot happened from B (not A), handoff to B's incrementals
+    assert p2.ledger.is_completed("nindexer-follows-0-1000.parquet")
+    assert p2.ledger.is_completed("nindexer-follows-1000-1010.parquet")
+    assert p2.ledger.is_completed("nindexer-follows-1010-1020.parquet")
+    # the outage window was subsumed by B, never imported on its own
+    assert not p2.ledger.is_completed("nindexer-follows-120-130.parquet")
+    # ledger prefers the newest completed INCREMENTAL over the full's end
+    assert p2.ledger.newest_full().end_timestamp == 1000
+    assert p2.ledger.resume_point() == 1020
+
+    # ---- outage 2: stale again; snapshot C appears -----------------------
+    _write_window(spark, src, 0, 2000, [("g", 13, 14, _ts(1950))], full=True)
+    _write_window(spark, src, 2000, 2010, [("h", 15, 16, _ts(2005))])
+    clock = FakeClock(2012.0, [])
+    p3 = pipe()
+    run_forever(p3, now_fn=clock.now, sleep_fn=clock.sleep,
+                max_iterations=1, max_age_s=max_age)
+    assert p3.ledger.is_completed("nindexer-follows-0-2000.parquet")
+    assert p3.ledger.newest_full().end_timestamp == 2000
+    assert p3.ledger.resume_point() == 2010
+
+    # every epoch's rows are in the sink (upserts are recency-guarded, so
+    # snapshot B re-stating row b did not regress it)
+    ids = {r.id for r in p3.sink.read().collect()}
+    assert {"a", "b", "c", "d", "e", "f", "g", "h"} <= ids
+
+    # a quiet restart with FRESH state (no staleness): no re-snapshot,
+    # resume from the newest completed incremental
+    clock = FakeClock(2014.0, [])
+    p4 = pipe()
+    r4 = run_forever(p4, now_fn=clock.now, sleep_fn=clock.sleep,
+                     max_iterations=1, max_age_s=max_age)
+    assert r4.files_imported == 0
+    assert p4.ledger.resume_point() == 2010
