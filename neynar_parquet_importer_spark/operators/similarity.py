@@ -258,13 +258,27 @@ def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     multiprobe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """LSH-pruned near-duplicate pairs: (id_a, id_b, cos_sim >= threshold).
+
+    ``n_planes=None`` (default) auto-scales the bucket space with the
+    corpus: ``max(8, ceil(log2(n / 16)))`` — the constant-occupancy rule.
+    A FIXED plane count is the classic hyperplane-LSH scaling trap: the
+    bucket space is 2^p, so at 10x the vectors the expected collisions
+    per bucket grow 10x and the candidate set grows ~quadratically (the
+    sf1 scaling study measured exponent 1.7 at p=8 before this rule).
+    Growing p with log2(n) keeps candidate density constant; recall for
+    genuine near-dups (cos >= ~0.9, per-plane agreement >= 0.93) stays
+    ~1 through the table-OR + multiprobe (e.g. p=12: per-table ~0.45,
+    4 tables x 1-probe union > 0.99). ``n_rows`` lets a caller that
+    already counted the corpus (the adaptive dispatcher) skip the extra
+    count job.
 
     The scale path for the exact all-pairs plan
     (plans.queries.embedding_near_dup_pairs): instead of O(n^2) compares,
@@ -288,6 +302,11 @@ def lsh_near_dup_pairs(
     64-term dot with precomputed norms."""
     from .dedup import _persist  # shared persist registry (release_cached)
 
+    if n_planes is None:
+        import math
+
+        n = n_rows if n_rows is not None else df.count()
+        n_planes = max(8, math.ceil(math.log2(max(n, 2) / 16)))
     masks = _hamming_ball_masks(n_planes, multiprobe_hamming)
     planes_all = [
         plane
@@ -420,7 +439,8 @@ def near_dup_pairs_adaptive(
     :func:`lsh_near_dup_pairs`). Tests pin that both regimes agree on
     planted-dup corpora by forcing each path.
     """
-    if df.count() <= exact_below:
+    n = df.count()
+    if n <= exact_below:
         # kernel already filters on raw >= threshold; round for the same
         # presentation contract as the LSH branch
         return exact_cosine_pairs_blocked(
@@ -432,6 +452,7 @@ def near_dup_pairs_adaptive(
         threshold=threshold,
         vec_col=vec_col,
         id_col=id_col,
+        n_rows=n,  # reuse the dispatch count for the auto-plane rule
         **lsh_kwargs,
     )
 

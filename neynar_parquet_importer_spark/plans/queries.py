@@ -1803,8 +1803,11 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup pairs (the scale path for
     embedding_near_dup_pairs; rows-only oracle — bucket membership depends
     on the engine's plane hashes). Candidate generation is multi-table
-    hyperplane LSH; the exact-cosine rerank guarantees precision 1, so the
-    only approximation is recall on borderline pairs (measured in
+    hyperplane LSH with the constant-occupancy auto-plane rule
+    (n_planes = max(8, log2(n/16)) — the sf1 scaling study measured
+    exponent 1.7 at a fixed 8 planes before the rule, ~sublinear after);
+    the exact-cosine rerank guarantees precision 1, so the only
+    approximation is recall on borderline pairs (measured in
     tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)

@@ -1,0 +1,332 @@
+"""Order-of-magnitude scaling study (sf0.1 -> sf1) for the dedup / ANN /
+corpus operator families.
+
+The driver ships testdata up to sf0.1 (documents: 5k rows, embeddings:
+2k vectors). This study synthesizes an sf1-scale corpus (10x rows) whose
+distributions are fit from sf0.1 itself — empirical token frequencies,
+token-count distribution, lang/source mix, the same planted exact/near
+dup rates, and per-label Gaussian embedding clusters fit from the real
+vectors — then measures each family query at both scales with bench.py's
+discipline (min of 2 passes, System.gc() between queries, loadavg
+stamped) and reports the scaling exponent
+``log10(t_sf1 / t_sf0.1)`` (1.0 = linear in corpus size; pair scans over
+10x docs may exceed 1 where the PAIR population, not the row count, is
+the true workload).
+
+Beyond timings, three scale claims from the operator docs are checked
+empirically at sf1:
+
+- **crossover**: at 20k vectors the exact blocked-BLAS pair scan must
+  still be at-or-under the forced multi-table LSH path's cost — i.e. the
+  ~1e5 exact-below threshold is not yet crossed an order of magnitude up;
+- **banding recall**: the MinHash->banding->est-filter->exact-rerank
+  pipeline at jaccard >= 0.8 must reproduce the capped all-pairs ground
+  truth (the Binom(64, 0.8) collision bound is corpus-size-free, so
+  recall must not decay with scale);
+- **fractional df-cap**: the >5%-of-corpus stop-shingle rule must name a
+  comparable FRACTION of shingle mass at both scales (an absolute cap
+  would silently stop capping at 10x).
+
+Writes BENCH_SCALING.json at the repo root (tracked — this is the
+recorded evidence) and a copy of the generated corpus under
+$SPARK_GRAFT_SF1_DIR (default /tmp/sf1, scratch).
+
+Usage: python scale_study.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+SF01 = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+SCALE = 10
+
+# the doc/embedding-family queries measured at both scales (every one
+# reads only the documents/embeddings tables)
+FAMILY_QUERIES = [
+    # text dedup family
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_allpairs",
+    "dedup_simhash",
+    "dedup_clusters",
+    # embedding / ANN family
+    "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
+    "embedding_dedup_clusters_lsh",
+    "embedding_near_dup_lsh",
+    "embedding_knn_join",
+    "embedding_semdedup",
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    # corpus analysis family
+    "doc_novelty",
+    "passage_dedup_docs",
+    "boilerplate_chunk_removal",
+    "text_substring_dup_stats",
+    "tfidf_top_terms",
+    "dsir_importance_weights",
+    "pack_training_sequences",
+    "contrastive_triplets",
+    "split_leakage_pairs",
+    "source_near_dup_matrix",
+]
+
+
+def generate_sf1(out_dir: str) -> None:
+    """Deterministic sf1 corpus fit from sf0.1's empirical distributions."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source FROM read_parquet('{SF01}/documents.parquet') ORDER BY doc_id"
+    ).fetch_df()
+    rng = np.random.RandomState(421)
+
+    # empirical token distribution + doc-length distribution
+    toks: list[str] = []
+    lengths: list[int] = []
+    for t in docs["text"]:
+        w = t.split()
+        lengths.append(len(w))
+        toks.extend(w)
+    vocab, counts = np.unique(toks, return_counts=True)
+    tok_p = counts / counts.sum()
+    lengths = np.array(lengths)
+    langs, lang_c = np.unique(docs["lang"], return_counts=True)
+    lang_p = lang_c / lang_c.sum()
+    n_sources = docs["source"].nunique()
+
+    n = len(docs) * SCALE
+    # planted duplicate structure at sf0.1's rates: ~0.16% exact copies,
+    # ~0.5% near copies (a few-token perturbation of a base doc)
+    n_exact = int(round(n * 0.0016))
+    n_near = int(round(n * 0.005))
+    n_base = n - n_exact - n_near
+
+    texts: list[str] = []
+    for i in range(n_base):
+        ln = int(rng.choice(lengths))
+        texts.append(" ".join(rng.choice(vocab, size=ln, p=tok_p)))
+    for i in range(n_exact):
+        texts.append(texts[rng.randint(0, n_base)])
+    for i in range(n_near):
+        base = texts[rng.randint(0, n_base)].split()
+        k = max(1, len(base) // 20)
+        for _ in range(k):  # perturb ~5% of tokens
+            base[rng.randint(0, len(base))] = str(rng.choice(vocab))
+        texts.append(" ".join(base))
+    order = rng.permutation(n)
+    texts = [texts[i] for i in order]
+    out = {
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(langs, size=n, p=lang_p),
+        "source": np.array([f"src{i}" for i in rng.randint(0, n_sources, size=n)]),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }
+    con.register("docs_out", __import__("pandas").DataFrame(out))
+    con.execute(
+        f"COPY docs_out TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    emb = con.execute(
+        f"SELECT vec_id, embedding, label FROM read_parquet('{SF01}/embeddings.parquet') ORDER BY vec_id"
+    ).fetch_df()
+    mat = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    m = len(emb) * SCALE
+    n_dup = int(round(m * 0.01))  # planted high-cos near-dups
+    rows_v: list[np.ndarray] = []
+    rows_l: list[int] = []
+    for lab in np.unique(labels):
+        sub = mat[labels == lab]
+        mu, sd = sub.mean(axis=0), sub.std(axis=0)
+        k = int(round(m * len(sub) / len(mat)))
+        rows_v.append(mu + sd * rng.randn(k, mat.shape[1]))
+        rows_l.extend([int(lab)] * k)
+    vecs = np.vstack(rows_v)[: m - n_dup]
+    labs = np.array(rows_l[: m - n_dup])
+    picks = rng.randint(0, len(vecs), size=n_dup)
+    dups = vecs[picks] + 0.02 * rng.randn(n_dup, vecs.shape[1])
+    vecs = np.vstack([vecs, dups])
+    labs = np.concatenate([labs, labs[picks]])
+    order = rng.permutation(len(vecs))
+    eout = __import__("pandas").DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [[float(x) for x in v] for v in vecs[order]],
+            "label": labs[order].astype(np.int64),
+        }
+    )
+    con.register("emb_out", eout)
+    con.execute(f"COPY emb_out TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict:
+    from neynar_parquet_importer_spark.operators.dedup import release_cached
+    from neynar_parquet_importer_spark.plans.queries import QUERIES
+
+    passes: dict[str, list[float]] = {n: [] for n in names}
+    loads: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(2):
+        for name in names:
+            release_cached()
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            loads[name].append(_load1())
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            passes[name].append(round(time.perf_counter() - t0, 3))
+    return {"passes": passes, "loadavg_1m": loads,
+            "timings": {n: min(ts) for n, ts in passes.items()}}
+
+
+def scale_checks(spark, sf1_dir: str) -> dict:
+    """The three empirical scale-claim checks at sf1 (see module doc)."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.operators import dedup as dd
+    from neynar_parquet_importer_spark.operators import similarity as sim
+    from neynar_parquet_importer_spark.plans.queries import _t
+
+    out: dict = {}
+    emb = _t(spark, sf1_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+
+    # crossover: exact vs forced-LSH wall time on the same 20k vectors
+    t0 = time.perf_counter()
+    n_exact = sim.exact_cosine_pairs_blocked(emb, 0.5).count()
+    t_exact = round(time.perf_counter() - t0, 3)
+    dd.release_cached()
+    t0 = time.perf_counter()
+    n_lsh = sim.lsh_near_dup_pairs(emb, dim, threshold=0.5).count()
+    t_lsh = round(time.perf_counter() - t0, 3)
+    dd.release_cached()
+    out["crossover"] = {
+        "n_vectors": emb.count(), "exact_sec": t_exact, "lsh_sec": t_lsh,
+        "exact_pairs": n_exact, "lsh_pairs": n_lsh,
+        "exact_still_cheaper": t_exact <= t_lsh,
+    }
+
+    # banding recall vs capped all-pairs ground truth at >= 0.8
+    docs = _t(spark, sf1_dir, "documents")
+    truth = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_shingle_df=0.05
+    ).select("id_a", "id_b")
+    hot = dd.hot_shingles(docs, 0.05, "text", "doc_id", 3)
+    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3, hot=hot)
+    cand = (
+        dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    rerank = dd.ngram_jaccard_pairs(docs, cand, "text", "doc_id", hot=hot).filter(
+        F.col("jaccard") >= 0.8
+    ).select("id_a", "id_b")
+    n_truth = truth.count()
+    n_hit = truth.join(rerank, ["id_a", "id_b"], "left_semi").count()
+    dd.release_cached()
+    out["banding_recall"] = {
+        "ground_truth_pairs": n_truth, "recovered": n_hit,
+        "recall": round(n_hit / n_truth, 4) if n_truth else None,
+    }
+
+    # fractional df-cap: share of shingle MASS capped at each scale. Two
+    # cap levels: the production 5% (names nothing on this boilerplate-
+    # free synthetic corpus — itself a meaningful result: the cap only
+    # fires on genuine hot mass) and a tight 0.2% that does fire, to
+    # verify the FRACTION of capped posting mass stays comparable across
+    # an order of magnitude (an absolute cap would collapse to 0 at 10x).
+    def cap_stats(sf_dir, frac):
+        d = _t(spark, sf_dir, "documents")
+        dist = (
+            dd._shingle_stream(d, "text", "doc_id", 3)
+            .select("id", F.xxhash64("shingle").alias("shingle"))
+            .distinct()
+        )
+        h = dd._hot_from_dist(dist, d, frac)
+        total = dist.count()
+        capped = dist.join(F.broadcast(h), "shingle", "left_semi").count()
+        dd.release_cached()
+        return {"hot_shingles": h.count(), "postings_total": total,
+                "postings_capped": capped,
+                "capped_mass_frac": round(capped / total, 4)}
+
+    out["df_cap"] = {
+        f"cap_{frac}": {"sf0.1": cap_stats(SF01, frac),
+                        "sf1": cap_stats(sf1_dir, frac)}
+        for frac in (0.05, 0.002)
+    }
+    return out
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+        print("generating sf1 corpus ...", flush=True)
+        generate_sf1(SF1_DIR)
+
+    from neynar_parquet_importer_spark.plans.queries import QUERIES  # noqa: F401
+    from neynar_parquet_importer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-study",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup at the small sf (same discipline as bench.py)
+    for name in FAMILY_QUERIES:
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.01").count()
+        except Exception:
+            pass
+    from neynar_parquet_importer_spark.operators.dedup import release_cached
+
+    release_cached()
+    spark.catalog.clearCache()
+
+    r01 = time_queries(spark, SF01, FAMILY_QUERIES)
+    r1 = time_queries(spark, SF1_DIR, FAMILY_QUERIES)
+    checks = scale_checks(spark, SF1_DIR)
+
+    import math
+
+    exponents = {}
+    for n in FAMILY_QUERIES:
+        a, b = r01["timings"][n], r1["timings"][n]
+        exponents[n] = round(math.log10(max(b, 1e-3) / max(a, 1e-3)), 2)
+    payload = {
+        "sf0.1": r01, "sf1": r1,
+        "scaling_exponent_log10": exponents,
+        "checks": checks,
+        "corpus": {"sf0.1": {"documents": 5000, "embeddings": 2000},
+                   "sf1": {"documents": 50000, "embeddings": 20000}},
+        "run_at": time.strftime("%Y%m%dT%H%M%S"),
+    }
+    with open("BENCH_SCALING.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"exponents": exponents, "checks": checks}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
