@@ -145,6 +145,12 @@ def main() -> None:
         if only
         else BENCH_QUERIES
     )
+    # fail fast on a typo'd subset BEFORE paying Spark startup + warmup
+    # (the warmup's bare except would otherwise swallow the KeyError and
+    # the timed loop would die mid-run with no JSON line)
+    unknown = [n for n in bench_queries if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {', '.join(unknown)}")
     # showConsoleProgress is read at SparkContext init: pass it through
     # the builder so progress bars never interleave with the JSON line
     spark = get_spark(

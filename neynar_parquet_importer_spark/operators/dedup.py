@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,18 +29,45 @@ from pyspark.sql import functions as F
 # the signature aggregation runs once per join side — but a long-lived
 # session must be able to release the blocks: call ``release_cached()``
 # after consuming a near-dup result (bench and tests do).
-_CACHED: list[DataFrame] = []
+#
+# The registries are THREAD-LOCAL: driver-side concurrency in this repo is
+# thread-per-pipeline (daemon.run_tables_forever, parallel streaming
+# folds), and a shared list would let one pipeline's cleanup unpersist —
+# or worse, release the truncated-lineage checkpoints of — another
+# pipeline's in-flight frames. Each thread releases exactly what it
+# created; frames belonging to a finished thread are reclaimed by the
+# ContextCleaner when the frames are garbage collected.
+_TLS = threading.local()
+
+
+def _cached() -> list[DataFrame]:
+    """This thread's persisted-frame registry."""
+    try:
+        return _TLS.cached
+    except AttributeError:
+        _TLS.cached = []
+        return _TLS.cached
+
+
+def _ckpts() -> list[DataFrame]:
+    """This thread's localCheckpoint registry."""
+    try:
+        return _TLS.ckpts
+    except AttributeError:
+        _TLS.ckpts = []
+        return _TLS.ckpts
 
 
 def _persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _CACHED.append(df)
+    _cached().append(df)
     return df
 
 
 def release_cached() -> None:
-    """Unpersist every signature frame cached by this module's operators,
-    and free any checkpointed iteration states still held.
+    """Unpersist every signature frame cached by THIS THREAD's operators,
+    and free any checkpointed iteration states it still holds (the
+    registries are thread-local — see module notes).
 
     INVALIDATION contract: persisted frames survive release (they
     silently recompute from lineage on next use), but localCheckpoint-
@@ -48,10 +77,11 @@ def release_cached() -> None:
     'checkpoint block not found' instead of recomputing. Consume (or
     copy out, e.g. write/collect) clustering results before calling
     this; it is a between-queries reset, not a mid-query cache trim."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
-    while _CKPTS:
-        _release_ckpt(_CKPTS[-1])
+    cached, ckpts = _cached(), _ckpts()
+    while cached:
+        cached.pop().unpersist()
+    while ckpts:
+        _release_ckpt(ckpts[-1])
 
 
 def _unpersist(df: DataFrame) -> None:
@@ -60,15 +90,15 @@ def _unpersist(df: DataFrame) -> None:
     from double-unpersisting."""
     df.unpersist()
     try:
-        _CACHED.remove(df)
+        _cached().remove(df)
     except ValueError:
         pass
 
 
-# localCheckpoint()ed frames (iteration states with truncated lineage).
-# Their storage lives at the RDD layer, not the CacheManager, so release
-# goes through the checkpointed plan's RDD handle.
-_CKPTS: list[DataFrame] = []
+# localCheckpoint()ed frames (iteration states with truncated lineage)
+# live in _ckpts(): their storage is at the RDD layer, not the
+# CacheManager, so release goes through the checkpointed plan's RDD
+# handle (_release_ckpt).
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -78,7 +108,7 @@ def _ckpt(df: DataFrame) -> DataFrame:
     subtree appears twice), so by ~14 rounds analysis alone OOMs the
     driver; persist() caches execution but does NOT truncate the plan."""
     out = df.localCheckpoint(eager=True)
-    _CKPTS.append(out)
+    _ckpts().append(out)
     return out
 
 
@@ -90,7 +120,7 @@ def _release_ckpt(df: DataFrame) -> None:
     except Exception:
         pass
     try:
-        _CKPTS.remove(df)
+        _ckpts().remove(df)
     except ValueError:
         pass
 

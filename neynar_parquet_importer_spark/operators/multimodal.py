@@ -89,11 +89,12 @@ def _decode_real(payload: bytes) -> list[float]:
     means = arr.mean(axis=(0, 1))
     stds = arr.std(axis=(0, 1))
     aspect = img.width / max(img.height, 1)
+    n_pixels = arr.shape[0] * arr.shape[1]  # pixels, not pixel*channel
     return [
         *(float(x) for x in means),
         *(float(x) for x in stds),
         float(aspect),
-        float(min(1.0, arr.size / 1e6)),
+        float(min(1.0, n_pixels / 1e6)),
     ]
 
 

@@ -254,12 +254,34 @@ def _multitable_bucket_udf(planes_all, n_planes: int, n_tables: int):
     return buckets
 
 
+def _tables_for_recall(
+    n_planes: int,
+    multiprobe_hamming: int,
+    design_cos: float = 0.9,
+    target_recall: float = 0.98,
+) -> int:
+    """Table count keeping union recall >= ``target_recall`` for pairs at
+    the ``design_cos`` point, given the plane count and multiprobe
+    radius (see :func:`lsh_near_dup_pairs`). Pure closed-form binomial
+    arithmetic — evaluated once at plan-build time on the driver."""
+    import math
+
+    q = 1.0 - math.acos(design_cos) / math.pi
+    p_table = sum(
+        math.comb(n_planes, k) * q ** (n_planes - k) * (1.0 - q) ** k
+        for k in range(min(multiprobe_hamming, n_planes) + 1)
+    )
+    if p_table >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.5,
     n_planes: int | None = None,
-    n_tables: int = 4,
+    n_tables: int | None = None,
     multiprobe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -273,12 +295,22 @@ def lsh_near_dup_pairs(
     bucket space is 2^p, so at 10x the vectors the expected collisions
     per bucket grow 10x and the candidate set grows ~quadratically (the
     sf1 scaling study measured exponent 1.7 at p=8 before this rule).
-    Growing p with log2(n) keeps candidate density constant; recall for
-    genuine near-dups (cos >= ~0.9, per-plane agreement >= 0.93) stays
-    ~1 through the table-OR + multiprobe (e.g. p=12: per-table ~0.45,
-    4 tables x 1-probe union > 0.99). ``n_rows`` lets a caller that
-    already counted the corpus (the adaptive dispatcher) skip the extra
-    count job.
+
+    Growing p alone trades that cost for silent recall decay, so
+    ``n_tables=None`` (default) pairs it with the matching table rule:
+    per-plane agreement for the design point cos 0.9 is
+    ``q = 1 - acos(0.9)/pi ~= 0.856``; a table of p planes with
+    multiprobe radius r collides with probability
+    ``P = sum_{k<=r} C(p,k) q^(p-k) (1-q)^k``, and the table count is
+    chosen so the OR over tables clears recall 0.98 at the design point:
+    ``L = ceil(ln(1-0.98)/ln(1-P))`` (p=8 -> L=4, the historical
+    default; p=11 -> 6; p=16 -> 11). L growing with p IS hyperplane
+    LSH's honest cost for fixed recall (the classic n^rho table growth)
+    — the adaptive dispatcher exists because below ~1e5 vectors exact
+    BLAS beats paying it at all. Genuine planted dups sit above the
+    design point (cos 0.98 -> q ~= 0.936 -> recall >= 0.999). ``n_rows``
+    lets a caller that already counted the corpus (the adaptive
+    dispatcher) skip the extra count job.
 
     The scale path for the exact all-pairs plan
     (plans.queries.embedding_near_dup_pairs): instead of O(n^2) compares,
@@ -286,11 +318,9 @@ def lsh_near_dup_pairs(
     only pairs colliding in some table (within ``multiprobe_hamming`` bits,
     probed by XOR-expanding the LEFT side only so each colliding pair is
     emitted once per table, not probe^2 times) are reranked with the exact
-    cosine. Recall is the OR over tables: for cos >= 0.9 pairs, 4 tables x
-    8 planes x 1-probe gives ~1-1e-5 recall; borderline pairs (cos ~
-    threshold) are where the approximation spends its error budget
-    (tests/test_operators.py measures planted-dup recall and containment
-    vs the exact plan).
+    cosine. Borderline pairs (cos ~ threshold) are where the approximation
+    spends its error budget (tests/test_operators.py measures planted-dup
+    recall and containment vs the exact plan).
 
     Execution shape: all n_tables*n_planes plane dots are ONE numpy
     matrix product inside an Arrow-batched pandas UDF — a literal-weight
@@ -307,6 +337,8 @@ def lsh_near_dup_pairs(
 
         n = n_rows if n_rows is not None else df.count()
         n_planes = max(8, math.ceil(math.log2(max(n, 2) / 16)))
+    if n_tables is None:
+        n_tables = _tables_for_recall(n_planes, multiprobe_hamming)
     masks = _hamming_ball_masks(n_planes, multiprobe_hamming)
     planes_all = [
         plane

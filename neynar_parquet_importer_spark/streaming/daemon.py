@@ -50,7 +50,7 @@ def run_forever(
     sleep_fn=time.sleep,
     max_iterations: int | None = None,
     exit_after_max_wait: bool = False,
-    max_age_s: float = 21 * 24 * 3600,
+    max_age_s: float | None = None,
 ) -> DaemonReport:
     """The per-table daemon loop.
 
@@ -65,7 +65,9 @@ def run_forever(
     Clock and sleep are injectable so tests drive publication schedules
     deterministically (including out-of-order arrivals). ``max_age_s`` is
     the W4 retention horizon handed to every catch-up: state older than
-    it triggers a fresh-snapshot restart (reference main.py:157-169).
+    it triggers a fresh-snapshot restart (reference main.py:157-169);
+    None defers to ``run_catchup``'s default so the 21-day figure has a
+    single source of truth.
     """
     iterations = files = rows = 0
     stopped_by = "max_iterations"
@@ -75,8 +77,9 @@ def run_forever(
             break
         now = now_fn()
         end = int(now) // pipe.duration * pipe.duration
+        extra = {} if max_age_s is None else {"max_age_s": max_age_s}
         report: ImportReport = pipe.run_catchup(
-            end_timestamp=end, now=now, max_age_s=max_age_s
+            end_timestamp=end, now=now, **extra
         )
         iterations += 1
         files += report.files_imported

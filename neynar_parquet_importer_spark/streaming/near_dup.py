@@ -38,7 +38,7 @@ Jaccard via ``ngram_jaccard_pairs``) can be layered on the emitted
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as _dedup
@@ -86,7 +86,6 @@ def _sig_agreement(a: str, b: str):
 
 
 def near_dup_fold_batch(
-    spark: SparkSession,
     sig_sink,
     bucket_sink,
     batch: DataFrame,
@@ -121,10 +120,12 @@ def near_dup_fold_batch(
     checkpoint blocks are reclaimed by Spark's ContextCleaner once the
     caller drops the reference.
     """
-    # mark the module cache registries so everything THIS fold pins can be
-    # released on exit without touching frames the caller already holds
-    cache_mark = len(_dedup._CACHED)
-    ckpt_mark = len(_dedup._CKPTS)
+    # mark this THREAD's cache registries so everything THIS fold pins
+    # can be released on exit without touching frames the caller already
+    # holds (the registries are thread-local, so concurrent folds in
+    # other pipeline threads are untouched by construction)
+    cache_mark = len(_dedup._cached())
+    ckpt_mark = len(_dedup._ckpts())
     sigs = _persist(
         minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
     )
@@ -218,8 +219,8 @@ def near_dup_fold_batch(
     # caches, component states): the verdict checkpoint no longer depends
     # on any of them, and a long-running stream must not accumulate one
     # cached signature frame per micro-batch
-    while len(_dedup._CACHED) > cache_mark:
-        _dedup._CACHED.pop().unpersist()
-    while len(_dedup._CKPTS) > ckpt_mark:
-        _dedup._release_ckpt(_dedup._CKPTS[-1])
+    while len(_dedup._cached()) > cache_mark:
+        _dedup._cached().pop().unpersist()
+    while len(_dedup._ckpts()) > ckpt_mark:
+        _dedup._release_ckpt(_dedup._ckpts()[-1])
     return verdict

@@ -173,6 +173,12 @@ def generate_sf1(out_dir: str) -> None:
     con.close()
 
 
+def _rows(parquet_path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(parquet_path).metadata.num_rows
+
+
 def _load1() -> float:
     try:
         with open("/proc/loadavg") as f:
@@ -318,8 +324,14 @@ def main() -> None:
         "sf0.1": r01, "sf1": r1,
         "scaling_exponent_log10": exponents,
         "checks": checks,
-        "corpus": {"sf0.1": {"documents": 5000, "embeddings": 2000},
-                   "sf1": {"documents": 50000, "embeddings": 20000}},
+        # measured, not asserted: generate_sf1's per-label rounding can
+        # drift the embedding total by a few rows
+        "corpus": {
+            "sf0.1": {"documents": _rows(f"{SF01}/documents.parquet"),
+                      "embeddings": _rows(f"{SF01}/embeddings.parquet")},
+            "sf1": {"documents": _rows(f"{SF1_DIR}/documents.parquet"),
+                    "embeddings": _rows(f"{SF1_DIR}/embeddings.parquet")},
+        },
         "run_at": time.strftime("%Y%m%dT%H%M%S"),
     }
     with open("BENCH_SCALING.json", "w") as f:

@@ -35,7 +35,7 @@ _G = {
 
 def _fold(spark, sinks, rows, epoch, **kw):
     batch = spark.createDataFrame(rows, DOC_SCHEMA)
-    out = near_dup_fold_batch(spark, sinks[0], sinks[1], batch, epoch, **kw)
+    out = near_dup_fold_batch(sinks[0], sinks[1], batch, epoch, **kw)
     verdicts = {r["id"]: (r["is_dup"], r["dup_of"]) for r in out.collect()}
     release_cached()
     return verdicts
@@ -159,7 +159,7 @@ def test_fold_is_distributed_and_releases_caches(spark, tmp_path):
     # seed state so the state-probe branch (the expensive path) runs too
     _fold(spark, sinks, [(1, _doc(_G["a"]))], epoch=1)
 
-    n_cached, n_ckpt = len(dmod._CACHED), len(dmod._CKPTS)
+    n_cached, n_ckpt = len(dmod._cached()), len(dmod._ckpts())
     batch = spark.createDataFrame(
         [(2, _doc(_G["a"], "tail")), (3, _doc(_G["b"]))], DOC_SCHEMA
     )
@@ -169,9 +169,9 @@ def test_fold_is_distributed_and_releases_caches(spark, tmp_path):
         "collect",
         side_effect=AssertionError("driver collect inside fold"),
     ):
-        out = near_dup_fold_batch(spark, sinks[0], sinks[1], batch, epoch=2)
+        out = near_dup_fold_batch(sinks[0], sinks[1], batch, epoch=2)
     # fold-local caches all released, registries restored
-    assert (len(dmod._CACHED), len(dmod._CKPTS)) == (n_cached, n_ckpt)
+    assert (len(dmod._cached()), len(dmod._ckpts())) == (n_cached, n_ckpt)
     # verdict is a checkpoint leaf (materialized, lineage truncated) ...
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
