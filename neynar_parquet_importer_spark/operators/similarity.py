@@ -136,10 +136,22 @@ def ivf_centroids(
     driver and shipping centroids as literals is the standard IVF build;
     at 100 TB the sample is still a single small collect and the expensive
     part (assignment) stays fully distributed."""
+    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    return spherical_kmeans_core(
+        [r[0] for r in rows], n_centroids, iters, seed
+    )
+
+
+def spherical_kmeans_core(
+    vectors, n_centroids: int = 16, iters: int = 8, seed: int = 42
+) -> list[list[float]]:
+    """The numpy spherical-k-means shared by the Spark trainer and the
+    oracle generators (which replay training on the same sample fetched
+    outside Spark — one code path, so the centroid floats are bitwise
+    identical)."""
     import numpy as np
 
-    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array(vectors, dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms
@@ -887,10 +899,18 @@ def pq_codebooks(
     the expensive part, encoding the corpus, stays fully distributed).
     Vectors are unit-normalized first so PQ L2 distance is monotone in
     cosine. Returns ``codebooks[s][c] = centroid c of subspace s``."""
+    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    return pq_codebooks_core([r[0] for r in rows], n_sub, n_centroids, iters, seed)
+
+
+def pq_codebooks_core(
+    vectors, n_sub: int = 8, n_centroids: int = 16, iters: int = 8, seed: int = 42
+) -> list[list[list[float]]]:
+    """The numpy per-subspace k-means shared by the Spark trainer and the
+    oracle generators (same rationale as :func:`spherical_kmeans_core`)."""
     import numpy as np
 
-    rows = df.orderBy(id_col).limit(sample_size).select(vec_col).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array(vectors, dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms

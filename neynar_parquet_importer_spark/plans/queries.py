@@ -4198,3 +4198,277 @@ ORACLE_SQL["embedding_semdedup"] = """
     FROM reach
     GROUP BY src
 """
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """Generated oracle for embedding_lsh_topk: the hyperplanes are a pure
+    seeded function (make_planes' LCG), so they embed as DOUBLE[] literals
+    and DuckDB replays the exact bucketing — sign of the same left-to-right
+    dot product — the multiprobe hamming filter, and the pruned top-k.
+    Built for the sf0.01 gate's dim=64 corpus (the literal planes must
+    match the dim the engine derives at runtime)."""
+    planes = sim.make_planes(64, 8)
+    values = ",\n            ".join(
+        f"({i}, {planes[i]!r}::DOUBLE[])" for i in range(len(planes))
+    )
+    return f"""
+        WITH planes(pid, plane) AS (VALUES
+            {values}
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), b AS (
+            SELECT e.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                                 THEN CAST(pow(2, p.pid) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM e CROSS JOIN planes p
+            GROUP BY e.vec_id
+        ), q AS (
+            SELECT e.v AS qv, b.bucket AS qb
+            FROM e JOIN b USING (vec_id) WHERE e.vec_id = 0
+        )
+        SELECT vec_id, round(cos_raw, 6) AS cos_sim
+        FROM (
+            SELECT c.vec_id,
+                   CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS cos_raw
+            FROM (
+                SELECT e.vec_id,
+                       list_dot_product(e.v, q.qv) AS num,
+                       sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv)) AS den
+                FROM e JOIN b USING (vec_id) CROSS JOIN q
+                WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+            ) c
+        )
+        ORDER BY cos_raw DESC, vec_id
+        LIMIT 20
+    """
+
+
+ORACLE_SQL["embedding_lsh_topk"] = _lsh_topk_oracle_sql()
+
+
+def _oracle_embeddings(sf_dir: str, where: str = "", limit: int | None = None):
+    """Fetch ``sf_dir``'s embedding vectors OUTSIDE Spark in the exact
+    order the Spark trainers sample them (ORDER BY vec_id), for oracle
+    generation — the trained-artifact twins must replay training on the
+    same corpus the oracle SQL will be executed against."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = (
+        "SELECT embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"{where} ORDER BY vec_id"
+    )
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _ivf_topk_oracle_sql(sf_dir: str) -> str:
+    """Generated oracle for embedding_ivf_topk: the coarse quantizer is a
+    deterministic function of the corpus sample (spherical_kmeans_core —
+    the SAME numpy code path the Spark query trains with, so the centroid
+    floats are bitwise identical) and embeds as DOUBLE[] literals; DuckDB
+    then replays assignment (argmax dot, ties to the higher cid — the
+    engine's array_max-over-structs rule), the nprobe=6 probe selection,
+    and the pruned top-k."""
+    cents = sim.spherical_kmeans_core(_oracle_embeddings(sf_dir, limit=2048), 16)
+    values = ",\n            ".join(
+        f"({i}, {cents[i]!r}::DOUBLE[])" for i in range(len(cents))
+    )
+    return f"""
+        WITH cents(cid, c) AS (VALUES
+            {values}
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT v AS qv FROM e WHERE vec_id = 0
+        ), probe AS (
+            SELECT cid FROM cents CROSS JOIN q
+            ORDER BY list_dot_product(c, q.qv) DESC, cid DESC LIMIT 6
+        ), assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, cents.c) DESC,
+                                    cents.cid DESC) AS rn
+                FROM e CROSS JOIN cents
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, round(cos_raw, 6) AS cos_sim
+        FROM (
+            SELECT s.vec_id,
+                   CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS cos_raw
+            FROM (
+                SELECT e.vec_id,
+                       list_dot_product(e.v, q.qv) AS num,
+                       sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv)) AS den
+                FROM e
+                JOIN assigned USING (vec_id)
+                CROSS JOIN q
+                WHERE assigned.cid IN (SELECT cid FROM probe)
+            ) s
+        )
+        ORDER BY cos_raw DESC, vec_id
+        LIMIT 20
+    """
+
+
+def _pq_topk_oracle_sql(sf_dir: str) -> str:
+    """Generated oracle for embedding_pq_topk: codebooks replay through
+    pq_codebooks_core (bitwise-identical floats), the query's ADC
+    distance TABLE is computed with the same Python arithmetic pq_topk
+    uses and embedded as literals, per-row codes are recomputed in SQL
+    (normalized subvector, L2-argmin with numpy's first-index tie rule
+    -> ORDER BY dist, cid), and the row distance is the same left-
+    associated chain of 8 table lookups."""
+    import math
+
+    books = sim.pq_codebooks_core(_oracle_embeddings(sf_dir, limit=2048), 8, 16)
+    qvec = _oracle_embeddings(sf_dir, where="WHERE vec_id = 0")[0]
+    n_sub, sub = len(books), len(books[0][0])
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    q = [x / qn for x in qvec]
+    dtable = [
+        [
+            sum((q[s * sub + j] - c[j]) ** 2 for j in range(sub))
+            for c in books[s]
+        ]
+        for s in range(n_sub)
+    ]
+    book_vals = ",\n            ".join(
+        f"({s}, {c}, {books[s][c]!r}::DOUBLE[])"
+        for s in range(n_sub)
+        for c in range(len(books[s]))
+    )
+    dt_vals = ",\n            ".join(
+        f"({s}, {c}, {dtable[s][c]!r})"
+        for s in range(n_sub)
+        for c in range(len(dtable[s]))
+    )
+    dist_expr = " + ".join(
+        f"(SELECT d FROM dt WHERE dt.s = {s} AND dt.cid = codes.c{s})"
+        for s in range(n_sub)
+    )
+    code_cols = ",\n                   ".join(
+        f"max(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(n_sub)
+    )
+    return f"""
+        WITH books(s, cid, c) AS (VALUES
+            {book_vals}
+        ), dt(s, cid, d) AS (VALUES
+            {dt_vals}
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), n AS (
+            SELECT vec_id,
+                   CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                        ELSE v END AS u
+            FROM (SELECT vec_id, v,
+                         sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        ), assigned AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT n.vec_id, b.s, b.cid,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id, b.s
+                           ORDER BY list_distance(
+                               list_slice(n.u, b.s * {sub} + 1,
+                                          b.s * {sub} + {sub}), b.c),
+                                    b.cid) AS rn
+                FROM n CROSS JOIN books b
+            ) WHERE rn = 1
+        ), codes AS (
+            SELECT vec_id,
+                   {code_cols}
+            FROM assigned GROUP BY vec_id
+        )
+        SELECT vec_id, round(1.0 - ({dist_expr}) / 2.0, 6) AS approx_cos
+        FROM codes
+        ORDER BY approx_cos DESC, vec_id
+        LIMIT 20
+    """
+
+
+def _lsh_pairs_oracle_sql(sf_dir: str) -> str:
+    """Generated oracle for embedding_near_dup_lsh — the last formerly
+    rows-only probe: every ingredient of the multi-table hyperplane LSH
+    pipeline is a deterministic seeded function, so DuckDB replays it
+    whole. Plane matrices (make_planes LCG, per-table seeds) embed as
+    literals; a pair is a candidate iff SOME table puts the two bucket
+    codes within the multiprobe hamming radius (the engine's left-XOR
+    expansion is exactly that predicate); candidates rerank by exact
+    cosine >= threshold after the same round-to-4. The auto plane/table
+    rules are replayed from the corpus row count."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_planes = max(8, math.ceil(math.log2(max(n, 2) / 16)))
+    n_tables = sim._tables_for_recall(n_planes, 1)
+    dim = len(_oracle_embeddings(sf_dir, limit=1)[0])
+    plane_vals = ",\n            ".join(
+        f"({t}, {i}, {sim.make_planes(dim, n_planes, seed=1009 + 7919 * t)[i]!r}::DOUBLE[])"
+        for t in range(n_tables)
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH planes(t, pid, plane) AS (VALUES
+            {plane_vals}
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), b AS (
+            SELECT e.vec_id, p.t,
+                   CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                                 THEN CAST(pow(2, p.pid) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.t
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM b a JOIN b c
+              ON a.t = c.t AND a.vec_id < c.vec_id
+            WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
+        )
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT s.id_a, s.id_b,
+                   round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END,
+                         4) AS cos_sim
+            FROM (
+                SELECT cand.id_a, cand.id_b,
+                       list_dot_product(ea.v, eb.v) AS num,
+                       sqrt(list_dot_product(ea.v, ea.v))
+                         * sqrt(list_dot_product(eb.v, eb.v)) AS den
+                FROM cand
+                JOIN e ea ON ea.vec_id = cand.id_a
+                JOIN e eb ON eb.vec_id = cand.id_b
+            ) s
+        )
+        WHERE cos_sim >= 0.5
+    """
+
+
+_ARTIFACT_ORACLE_CACHE: dict[tuple, dict[str, str]] = {}
+
+
+def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL for the queries whose twins embed TRAINED artifacts
+    (IVF centroids, PQ codebooks): the artifacts are deterministic
+    functions of the corpus, so the SQL must be generated for the corpus
+    it will run against. Consumers merge this over ORACLE_SQL with the
+    sf_dir their gate uses (__spark_entry__ pins the driver's sf0.01;
+    tests/test_queries_oracle passes its own)."""
+    key = (_emb_cache_key(sf_dir),)
+    if key not in _ARTIFACT_ORACLE_CACHE:
+        _ARTIFACT_ORACLE_CACHE[key] = {
+            "embedding_ivf_topk": _ivf_topk_oracle_sql(sf_dir),
+            "embedding_pq_topk": _pq_topk_oracle_sql(sf_dir),
+            "embedding_near_dup_lsh": _lsh_pairs_oracle_sql(sf_dir),
+        }
+    return _ARTIFACT_ORACLE_CACHE[key]

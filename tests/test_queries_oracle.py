@@ -12,11 +12,18 @@ import duckdb
 import pytest
 
 from neynar_parquet_importer_spark.catalog import TESTDATA_TABLE_NAMES
-from neynar_parquet_importer_spark.plans.queries import ORACLE_SQL, QUERIES
+from neynar_parquet_importer_spark.plans.queries import (
+    ORACLE_SQL as _STATIC_ORACLE_SQL,
+    QUERIES,
+    build_artifact_oracles,
+)
 
 import os
 
 SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# the trained-artifact twins (IVF/PQ) are corpus-specific: generate them
+# for the sf this harness runs at
+ORACLE_SQL = {**_STATIC_ORACLE_SQL, **build_artifact_oracles(SF)}
 
 
 @pytest.fixture(scope="module")
