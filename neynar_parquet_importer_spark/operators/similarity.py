@@ -266,6 +266,38 @@ def _multitable_bucket_udf(planes_all, n_planes: int, n_tables: int):
     return buckets
 
 
+def planes_for_corpus(n_rows: int) -> int:
+    """The constant-occupancy auto-plane rule, shared by the engine and
+    the oracle generators so the two can never drift:
+    ``max(8, ceil(log2(n / 16)))``."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(n_rows, 2) / 16)))
+
+
+def pq_adc_table(
+    query_vec: Sequence[float],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+) -> list[list[float]]:
+    """The ADC distance table (normalized query -> squared L2 to every
+    codebook centroid per subspace) — ONE arithmetic path shared by
+    :func:`pq_topk` and its oracle generator, so the embedded literal
+    floats are the engine's exact values by construction."""
+    import math
+
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    q = [float(x) / qn for x in query_vec]
+    return [
+        [
+            sum((q[s * sub + j] - c[j]) ** 2 for j in range(sub))
+            for c in codebooks[s]
+        ]
+        for s in range(n_sub)
+    ]
+
+
 def _tables_for_recall(
     n_planes: int,
     multiprobe_hamming: int,
@@ -345,10 +377,8 @@ def lsh_near_dup_pairs(
     from .dedup import _persist  # shared persist registry (release_cached)
 
     if n_planes is None:
-        import math
-
         n = n_rows if n_rows is not None else df.count()
-        n_planes = max(8, math.ceil(math.log2(max(n, 2) / 16)))
+        n_planes = planes_for_corpus(n)
     if n_tables is None:
         n_tables = _tables_for_recall(n_planes, multiprobe_hamming)
     masks = _hamming_ball_masks(n_planes, multiprobe_hamming)
@@ -991,21 +1021,11 @@ def pq_topk(
     score is reported as approx_cos = 1 - d/2. TakeOrderedAndProject as
     everywhere else."""
     import json
-    import math as _math
 
     if codebooks is None:
         codebooks = pq_codebooks(df, n_sub=n_sub, vec_col=vec_col, id_col=id_col)
     n_sub = len(codebooks)
-    sub = len(codebooks[0][0])
-    qn = _math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-    q = [float(x) / qn for x in query_vec]
-    dtable = [
-        [
-            sum((q[s * sub + j] - c[j]) ** 2 for j in range(sub))
-            for c in codebooks[s]
-        ]
-        for s in range(n_sub)
-    ]
+    dtable = pq_adc_table(query_vec, codebooks)
     packed_dt = F.from_json(F.lit(json.dumps(dtable)), "array<array<double>>")
     coded = pq_assign_frame(df, codebooks, vec_col, id_col).withColumn(
         "__dt", packed_dt

@@ -719,6 +719,8 @@ def reset_corpus_caches() -> None:
     _EMB_DIM_CACHE.clear()
     _IVF_CENTROID_CACHE.clear()
     _PQ_CODEBOOK_CACHE.clear()
+    _HOT_SHINGLE_CACHE.clear()
+    _ARTIFACT_ORACLE_CACHE.clear()
 
 
 def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
@@ -4200,14 +4202,15 @@ ORACLE_SQL["embedding_semdedup"] = """
 """
 
 
-def _lsh_topk_oracle_sql() -> str:
+def _lsh_topk_oracle_sql(sf_dir: str) -> str:
     """Generated oracle for embedding_lsh_topk: the hyperplanes are a pure
     seeded function (make_planes' LCG), so they embed as DOUBLE[] literals
     and DuckDB replays the exact bucketing — sign of the same left-to-right
     dot product — the multiprobe hamming filter, and the pruned top-k.
-    Built for the sf0.01 gate's dim=64 corpus (the literal planes must
+    The plane width is read from the corpus (the literal planes must
     match the dim the engine derives at runtime)."""
-    planes = sim.make_planes(64, 8)
+    dim = len(_oracle_embeddings(sf_dir, limit=1)[0])
+    planes = sim.make_planes(dim, 8)
     values = ",\n            ".join(
         f"({i}, {planes[i]!r}::DOUBLE[])" for i in range(len(planes))
     )
@@ -4243,9 +4246,6 @@ def _lsh_topk_oracle_sql() -> str:
         ORDER BY cos_raw DESC, vec_id
         LIMIT 20
     """
-
-
-ORACLE_SQL["embedding_lsh_topk"] = _lsh_topk_oracle_sql()
 
 
 def _oracle_embeddings(sf_dir: str, where: str = "", limit: int | None = None):
@@ -4328,20 +4328,12 @@ def _pq_topk_oracle_sql(sf_dir: str) -> str:
     (normalized subvector, L2-argmin with numpy's first-index tie rule
     -> ORDER BY dist, cid), and the row distance is the same left-
     associated chain of 8 table lookups."""
-    import math
-
     books = sim.pq_codebooks_core(_oracle_embeddings(sf_dir, limit=2048), 8, 16)
     qvec = _oracle_embeddings(sf_dir, where="WHERE vec_id = 0")[0]
     n_sub, sub = len(books), len(books[0][0])
-    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
-    q = [x / qn for x in qvec]
-    dtable = [
-        [
-            sum((q[s * sub + j] - c[j]) ** 2 for j in range(sub))
-            for c in books[s]
-        ]
-        for s in range(n_sub)
-    ]
+    # ONE shared arithmetic path with pq_topk: the embedded table floats
+    # are the engine's exact values by construction
+    dtable = sim.pq_adc_table(qvec, books)
     book_vals = ",\n            ".join(
         f"({s}, {c}, {books[s][c]!r}::DOUBLE[])"
         for s in range(n_sub)
@@ -4405,16 +4397,19 @@ def _lsh_pairs_oracle_sql(sf_dir: str) -> str:
     expansion is exactly that predicate); candidates rerank by exact
     cosine >= threshold after the same round-to-4. The auto plane/table
     rules are replayed from the corpus row count."""
-    import math
-
     import pyarrow.parquet as pq
 
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    n_planes = max(8, math.ceil(math.log2(max(n, 2) / 16)))
+    # the SAME auto rules the engine applies (shared helpers — no drift)
+    n_planes = sim.planes_for_corpus(n)
     n_tables = sim._tables_for_recall(n_planes, 1)
     dim = len(_oracle_embeddings(sf_dir, limit=1)[0])
+    tables = [
+        sim.make_planes(dim, n_planes, seed=1009 + 7919 * t)
+        for t in range(n_tables)
+    ]
     plane_vals = ",\n            ".join(
-        f"({t}, {i}, {sim.make_planes(dim, n_planes, seed=1009 + 7919 * t)[i]!r}::DOUBLE[])"
+        f"({t}, {i}, {tables[t][i]!r}::DOUBLE[])"
         for t in range(n_tables)
         for i in range(n_planes)
     )
@@ -4458,15 +4453,26 @@ _ARTIFACT_ORACLE_CACHE: dict[tuple, dict[str, str]] = {}
 
 
 def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
-    """Oracle SQL for the queries whose twins embed TRAINED artifacts
-    (IVF centroids, PQ codebooks): the artifacts are deterministic
-    functions of the corpus, so the SQL must be generated for the corpus
-    it will run against. Consumers merge this over ORACLE_SQL with the
-    sf_dir their gate uses (__spark_entry__ pins the driver's sf0.01;
-    tests/test_queries_oracle passes its own)."""
+    """Oracle SQL for the four index-probe queries whose twins embed
+    corpus-derived artifacts (hyperplane tables, IVF centroids, PQ
+    codebooks, the ADC distance table): the artifacts are deterministic
+    functions of (corpus sample, seed), so the SQL must be generated for
+    the corpus it will run against. Consumers merge this over ORACLE_SQL
+    with the sf_dir their gate uses (__spark_entry__ pins the driver's
+    sf0.01; tests/test_queries_oracle passes its own).
+
+    Accepted float-parity risk (same class as every raw-float threshold
+    filter in the static oracles): the engine computes dots/distances
+    with numpy (BLAS/pairwise summation) while DuckDB sums sequentially,
+    so a plane dot within ~1 ulp of zero, a near-exact centroid-distance
+    tie, or a cosine landing exactly on a rounding boundary could
+    diverge. At the gate corpus (500-2000 vectors) the probability is
+    ~1e-9 per run; the tie-break rules themselves (numpy argmin first
+    index, array_max-over-structs last max) ARE replicated exactly."""
     key = (_emb_cache_key(sf_dir),)
     if key not in _ARTIFACT_ORACLE_CACHE:
         _ARTIFACT_ORACLE_CACHE[key] = {
+            "embedding_lsh_topk": _lsh_topk_oracle_sql(sf_dir),
             "embedding_ivf_topk": _ivf_topk_oracle_sql(sf_dir),
             "embedding_pq_topk": _pq_topk_oracle_sql(sf_dir),
             "embedding_near_dup_lsh": _lsh_pairs_oracle_sql(sf_dir),

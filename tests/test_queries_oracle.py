@@ -106,3 +106,47 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_lsh_pair_probe_oracle_on_planted_corpus(spark, tmp_path):
+    """The default-SF corpora yield ~0-1 near-dup pairs, which would let a
+    broken candidate-generation SQL pass empty-vs-empty: re-run the
+    embedding_near_dup_lsh parity on a planted corpus where the expected
+    output is provably nonzero, so the plane literals, bucket replay,
+    multiprobe predicate, and rerank are all actually exercised."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    vecs = [v for v in rng.randn(60, dim)]
+    for i in range(6):  # planted near-dup pairs, cos ~ 1
+        base = rng.randn(dim)
+        vecs.append(base)
+        vecs.append(base + 0.01 * rng.randn(dim))
+    frame = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [[float(x) for x in v] for v in vecs],
+            "label": np.zeros(len(vecs), dtype=np.int64),
+        }
+    )
+    sf_dir = tmp_path / "planted"
+    sf_dir.mkdir()
+    con = _duckdb.connect()
+    con.register("f", frame)
+    con.execute(f"COPY f TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)")
+
+    sdf = QUERIES["embedding_near_dup_lsh"](spark, str(sf_dir))
+    spark_rows = _multiset([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rel = con.sql(build_artifact_oracles(str(sf_dir))["embedding_near_dup_lsh"])
+    duck_rows = _multiset(rel.fetchall(), rel.columns)
+    con.close()
+
+    assert len(spark_rows) >= 6  # every planted pair must surface
+    assert spark_rows == duck_rows
