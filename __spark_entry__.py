@@ -11,6 +11,8 @@ is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,14 +40,24 @@ def oracle_sql() -> dict[str, str]:
     rows-only entries remain). The trained/seeded-artifact twins (IVF
     centroids, PQ codebooks, hyperplane tables — deterministic functions
     of the corpus and seeds, replayed outside Spark through the same
-    code paths) are generated for sf0.01, the scale this contract's
-    comparison runs at."""
+    code paths) are generated for the corpus the gate runs against:
+    ``$ORACLE_SF_DIR`` if set (the repo harness's knob), else the
+    driver's sf0.01."""
     out = dict(ORACLE_SQL)
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
-        out.update(build_artifact_oracles("/root/testdata/sf0.01"))
-    except Exception:
-        # artifact twins need the gate corpus on disk to replay training;
-        # without it those four queries degrade to the driver's rows-only
-        # check instead of failing the whole contract
-        pass
+        out.update(build_artifact_oracles(sf_dir))
+    except (FileNotFoundError, OSError) as exc:
+        # Only the expected absence case degrades: the artifact twins
+        # need the gate corpus on disk to replay training. Any genuine
+        # generator bug must propagate — a blanket swallow would silently
+        # downgrade four value checks to rows-only while the docstring
+        # still claims 111/111 (ADVICE r5, medium).
+        warnings.warn(
+            "artifact-oracle corpus missing at "
+            f"{sf_dir!r} ({exc}); embedding_lsh_topk / embedding_ivf_topk"
+            " / embedding_pq_topk / embedding_near_dup_lsh degrade to"
+            " rows-only checks",
+            stacklevel=2,
+        )
     return out

@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact FINAL line
+(same contract fields; queries = the TPC-H core, plus per-family
+subtotals over all timed queries) sized to fit whole inside the round
+driver's ~2.2 KB stdout-tail capture.
 
 Each query is executed to completion (count() of the result — forces the
 full plan without driver-side materialization of wide rows). A warmup
@@ -13,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from neynar_parquet_importer_spark.operators.dedup import release_cached
@@ -134,6 +138,31 @@ BENCH_QUERIES = [
 ]
 
 
+_TPCH_RE = re.compile(r"^q\d+_")
+
+_FAMILY_PREFIXES = [
+    ("embedding_", "embedding"),
+    ("dedup_", "dedup"),
+    ("text_", "text"),
+    ("lang_", "lang"),
+    ("contrastive_", "contrastive"),
+    ("pretrain_", "pretrain"),
+    ("graph_", "graph"),
+    ("filter_dsl", "filters"),
+]
+
+
+def _family(name: str) -> str:
+    """Coarse query family for the tail-line subtotals: TPC-H core, the
+    LLM-pipeline families by prefix, everything else 'relational'."""
+    if _TPCH_RE.match(name):
+        return "tpch"
+    for prefix, fam in _FAMILY_PREFIXES:
+        if name.startswith(prefix):
+            return fam
+    return "relational"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -207,19 +236,37 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in passes.items()}
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    # ONE compact line (no spaces), flushed, nothing printed after it on
-    # stdout: the round driver captures only the output tail, and a
-    # pretty-printed 111-query dict overflowed that window (BENCH_r4
-    # recorded parsed: null) — compact separators keep the whole payload
-    # inside the capture
+    # full per-query line first (humans + log scrapers), then a compact
+    # FINAL line sized to fit the round driver's ~2.2 KB stdout-tail
+    # window: the 111-query dict is ~3.3 KB, so a single full line always
+    # starts before the capture window and parses as a fragment (BENCH_r4
+    # and r5 both recorded parsed: null). The final line carries the
+    # contract fields with the headline TPC-H core as `queries` plus
+    # per-family subtotals covering every timed query — small enough that
+    # the tail always contains it whole.
     print(json.dumps(payload, separators=(",", ":")), flush=True)
+    tpch = {n: t for n, t in timings.items() if _TPCH_RE.match(n)}
+    families: dict[str, float] = {}
+    for n, t in timings.items():
+        families[_family(n)] = round(families.get(_family(n), 0.0) + t, 3)
+    final = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": tpch,
+        "families": families,
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }
+    print(json.dumps(final, separators=(",", ":")), flush=True)
 
     # append-only run history, one timestamped file per run, carrying the
     # RAW per-pass timings too — so "regression or noise?" questions are

@@ -224,7 +224,9 @@ def minhash_signatures(
     - ``"xxhash64"`` (default, fastest): member i is
       ``min(xxhash64(xxhash64(shingle), i))`` — engine-internal, use for
       pipelines that only ever compare signatures inside Spark.
-    - ``"md5"`` (ENGINE-PORTABLE): one md5 per distinct shingle yields
+    - ``"md5"`` (ENGINE-PORTABLE): one md5 per distinct (id, shingle)
+      pair — min is duplicate-invariant, so the md5/conv arithmetic runs
+      over a deduplicated stream, not per occurrence — yielding
       two 32-bit halves (h1, h2); member i is
       ``min((h1 + i * h2) mod (2^31 - 1))`` — Kirsch-Mitzenmacher double
       hashing, pure integer arithmetic another engine reproduces exactly
@@ -258,12 +260,17 @@ def minhash_signatures(
     """
     # shingle stream via posexplode + lead() (_shingle_stream): codegen-
     # friendly, and its window shuffle on id is reused by the final
-    # aggregation. Duplicate shingles don't change a min, so no distinct
-    # pass is needed.
+    # aggregation. Duplicate shingles don't change a min, so the cheap
+    # xxhash64 family skips any distinct pass; the md5 family dedups the
+    # (id, shingle) stream first so the expensive md5 + two conv/substring
+    # chain runs once per distinct shingle, not per occurrence (partial
+    # hash-aggregation makes the dedup map-side-combining on a stream
+    # already clustered by id).
     stream = _shingle_stream(df, text_col, id_col, shingle_n)
     if hash_family == "md5":
+        dedup_stream = stream.select("id", "shingle").distinct()
         m = F.md5(F.col("shingle"))
-        base = stream.select(
+        base = dedup_stream.select(
             "id",
             F.xxhash64(F.col("shingle")).alias("h"),
             F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),

@@ -132,14 +132,18 @@ def decode_image(payload: bytes, fake: bool | None = False) -> list[float]:
 def extract_features(df: DataFrame, fake: bool | None = True) -> DataFrame:
     """Binary media rows -> feature rows via Arrow-batched mapInPandas.
 
-    ``fake=None`` auto-probes for Pillow INSIDE the worker closure (the
-    process where the decode runs), using the real decoder when present
-    and the deterministic sha256 stub otherwise; True/False force a
-    mode. The registered bench/oracle query pins fake=True so its output
-    stays engine-portable regardless of installed libraries."""
+    ``fake=None`` auto-probes for Pillow ONCE, on the driver, and ships
+    the resolved boolean into the worker closure — on a heterogeneous
+    cluster (Pillow on some workers only) a per-executor probe would
+    silently mix real RGB-stat features with sha256-stub features under
+    one schema (ADVICE r5). Workers that then lack Pillow fail loudly
+    via _decode_real's NotImplementedError rather than downgrading.
+    True/False force a mode. The registered bench/oracle query pins
+    fake=True so its output stays engine-portable regardless of
+    installed libraries."""
+    use_fake = _use_fake(fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_fake = _use_fake(fake)
         for pdf in batches:
             # single pass over the payload column: one sha256 per row feeds
             # both the hex digest and the (stubbed) feature, instead of three

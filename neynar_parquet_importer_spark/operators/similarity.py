@@ -488,6 +488,7 @@ def near_dup_pairs_adaptive(
     exact_below: int = 100_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup pairs with a corpus-size crossover: below ``exact_below``
@@ -512,8 +513,13 @@ def near_dup_pairs_adaptive(
     crossover the LSH recall contract applies (see
     :func:`lsh_near_dup_pairs`). Tests pin that both regimes agree on
     planted-dup corpora by forcing each path.
+
+    ``n_rows`` lets a caller that already knows the corpus size (the
+    query layer caches it per (path, mtime)) skip the dispatch count
+    job — on Parquet that job is metadata-only, but it is still one
+    Spark job per invocation on a hot path.
     """
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     if n <= exact_below:
         # kernel already filters on raw >= threshold; round for the same
         # presentation contract as the LSH branch
@@ -843,6 +849,7 @@ def semdedup_keepers_adaptive(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """:func:`semdedup_keepers` with the same FAISS-style corpus-size
     crossover as :func:`near_dup_pairs_adaptive`: below ``exact_below``
@@ -856,10 +863,13 @@ def semdedup_keepers_adaptive(
 
     The dispatch is what makes small-scale output a pure function of the
     data (no trained-quantizer dependence), hence value-checkable against
-    a SQL twin, while the registered plan keeps the scale path."""
+    a SQL twin, while the registered plan keeps the scale path.
+    ``n_rows``: pre-counted corpus size — skips the dispatch count job
+    (see :func:`near_dup_pairs_adaptive`)."""
     from .dedup import dedup_cluster_keepers
 
-    if df.count() <= exact_below:
+    n = n_rows if n_rows is not None else df.count()
+    if n <= exact_below:
         pairs = exact_cosine_pairs_blocked(
             df, threshold, vec_col=vec_col, id_col=id_col
         ).select("id_a", "id_b")

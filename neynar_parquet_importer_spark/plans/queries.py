@@ -717,6 +717,7 @@ def reset_corpus_caches() -> None:
     centroids) — for long-lived sessions whose data changes under a
     non-local URI where mtime keying can't see it."""
     _EMB_DIM_CACHE.clear()
+    _EMB_COUNT_CACHE.clear()
     _IVF_CENTROID_CACHE.clear()
     _PQ_CODEBOOK_CACHE.clear()
     _HOT_SHINGLE_CACHE.clear()
@@ -732,6 +733,20 @@ def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
             emb.select(F.size("embedding").alias("d")).head()[0]
         )
     return _EMB_DIM_CACHE[key]
+
+
+_EMB_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _embedding_count(emb: DataFrame, sf_dir: str) -> int:
+    """Embedding-corpus row count for the adaptive exact/LSH dispatch,
+    cached per (path, mtime) like every other per-corpus artifact: the
+    count() behind the FAISS-style crossover is metadata-only on Parquet
+    but still one Spark job per invocation on a hot query path."""
+    key = _emb_cache_key(sf_dir)
+    if key not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[key] = emb.count()
+    return _EMB_COUNT_CACHE[key]
 
 
 def _embedding_exact_pairs(
@@ -845,9 +860,9 @@ def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (planted dups, cos >= ~0.9, recall ~= 1)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
-    pairs = sim.near_dup_pairs_adaptive(emb, dim, threshold=0.5).select(
-        "id_a", "id_b"
-    )
+    pairs = sim.near_dup_pairs_adaptive(
+        emb, dim, threshold=0.5, n_rows=_embedding_count(emb, sf_dir)
+    ).select("id_a", "id_b")
     return dd.dedup_cluster_keepers(emb, pairs, "vec_id")
 
 
@@ -1871,6 +1886,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         threshold=0.45,
         centroids=lambda: _ivf_centroids_cached(emb, sf_dir),
+        n_rows=_embedding_count(emb, sf_dir),
     )
 
 

@@ -32,8 +32,9 @@ content dedup:
 
 Estimated Jaccard = fraction of agreeing MinHash members, the same
 statistic ``minhash_lsh_candidates`` reports; exact-rerank (shingle
-Jaccard via ``ngram_jaccard_pairs``) can be layered on the emitted
-(dup, dup_of) pairs when the text is still at hand.
+Jaccard via ``ngram_jaccard_pairs``) IS layered on the emitted
+(dup, dup_of) pairs under ``rerank=True`` — signature false positives
+are rescued back into the accepted set (see ``near_dup_fold_batch``).
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ from ..operators.dedup import (
     connected_components,
     minhash_lsh_candidates,
     minhash_signatures,
+    ngram_jaccard_pairs,
     release_cached,  # noqa: F401  (re-exported convenience for callers)
 )
 
@@ -97,6 +99,9 @@ def near_dup_fold_batch(
     rows_per_band: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    rerank: bool = False,
+    state_text: DataFrame | None = None,
+    rerank_max_shingle_df: int | float | None = None,
 ) -> DataFrame:
     """Fold one micro-batch through the streaming near-dup filter.
 
@@ -119,13 +124,78 @@ def near_dup_fold_batch(
     cache per batch); the returned verdict frame is caller-owned — its
     checkpoint blocks are reclaimed by Spark's ContextCleaner once the
     caller drops the reference.
+
+    ``rerank=True`` layers the promised exact verification
+    (:func:`~..operators.dedup.ngram_jaccard_pairs`) onto the emitted
+    (dup, dup_of) matches: a pair whose MinHash member agreement clears
+    ``threshold`` but whose exact (capped) shingle Jaccard does not is a
+    signature false positive — the doc is RESCUED (accepted, and its
+    signature joins the state). Intra-batch pairs rerank from the
+    batch's own text; state matches need the accepted docs' text, which
+    the signature sinks deliberately do not keep — pass ``state_text``
+    (an ``(id_col, text_col)`` frame, e.g. the lake table the accepted
+    ids key into; at 100 TB the rerank fetch is a semi-join against it,
+    never a scan) to rerank those too, otherwise state matches keep
+    their signature-agreement verdict. Trade documented: rerank is
+    pair-exact, so a transitive chain a~b~c whose (a, c) link is weak
+    can split — that is the point of a rescue pass.
+    ``rerank_max_shingle_df`` forwards the stop-shingle cap so the
+    exact statistic matches the capped one the signatures estimate.
     """
     # mark this THREAD's cache registries so everything THIS fold pins
     # can be released on exit without touching frames the caller already
     # holds (the registries are thread-local, so concurrent folds in
-    # other pipeline threads are untouched by construction)
+    # other pipeline threads are untouched by construction). The rollback
+    # runs in a finally: a failed sink upsert or Spark job must not leak
+    # this batch's persisted/checkpointed frames into a supervised
+    # catch-and-retry daemon (ADVICE r5).
     cache_mark = len(_dedup._cached())
     ckpt_mark = len(_dedup._ckpts())
+    try:
+        return _fold_batch_inner(
+            sig_sink,
+            bucket_sink,
+            batch,
+            epoch,
+            text_col,
+            id_col,
+            num_hashes,
+            bands,
+            rows_per_band,
+            shingle_n,
+            threshold,
+            rerank,
+            state_text,
+            rerank_max_shingle_df,
+        )
+    finally:
+        # release every frame this fold pinned (batch signatures, banding
+        # caches, component states, rerank candidates): the verdict
+        # checkpoint no longer depends on any of them, and a long-running
+        # stream must not accumulate one cached frame per micro-batch —
+        # including batches that FAILED mid-fold
+        while len(_dedup._cached()) > cache_mark:
+            _dedup._cached().pop().unpersist()
+        while len(_dedup._ckpts()) > ckpt_mark:
+            _dedup._release_ckpt(_dedup._ckpts()[-1])
+
+
+def _fold_batch_inner(
+    sig_sink,
+    bucket_sink,
+    batch: DataFrame,
+    epoch: int,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    shingle_n: int,
+    threshold: float,
+    rerank: bool,
+    state_text: DataFrame | None,
+    rerank_max_shingle_df: int | float | None,
+) -> DataFrame:
     sigs = _persist(
         minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n)
     )
@@ -195,6 +265,18 @@ def near_dup_fold_batch(
         ).alias("is_dup"),
         F.coalesce("dup_of_state", "rep").alias("dup_of"),
     )
+
+    if rerank:
+        verdict = _exact_rerank(
+            verdict,
+            batch,
+            text_col,
+            id_col,
+            shingle_n,
+            threshold,
+            state_text,
+            rerank_max_shingle_df,
+        )
     # eager + lineage-truncated: the sink upserts below change state, so
     # the verdicts must be MATERIALIZED against the pre-upsert state now —
     # on executors (localCheckpoint), not via an O(batch) driver collect —
@@ -215,12 +297,61 @@ def near_dup_fold_batch(
             ),
             epoch,
         )
-    # release every frame this fold pinned (batch signatures, banding
-    # caches, component states): the verdict checkpoint no longer depends
-    # on any of them, and a long-running stream must not accumulate one
-    # cached signature frame per micro-batch
-    while len(_dedup._cached()) > cache_mark:
-        _dedup._cached().pop().unpersist()
-    while len(_dedup._ckpts()) > ckpt_mark:
-        _dedup._release_ckpt(_dedup._ckpts()[-1])
     return verdict
+
+
+def _exact_rerank(
+    verdict: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+    state_text: DataFrame | None,
+    rerank_max_shingle_df: int | float | None,
+) -> DataFrame:
+    """Rescue signature-agreement false positives: recompute each
+    (dup, dup_of) pair's EXACT capped shingle Jaccard and flip pairs
+    below ``threshold`` back to accepted. Runs entirely as equi-joins
+    (ngram_jaccard_pairs semi-joins the text source down to candidate
+    docs first), pre-``localCheckpoint`` so rescued docs flow into the
+    accepted set and the state sinks with no extra materialization."""
+    dup_pairs = verdict.filter(F.col("is_dup")).select("id", "dup_of")
+    text_src = batch.select(F.col(id_col), F.col(text_col))
+    if state_text is not None:
+        text_src = text_src.unionByName(
+            state_text.select(F.col(id_col), F.col(text_col))
+        )
+    else:
+        # without the accepted docs' text only intra-batch pairs are
+        # verifiable; state matches keep their signature verdict
+        dup_pairs = dup_pairs.join(
+            batch.select(F.col(id_col).alias("dup_of")), "dup_of", "left_semi"
+        )
+    # ngram_jaccard_pairs joins its inverted index under id_a < id_b, so
+    # normalize the (possibly reversed) pair orientation and map back
+    norm = dup_pairs.select(
+        F.col("id").alias("orig_id"),
+        F.least("id", "dup_of").alias("id_a"),
+        F.greatest("id", "dup_of").alias("id_b"),
+    )
+    exact = ngram_jaccard_pairs(
+        text_src,
+        norm.select("id_a", "id_b").distinct(),
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        max_shingle_df=rerank_max_shingle_df,
+    )
+    rescued = (
+        norm.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") < threshold)
+        .select(F.col("orig_id").alias("id"), F.lit(True).alias("__rescued"))
+    )
+    return verdict.join(rescued, "id", "left").select(
+        "id",
+        (F.col("is_dup") & F.col("__rescued").isNull()).alias("is_dup"),
+        F.when(F.col("__rescued").isNull(), F.col("dup_of"))
+        .otherwise(F.col("id"))
+        .alias("dup_of"),
+    )

@@ -670,6 +670,32 @@ def test_near_dup_pairs_adaptive_dispatch(spark):
     assert via_gate_lsh == forced_lsh  # gate off -> LSH branch verbatim
 
 
+def test_adaptive_dispatch_count_cached(spark):
+    """The adaptive exact/LSH crossover must not pay one count() job per
+    invocation: the query layer caches the corpus count per (path, mtime)
+    and threads it via n_rows, so on a warm cache building either
+    adaptive plan issues ZERO DataFrame.count calls (r5 verdict nit)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from neynar_parquet_importer_spark.plans import queries as Q
+
+    sfd = "/root/testdata/sf0.001"
+    emb = Q._t(spark, sfd, "embeddings")
+    n = Q._embedding_count(emb, sfd)  # warm the cache (one job, here)
+    assert n > 0
+    Q._embedding_dim(emb, sfd)  # warm the dim probe too (head, not count)
+    Q._ivf_centroids_cached(emb, sfd)
+    with mock.patch.object(
+        DataFrame,
+        "count",
+        side_effect=AssertionError("dispatch count job on a warm cache"),
+    ):
+        Q.embedding_dedup_clusters_lsh(spark, sfd)
+        Q.embedding_semdedup(spark, sfd)
+
+
 @pytest.mark.parametrize(
     "cap",
     [100, 100 / 1006.0],  # absolute count, and the same rule as a corpus fraction
@@ -1010,3 +1036,20 @@ def test_multimodal_probe_uses_pil_when_present(monkeypatch):
     assert feat[6] == 1.0
     out = _resize_real(b"anything", 4, 3)
     assert out == b"PNGFAKE" + bytes([4, 3])
+
+
+def test_multimodal_auto_mode_resolved_on_driver(spark, monkeypatch):
+    """fake=None must resolve ONCE on the driver and ship the boolean to
+    the workers (ADVICE r5): with a monkeypatched Pillow visible only to
+    the driver process, the resolved mode is 'real', so Python workers
+    (separate processes, no Pillow) must fail loudly via _decode_real's
+    NotImplementedError — never silently fall back to stub features and
+    mix feature kinds under one schema."""
+    _fake_pil(monkeypatch)
+    from neynar_parquet_importer_spark.operators.multimodal import _use_fake
+
+    assert _use_fake(None) is False  # driver sees the fake Pillow
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    out = extract_features(documents_as_media(docs), fake=None)
+    with pytest.raises(Exception, match="Pillow|NotImplementedError"):
+        out.collect()

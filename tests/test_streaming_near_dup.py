@@ -143,6 +143,102 @@ def test_streaming_fold_matches_batch_pipeline(spark, tmp_path):
     assert accepted == batch_accepted
 
 
+# A planted signature false positive vs _G["a"]+" meadow nectar onyx
+# prairie": MinHash member agreement 0.50 (32/64 members, and an LSH
+# band collision) while the exact 3-gram Jaccard is 0.40 — found by a
+# deterministic search over word-replacement variants. With
+# threshold=0.45 the signature path calls it a dup and the exact rerank
+# must rescue it.
+_FP_BASE = _G["a"] + " meadow nectar onyx prairie"
+_FP_VARIANT = (
+    "alpha beaver canyon delta ember falcon willow xenon indigo jasper "
+    "katydid lumen meadow nectar glacier hollow"
+)
+_FP_THRESHOLD = 0.45
+
+
+def test_rerank_rescues_state_match_false_positive(spark, tmp_path):
+    """member agreement (0.50) >= threshold (0.45) > exact capped
+    Jaccard (0.40): without rerank the doc is marked dup of state; with
+    rerank + the accepted docs' text it is rescued and joins the state."""
+    sinks = _sinks(spark, tmp_path / "plain")
+    _fold(spark, sinks, [(1, _FP_BASE)], epoch=1, threshold=_FP_THRESHOLD)
+    v = _fold(spark, sinks, [(2, _FP_VARIANT)], epoch=2, threshold=_FP_THRESHOLD)
+    assert v == {2: (True, 1)}  # signature path alone: false positive
+
+    sinks = _sinks(spark, tmp_path / "rerank")
+    _fold(spark, sinks, [(1, _FP_BASE)], epoch=1, threshold=_FP_THRESHOLD)
+    state_text = spark.createDataFrame([(1, _FP_BASE)], DOC_SCHEMA)
+    v = _fold(
+        spark,
+        sinks,
+        [(2, _FP_VARIANT)],
+        epoch=2,
+        threshold=_FP_THRESHOLD,
+        rerank=True,
+        state_text=state_text,
+    )
+    assert v == {2: (False, 2)}  # rescued
+    assert sorted(r["id"] for r in sinks[0].read().collect()) == [1, 2]
+
+
+def test_rerank_without_state_text_keeps_signature_verdict(spark, tmp_path):
+    """State matches are only rerankable when the accepted docs' text is
+    provided; without it the signature verdict stands (documented)."""
+    sinks = _sinks(spark, tmp_path)
+    _fold(spark, sinks, [(1, _FP_BASE)], epoch=1, threshold=_FP_THRESHOLD)
+    v = _fold(
+        spark,
+        sinks,
+        [(2, _FP_VARIANT)],
+        epoch=2,
+        threshold=_FP_THRESHOLD,
+        rerank=True,
+    )
+    assert v == {2: (True, 1)}
+
+
+def test_rerank_intra_batch_rescue_and_true_dup_kept(spark, tmp_path):
+    """Intra-batch pairs rerank from the batch's own text: the planted
+    false positive is rescued while a genuine near-copy (exact Jaccard
+    0.93) stays dup — the rescue is selective, not a blanket accept."""
+    sinks = _sinks(spark, tmp_path)
+    v = _fold(
+        spark,
+        sinks,
+        [(1, _FP_BASE), (2, _FP_VARIANT), (3, _doc(_FP_BASE, "tail"))],
+        epoch=1,
+        threshold=_FP_THRESHOLD,
+        rerank=True,
+    )
+    assert v[1] == (False, 1)
+    assert v[2] == (False, 2)  # rescued intra-batch
+    assert v[3] == (True, 1)  # true near-copy survives the rerank as dup
+    assert sorted(r["id"] for r in sinks[0].read().collect()) == [1, 2]
+
+
+def test_fold_releases_registries_on_failure(spark, tmp_path):
+    """ADVICE r5: the registry rollback must run on the FAILURE path too —
+    a sink upsert that raises mid-fold must not leak this batch's
+    persisted/checkpointed frames into a catch-and-retry daemon."""
+    import pytest
+
+    from neynar_parquet_importer_spark.operators import dedup as dmod
+
+    class _ExplodingSink:
+        def read(self):
+            return None
+
+        def upsert(self, df, epoch):
+            raise RuntimeError("sink down")
+
+    n_cached, n_ckpt = len(dmod._cached()), len(dmod._ckpts())
+    batch = spark.createDataFrame([(1, _doc(_G["a"]))], DOC_SCHEMA)
+    with pytest.raises(RuntimeError, match="sink down"):
+        near_dup_fold_batch(_ExplodingSink(), _ExplodingSink(), batch, epoch=1)
+    assert (len(dmod._cached()), len(dmod._ckpts())) == (n_cached, n_ckpt)
+
+
 def test_fold_is_distributed_and_releases_caches(spark, tmp_path):
     """Scale-shape pins: the fold must never round-trip the batch through
     the driver (no DataFrame.collect), must return an executor-
@@ -164,12 +260,22 @@ def test_fold_is_distributed_and_releases_caches(spark, tmp_path):
         [(2, _doc(_G["a"], "tail")), (3, _doc(_G["b"]))], DOC_SCHEMA
     )
     real_collect = DataFrame.collect
+    state_text = spark.createDataFrame([(1, _doc(_G["a"]))], DOC_SCHEMA)
     with mock.patch.object(
         DataFrame,
         "collect",
         side_effect=AssertionError("driver collect inside fold"),
     ):
-        out = near_dup_fold_batch(sinks[0], sinks[1], batch, epoch=2)
+        # rerank=True exercises the exact-verification path under the
+        # collect ban too — the rescue joins must stay distributed
+        out = near_dup_fold_batch(
+            sinks[0],
+            sinks[1],
+            batch,
+            epoch=2,
+            rerank=True,
+            state_text=state_text,
+        )
     # fold-local caches all released, registries restored
     assert (len(dmod._cached()), len(dmod._ckpts())) == (n_cached, n_ckpt)
     # verdict is a checkpoint leaf (materialized, lineage truncated) ...
