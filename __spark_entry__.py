@@ -45,17 +45,18 @@ def oracle_sql() -> dict[str, str]:
     driver's sf0.01."""
     out = dict(ORACLE_SQL)
     sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    try:
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        # any failure past the existence probe is a genuine generator bug
+        # and must propagate — a blanket swallow here once silently
+        # downgraded four value checks to rows-only while the docstring
+        # still claimed 111/111 (ADVICE r5, medium)
         out.update(build_artifact_oracles(sf_dir))
-    except (FileNotFoundError, OSError) as exc:
-        # Only the expected absence case degrades: the artifact twins
-        # need the gate corpus on disk to replay training. Any genuine
-        # generator bug must propagate — a blanket swallow would silently
-        # downgrade four value checks to rows-only while the docstring
-        # still claims 111/111 (ADVICE r5, medium).
+    else:
+        # the only expected degradation: the artifact twins need the gate
+        # corpus on disk to replay training
         warnings.warn(
             "artifact-oracle corpus missing at "
-            f"{sf_dir!r} ({exc}); embedding_lsh_topk / embedding_ivf_topk"
+            f"{sf_dir!r}; embedding_lsh_topk / embedding_ivf_topk"
             " / embedding_pq_topk / embedding_near_dup_lsh degrade to"
             " rows-only checks",
             stacklevel=2,

@@ -27,6 +27,23 @@ empirically at sf1:
   comparable FRACTION of shingle mass at both scales (an absolute cap
   would silently stop capping at 10x).
 
+Round 6 additions (r5 verdict tasks #6/#7):
+
+- **relational core**: the TPC-H adaptations and the window/sessionize
+  event queries get measured exponents too. The sf1 relational tables
+  are key-shifted 10x replicas of sf0.1 (pyarrow, type-faithful — the
+  events table keeps its TIMESTAMP(NANOS) physical type, which a DuckDB
+  COPY would silently truncate to micros): per-replica key offsets keep
+  PK/FK relationships intact, so join fanout and per-key group sizes
+  are preserved while key cardinality scales 10x — exactly the shape a
+  10x-bigger day of the same workload has. Dims (region/nation) stay
+  fixed, as they do in real warehouses.
+- **ANN recall at sf1**: per-index recall@20 vs the exact top-k ground
+  truth (hyperplane-LSH bucket probe, IVF nprobe=6/16, PQ-ADC) over 10
+  query vectors, plus pair-level recall of the multi-table LSH path at
+  cos>=0.9 vs the exact blocked scan — the empirical row for the
+  auto-plane/auto-table rule's >=0.98-recall design point.
+
 Writes BENCH_SCALING.json at the repo root (tracked — this is the
 recorded evidence) and a copy of the generated corpus under
 $SPARK_GRAFT_SF1_DIR (default /tmp/sf1, scratch).
@@ -79,6 +96,75 @@ FAMILY_QUERIES = [
     "split_leakage_pairs",
     "source_near_dup_matrix",
 ]
+
+
+# headline relational queries measured at both scales: the TPC-H core
+# shapes (scan-agg, join-agg, multi-join profit), plus the event-stream
+# window/sessionize/interval family
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_nation_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "window_topn_per_group",
+    "moving_avg_user_value",
+    "latest_event_per_user",
+    "sessionize_events",
+    "cohort_retention",
+    "events_interval_pairs",
+    "range_join_shipments",
+    "asof_latest_order_per_event",
+]
+
+# per-replica key offsets (well above each key's sf0.1 max): PKs and the
+# FKs that reference them shift together, so every replica is a disjoint,
+# internally-consistent copy of the workload graph
+_KEY_OFFSETS: dict[str, dict[str, int]] = {
+    "customer": {"c_custkey": 10**7},
+    "supplier": {"s_suppkey": 10**6},
+    "part": {"p_partkey": 10**7},
+    "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
+    "lineitem": {"l_orderkey": 10**9, "l_partkey": 10**7, "l_suppkey": 10**6},
+    "events": {"event_id": 10**9, "user_id": 10**7},
+}
+
+
+def generate_sf1_relational(out_dir: str) -> None:
+    """Key-shifted 10x replication of the sf0.1 relational tables via
+    pyarrow (type-faithful: preserves the events table's nanosecond
+    timestamps, which catalog.load_table's nanosAsLong path depends on).
+    Dims (region/nation) copy through unchanged."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("region", "nation"):
+        shutil.copyfile(
+            f"{SF01}/{name}.parquet", f"{out_dir}/{name}.parquet"
+        )
+    for name, offsets in _KEY_OFFSETS.items():
+        t = pq.read_table(f"{SF01}/{name}.parquet")
+        parts = [t]
+        for i in range(1, SCALE):
+            cols = []
+            for col_name in t.column_names:
+                col = t[col_name]
+                if col_name in offsets:
+                    col = pc.add(col, pa.scalar(i * offsets[col_name], type=col.type))
+                cols.append(col)
+            parts.append(pa.table(cols, names=t.column_names))
+        pq.write_table(
+            pa.concat_tables(parts),
+            f"{out_dir}/{name}.parquet",
+            # keep the source's physical timestamp resolution (events is
+            # TIMESTAMP(NANOS); coercing would change the load path)
+            coerce_timestamps=None,
+        )
 
 
 def generate_sf1(out_dir: str) -> None:
@@ -285,10 +371,100 @@ def scale_checks(spark, sf1_dir: str) -> dict:
     return out
 
 
+def ann_recall_checks(spark, sf1_dir: str) -> dict:
+    """Per-index recall at sf1 vs exact ground truth (r5 verdict #6).
+
+    Top-k: recall@20 over 10 query vectors for each index family, using
+    the registered queries' own parameters (LSH: 8 planes, 1-bit
+    multiprobe; IVF: nprobe=6 of 16 trained centroids; PQ: 8 subspaces x
+    16 centroids, ADC). Ground truth = knn_join (exact, deterministic
+    tie order). Pairs: multi-table LSH at cos>=0.9 vs the exact blocked
+    scan — the auto-plane/auto-table rule's >=0.98-recall design point,
+    measured where the planted near-dups actually live."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.operators import dedup as dd
+    from neynar_parquet_importer_spark.operators import similarity as sim
+    from neynar_parquet_importer_spark.plans.queries import _t
+
+    emb = _t(spark, sf1_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    n_q, k = 10, 20
+
+    queries = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth: dict[int, set[int]] = {q: set() for q in range(n_q)}
+    for r in sim.knn_join(emb, queries, k=k).collect():
+        truth[r["query_id"]].add(r["neighbor_id"])
+    qvecs = {
+        r["query_id"]: list(r["embedding"]) for r in queries.collect()
+    }
+    centroids = sim.ivf_centroids(emb, n_centroids=16)
+    codebooks = sim.pq_codebooks(emb, n_sub=8)
+
+    recalls: dict[str, list[float]] = {"lsh_topk": [], "ivf_topk": [], "pq_topk": []}
+    for q in range(n_q):
+        got = {
+            r["vec_id"]
+            for r in sim.lsh_bucketed_topk(
+                emb, qvecs[q], k=k, n_planes=8
+            ).collect()
+        }
+        recalls["lsh_topk"].append(len(got & truth[q]) / k)
+        got = {
+            r["vec_id"]
+            for r in sim.ivf_topk(
+                emb, qvecs[q], k=k, centroids=centroids, nprobe=6
+            ).collect()
+        }
+        recalls["ivf_topk"].append(len(got & truth[q]) / k)
+        got = {
+            r["vec_id"]
+            for r in sim.pq_topk(emb, qvecs[q], k=k, codebooks=codebooks).collect()
+        }
+        recalls["pq_topk"].append(len(got & truth[q]) / k)
+    out = {
+        name: {
+            "recall_at_20": round(sum(rs) / len(rs), 4),
+            "per_query": rs,
+            "n_queries": n_q,
+        }
+        for name, rs in recalls.items()
+    }
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.exact_cosine_pairs_blocked(emb, 0.9)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    dd.release_cached()
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.lsh_near_dup_pairs(emb, dim, threshold=0.9)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    dd.release_cached()
+    hit = len(exact_pairs & lsh_pairs)
+    out["lsh_pairs_cos09"] = {
+        "exact_pairs": len(exact_pairs),
+        "lsh_pairs": len(lsh_pairs),
+        "recovered": hit,
+        "recall": round(hit / len(exact_pairs), 4) if exact_pairs else None,
+        "design_point": ">=0.98 recall at cos 0.9 (auto-plane/auto-table rule)",
+    }
+    return out
+
+
 def main() -> None:
     if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
         print("generating sf1 corpus ...", flush=True)
         generate_sf1(SF1_DIR)
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        print("generating sf1 relational tables ...", flush=True)
+        generate_sf1_relational(SF1_DIR)
 
     from neynar_parquet_importer_spark.plans.queries import QUERIES  # noqa: F401
     from neynar_parquet_importer_spark.session import get_spark
@@ -300,7 +476,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup at the small sf (same discipline as bench.py)
-    for name in FAMILY_QUERIES:
+    for name in FAMILY_QUERIES + RELATIONAL_QUERIES:
         try:
             QUERIES[name](spark, "/root/testdata/sf0.01").count()
         except Exception:
@@ -310,27 +486,34 @@ def main() -> None:
     release_cached()
     spark.catalog.clearCache()
 
-    r01 = time_queries(spark, SF01, FAMILY_QUERIES)
-    r1 = time_queries(spark, SF1_DIR, FAMILY_QUERIES)
+    all_queries = FAMILY_QUERIES + RELATIONAL_QUERIES
+    r01 = time_queries(spark, SF01, all_queries)
+    r1 = time_queries(spark, SF1_DIR, all_queries)
     checks = scale_checks(spark, SF1_DIR)
+    checks["ann_recall_sf1"] = ann_recall_checks(spark, SF1_DIR)
 
     import math
 
     exponents = {}
-    for n in FAMILY_QUERIES:
+    for n in all_queries:
         a, b = r01["timings"][n], r1["timings"][n]
         exponents[n] = round(math.log10(max(b, 1e-3) / max(a, 1e-3)), 2)
     payload = {
         "sf0.1": r01, "sf1": r1,
         "scaling_exponent_log10": exponents,
+        "relational_queries": RELATIONAL_QUERIES,
         "checks": checks,
         # measured, not asserted: generate_sf1's per-label rounding can
         # drift the embedding total by a few rows
         "corpus": {
             "sf0.1": {"documents": _rows(f"{SF01}/documents.parquet"),
-                      "embeddings": _rows(f"{SF01}/embeddings.parquet")},
+                      "embeddings": _rows(f"{SF01}/embeddings.parquet"),
+                      "lineitem": _rows(f"{SF01}/lineitem.parquet"),
+                      "events": _rows(f"{SF01}/events.parquet")},
             "sf1": {"documents": _rows(f"{SF1_DIR}/documents.parquet"),
-                    "embeddings": _rows(f"{SF1_DIR}/embeddings.parquet")},
+                    "embeddings": _rows(f"{SF1_DIR}/embeddings.parquet"),
+                    "lineitem": _rows(f"{SF1_DIR}/lineitem.parquet"),
+                    "events": _rows(f"{SF1_DIR}/events.parquet")},
         },
         "run_at": time.strftime("%Y%m%dT%H%M%S"),
     }
