@@ -2179,6 +2179,40 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split: the split unit is the near-dup
+    CLUSTER, not the document. `split_leakage_pairs` shows the naive
+    per-doc hash split leaks (a val doc near-identical to a train doc);
+    the standard fix is to hash the cluster representative — every member
+    of a connected near-dup component inherits one split, so cross-split
+    near-dup pairs are zero BY CONSTRUCTION (asserted in
+    tests/test_sampling_corpus.py). Pipeline: the same capped-Jaccard
+    pair scan (>= 0.5) -> connected components (min-id label) -> split
+    key = component for clustered docs, own id for singletons -> the
+    shared md5 hash-range split. At 100 TB the pair scan dominates; the
+    component frame is a tiny contraction of the corpus (only clustered
+    docs), so the left join back is AQE-broadcastable and the assignment
+    itself stays one codegen'd projection. ORACLE-CHECKED end-to-end
+    (recursive-CTE closure + the same CASE split in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    ).select("id_a", "id_b")
+    comp = dd.connected_components(pairs, detach=True).withColumnsRenamed(
+        {"id": "doc_id"}
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("split_key")
+        )
+        .withColumn(
+            "split", smp.split_column(["split_key"], _SPLIT_WEIGHTS, seed="split")
+        )
+    )
+
+
 _STRAT_FRACTIONS = {"en": 0.05, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
 
 
@@ -2444,6 +2478,7 @@ QUERIES = {
     "sample_docs_hash": sample_docs_hash,
     "train_val_test_counts": train_val_test_counts,
     "split_leakage_pairs": split_leakage_pairs,
+    "split_cluster_safe": split_cluster_safe,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
     "contrastive_triplets": contrastive_triplets,
@@ -3863,6 +3898,57 @@ ORACLE_SQL["split_leakage_pairs"] = """
 
 ORACLE_SQL["split_leakage_pairs"] = ORACLE_SQL["split_leakage_pairs"].replace(
     "{SPLIT_CASE}", smp.split_case_sql(["doc_id"], _SPLIT_WEIGHTS, "split")
+)
+
+ORACLE_SQL["split_cluster_safe"] = """
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hot AS (
+        SELECT shingle FROM shx GROUP BY shingle
+        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ), capped AS (
+        SELECT doc_id, list(shingle) AS s
+        FROM shx ANTI JOIN hot USING (shingle)
+        GROUP BY doc_id
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ), keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, split_key, {SPLIT_CASE} AS split FROM keyed
+"""
+
+ORACLE_SQL["split_cluster_safe"] = ORACLE_SQL["split_cluster_safe"].replace(
+    "{SPLIT_CASE}", smp.split_case_sql(["split_key"], _SPLIT_WEIGHTS, "split")
 )
 
 ORACLE_SQL["rag_passage_windows"] = """

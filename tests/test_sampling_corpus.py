@@ -591,3 +591,45 @@ def test_negative_samples_single_doc_fails_loudly(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(Exception, match="corpus of >= 2 documents"):
         negative_samples(df, "doc_id", k=2).collect()
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    """The cluster-aware split's defining property, asserted directly:
+    every near-dup pair (the same >= 0.5 capped-Jaccard scan the query
+    composes) lands WITHIN one split, every connected component maps to
+    exactly one split, and singleton docs get the identical assignment
+    the naive per-doc hash split would give them (so the fix changes
+    only what it must)."""
+    from neynar_parquet_importer_spark.operators import dedup as dd
+    from neynar_parquet_importer_spark.plans.queries import (
+        _SPLIT_WEIGHTS,
+        split_cluster_safe,
+    )
+
+    assigned = split_cluster_safe(spark, SF)
+    rows = assigned.collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    key_of = {r.doc_id: r.split_key for r in rows}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    ).select("id_a", "id_b").collect()
+    assert pairs, "fixture must contain near-dup pairs for the test to bite"
+    leaked = [(p.id_a, p.id_b) for p in pairs if split_of[p.id_a] != split_of[p.id_b]]
+    assert leaked == [], "near-dup pair crossed splits under the cluster split"
+
+    # one split per component (stronger than pairwise: transitive members)
+    by_key: dict[int, set[str]] = {}
+    for d, k in key_of.items():
+        by_key.setdefault(k, set()).add(split_of[d])
+    assert all(len(s) == 1 for s in by_key.values())
+
+    clustered = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    naive = docs.select(
+        "doc_id", split_column(["doc_id"], _SPLIT_WEIGHTS, seed="split").alias("s")
+    ).collect()
+    for r in naive:
+        if r.doc_id not in clustered:
+            assert key_of[r.doc_id] == r.doc_id
+            assert split_of[r.doc_id] == r.s
