@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (112/112 — no
+    """DuckDB-equivalent SQL for EVERY registered query (113/113 — no
     rows-only entries remain). The trained/seeded-artifact twins (IVF
     centroids, PQ codebooks, hyperplane tables — deterministic functions
     of the corpus and seeds, replayed outside Spark through the same

@@ -2213,6 +2213,41 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, every document
+    gets training weight 1/|cluster| (singletons keep 1.0), so each
+    distinct piece of content contributes exactly 1.0 to the training
+    mix no matter how many copies the crawl collected — the reweighting
+    alternative data-constrained LM training uses when hard dedup would
+    discard too many tokens. Same contraction as `split_cluster_safe`
+    (pair scan -> connected components), plus one tiny per-component
+    count; both joins back are over the contraction and AQE-broadcast
+    when it is small. ORACLE-CHECKED (recursive-CTE closure + the same
+    size/weight arithmetic in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    ).select("id_a", "id_b")
+    comp = dd.connected_components(pairs, detach=True).withColumnsRenamed(
+        {"id": "doc_id"}
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+            ).alias("weight"),
+        )
+    )
+
+
 _STRAT_FRACTIONS = {"en": 0.05, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 1.0}
 
 
@@ -2479,6 +2514,7 @@ QUERIES = {
     "train_val_test_counts": train_val_test_counts,
     "split_leakage_pairs": split_leakage_pairs,
     "split_cluster_safe": split_cluster_safe,
+    "soft_dedup_weights": soft_dedup_weights,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
     "contrastive_triplets": contrastive_triplets,
@@ -3949,6 +3985,24 @@ ORACLE_SQL["split_cluster_safe"] = """
 
 ORACLE_SQL["split_cluster_safe"] = ORACLE_SQL["split_cluster_safe"].replace(
     "{SPLIT_CASE}", smp.split_case_sql(["split_key"], _SPLIT_WEIGHTS, "split")
+)
+
+# same closure as split_cluster_safe up to `comp`, then per-component
+# sizes and the 1/|cluster| weight
+ORACLE_SQL["soft_dedup_weights"] = (
+    ORACLE_SQL["split_cluster_safe"][
+        : ORACLE_SQL["split_cluster_safe"].index("), keyed AS (")
+    ]
+    + """), sizes AS (
+        SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           coalesce(s.cluster_size, 1) AS cluster_size,
+           round(1.0 / coalesce(s.cluster_size, 1), 6) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN sizes s ON c.component = s.component
+"""
 )
 
 ORACLE_SQL["rag_passage_windows"] = """

@@ -94,6 +94,8 @@ FAMILY_QUERIES = [
     "pack_training_sequences",
     "contrastive_triplets",
     "split_leakage_pairs",
+    "split_cluster_safe",
+    "soft_dedup_weights",
     "source_near_dup_matrix",
 ]
 

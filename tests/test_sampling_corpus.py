@@ -633,3 +633,30 @@ def test_cluster_safe_split_has_zero_leakage(spark):
         if r.doc_id not in clustered:
             assert key_of[r.doc_id] == r.doc_id
             assert split_of[r.doc_id] == r.s
+
+
+def test_soft_dedup_weights_conserve_content_mass(spark):
+    """Soft dedup's defining invariant: weights within one near-dup
+    cluster sum to exactly 1.0 (each distinct piece of content
+    contributes 1.0 to the training mix regardless of copy count), and
+    every singleton keeps weight 1.0."""
+    from collections import defaultdict
+
+    from neynar_parquet_importer_spark.plans.queries import soft_dedup_weights
+
+    rows = soft_dedup_weights(spark, SF).collect()
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs_n
+    multi = [r for r in rows if r.cluster_size > 1]
+    assert multi, "fixture must contain near-dup clusters for the test to bite"
+    by_size = defaultdict(list)
+    for r in rows:
+        if r.cluster_size == 1:
+            assert r.weight == 1.0
+        else:
+            by_size[r.cluster_size].append(r.weight)
+    for size, ws in by_size.items():
+        # every member of every size-k cluster carries weight 1/k, and the
+        # member count is a multiple of k (whole clusters, no partial)
+        assert len(ws) % size == 0
+        assert all(abs(w - 1.0 / size) < 1e-6 for w in ws)
