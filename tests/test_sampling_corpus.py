@@ -660,3 +660,41 @@ def test_soft_dedup_weights_conserve_content_mass(spark):
         # member count is a multiple of k (whole clusters, no partial)
         assert len(ws) % size == 0
         assert all(abs(w - 1.0 / size) < 1e-6 for w in ws)
+
+
+def test_cluster_ops_on_pair_free_corpus(spark):
+    """A corpus with no near-dup pairs (all-unique texts) must degrade
+    both cluster-based operators to the naive behavior: every doc is a
+    singleton — split == the per-doc hash split, every weight == 1.0.
+    Pins the empty-edge-set path of connected_components (driver
+    union-find over zero rows) end to end."""
+    from neynar_parquet_importer_spark.operators import dedup as dd
+    from neynar_parquet_importer_spark.plans.queries import _SPLIT_WEIGHTS
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} about topic {i * 17}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = dd.jaccard_all_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+    ).select("id_a", "id_b")
+    assert pairs.count() == 0
+    comp = dd.connected_components(pairs, detach=True)
+    assert comp.count() == 0
+    from pyspark.sql import functions as F
+
+    assigned = (
+        docs.select("doc_id")
+        .join(comp.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("split_key"))
+        .withColumn("split", split_column(["split_key"], _SPLIT_WEIGHTS, seed="split"))
+        .collect()
+    )
+    naive = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", split_column(["doc_id"], _SPLIT_WEIGHTS, seed="split").alias("s")
+        ).collect()
+    }
+    for r in assigned:
+        assert r.split_key == r.doc_id and r.split == naive[r.doc_id]
