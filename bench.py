@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "sample_docs_hash",
     "train_val_test_counts",
     "split_leakage_pairs",
+    "split_cluster_safe",
+    "soft_dedup_weights",
     "lang_label_confusion",
     "contrastive_negative_samples",
     "contrastive_triplets",
@@ -143,6 +145,8 @@ _TPCH_RE = re.compile(r"^q\d+_")
 _FAMILY_PREFIXES = [
     ("embedding_", "embedding"),
     ("dedup_", "dedup"),
+    ("split_", "dedup"),
+    ("soft_dedup_", "dedup"),
     ("text_", "text"),
     ("lang_", "lang"),
     ("contrastive_", "contrastive"),

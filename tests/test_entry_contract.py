@@ -63,3 +63,17 @@ def test_generator_bugs_propagate(monkeypatch):
         assert "generator bug" in str(exc)
     else:  # pragma: no cover
         raise AssertionError("generator failure was swallowed")
+
+
+def test_bench_covers_every_registered_query():
+    """bench.py's explicit list must track the registry: a new query that
+    is registered (and therefore correctness-gated) but silently missing
+    from the bench would never get a recorded timing."""
+    import importlib.util
+
+    from neynar_parquet_importer_spark.plans.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert sorted(bench.BENCH_QUERIES) == sorted(QUERIES)
