@@ -6,9 +6,11 @@ The driver ships testdata up to sf0.1 (documents: 5k rows, embeddings:
 distributions are fit from sf0.1 itself — empirical token frequencies,
 token-count distribution, lang/source mix, the same planted exact/near
 dup rates, and per-label Gaussian embedding clusters fit from the real
-vectors — then measures each family query at both scales with bench.py's
-discipline (min of 2 passes, System.gc() between queries, loadavg
-stamped) and reports the scaling exponent
+vectors — then measures each family query at both scales, each query in
+its own FRESH subprocess (round-6 methodology fix: a long shared session
+contaminates successors' timings up to 16x — see _measure_single), with
+bench.py's per-pass discipline (min of 2 passes, System.gc() between
+passes, loadavg stamped), and reports the scaling exponent
 ``log10(t_sf1 / t_sf0.1)`` (1.0 = linear in corpus size; pair scans over
 10x docs may exceed 1 where the PAIR population, not the row count, is
 the true workload).
@@ -275,23 +277,97 @@ def _load1() -> float:
         return -1.0
 
 
-def time_queries(spark, sf_dir: str, names: list[str]) -> dict:
+_RESULT_PREFIX = "##RESULT## "
+
+
+def _measure_single(name: str, passes_n: int = 2) -> None:
+    """Measure ONE query at both scales inside THIS (fresh) process and
+    print a machine-readable result line.
+
+    Why a process per query: measured in round 6, a query's in-session
+    cost at sf1 depends on what ran before it — `embedding_semdedup` was
+    2.8 s standalone, 7.3 s after 11 family queries, and 46 s (both
+    passes, 20 min apart) deep inside the old single-session sweep, with
+    LOW loadavg during the slow passes. Predecessor queries' async
+    shuffle cleanup, Python-worker pools, JVM heap fragmentation, and
+    page-cache eviction pollute successors in ways release_cached() +
+    System.gc() cannot undo, and min-of-2 cannot defend against a
+    session that is PERSISTENTLY degraded by the time the query runs.
+    A scaling exponent should measure the query, not the session debris,
+    so each (query, both-scales) measurement gets a fresh JVM; within
+    the process both scales run under identical state (warmup at
+    sf0.01, then sf0.1 passes, then sf1 passes), keeping the ratio
+    internally consistent. Per-pass raw timings + loadavg stay in the
+    artifact so noise remains diagnosable."""
     from neynar_parquet_importer_spark.operators.dedup import release_cached
     from neynar_parquet_importer_spark.plans.queries import QUERIES
+    from neynar_parquet_importer_spark.session import get_spark
 
-    passes: dict[str, list[float]] = {n: [] for n in names}
-    loads: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(2):
-        for name in names:
+    spark = get_spark(
+        app_name=f"scale-{name}",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        QUERIES[name](spark, "/root/testdata/sf0.01").count()
+    except Exception:
+        pass  # a warmup failure surfaces in the timed pass with a trace
+    out: dict = {"query": name}
+    for key, sf_dir in [("sf0.1", SF01), ("sf1", SF1_DIR)]:
+        ps: list[float] = []
+        ls: list[float] = []
+        for _ in range(passes_n):
             release_cached()
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-            loads[name].append(_load1())
+            ls.append(_load1())
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            passes[name].append(round(time.perf_counter() - t0, 3))
-    return {"passes": passes, "loadavg_1m": loads,
-            "timings": {n: min(ts) for n, ts in passes.items()}}
+            ps.append(round(time.perf_counter() - t0, 3))
+        out[key] = {"passes": ps, "loadavg_1m": ls}
+    spark.stop()
+    print(_RESULT_PREFIX + json.dumps(out), flush=True)
+
+
+def time_queries_isolated(names: list[str], passes_n: int = 2) -> tuple[dict, dict]:
+    """Run `--single` for every query in its own subprocess; returns the
+    (sf0.1, sf1) result dicts in the artifact's schema."""
+    import subprocess
+    import sys
+
+    r01: dict = {"passes": {}, "loadavg_1m": {}, "timings": {}}
+    r1: dict = {"passes": {}, "loadavg_1m": {}, "timings": {}}
+    here = os.path.abspath(__file__)
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, here, "--single", name, str(passes_n)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(here),
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith(_RESULT_PREFIX)
+            ),
+            None,
+        )
+        if line is None:
+            raise SystemExit(
+                f"measurement subprocess failed for {name}:\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+            )
+        d = json.loads(line[len(_RESULT_PREFIX):])
+        for res, key in [(r01, "sf0.1"), (r1, "sf1")]:
+            res["passes"][name] = d[key]["passes"]
+            res["loadavg_1m"][name] = d[key]["loadavg_1m"]
+            res["timings"][name] = min(d[key]["passes"])
+        print(
+            f"{name}: sf0.1 {r01['timings'][name]}s  sf1 {r1['timings'][name]}s",
+            flush=True,
+        )
+    return r01, r1
 
 
 def scale_checks(spark, sf1_dir: str) -> dict:
@@ -481,7 +557,11 @@ def main() -> None:
         print("generating sf1 relational tables ...", flush=True)
         generate_sf1_relational(SF1_DIR)
 
-    from neynar_parquet_importer_spark.plans.queries import QUERIES  # noqa: F401
+    # timings first, each (query, both-scales) in its own fresh JVM —
+    # see _measure_single for the measured session-contamination story
+    all_queries = FAMILY_QUERIES + RELATIONAL_QUERIES
+    r01, r1 = time_queries_isolated(all_queries)
+
     from neynar_parquet_importer_spark.session import get_spark
 
     spark = get_spark(
@@ -489,21 +569,6 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    # warmup at the small sf (same discipline as bench.py)
-    for name in FAMILY_QUERIES + RELATIONAL_QUERIES:
-        try:
-            QUERIES[name](spark, "/root/testdata/sf0.01").count()
-        except Exception:
-            pass
-    from neynar_parquet_importer_spark.operators.dedup import release_cached
-
-    release_cached()
-    spark.catalog.clearCache()
-
-    all_queries = FAMILY_QUERIES + RELATIONAL_QUERIES
-    r01 = time_queries(spark, SF01, all_queries)
-    r1 = time_queries(spark, SF1_DIR, all_queries)
     checks = scale_checks(spark, SF1_DIR)
     checks["ann_recall_sf1"] = ann_recall_checks(spark, SF1_DIR)
 
@@ -517,6 +582,8 @@ def main() -> None:
         "sf0.1": r01, "sf1": r1,
         "scaling_exponent_log10": exponents,
         "relational_queries": RELATIONAL_QUERIES,
+        "isolation": "fresh JVM per (query, both scales); min of 2 passes"
+                     " per scale (see scale_study._measure_single)",
         "checks": checks,
         # measured, not asserted: generate_sf1's per-label rounding can
         # drift the embedding total by a few rows
@@ -539,4 +606,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        _measure_single(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    else:
+        main()
