@@ -145,7 +145,10 @@ _TPCH_RE = re.compile(r"^q\d+_")
 _FAMILY_PREFIXES = [
     ("embedding_", "embedding"),
     ("dedup_", "dedup"),
-    ("split_", "dedup"),
+    # the two round-6 cluster ops only: split_leakage_pairs predates the
+    # family map and stays 'relational' so cross-round subtotal diffs of
+    # the tail line aren't perturbed by a reclassification
+    ("split_cluster_", "dedup"),
     ("soft_dedup_", "dedup"),
     ("text_", "text"),
     ("lang_", "lang"),

@@ -2179,21 +2179,18 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-FREE train/val/test split: the split unit is the near-dup
-    CLUSTER, not the document. `split_leakage_pairs` shows the naive
-    per-doc hash split leaks (a val doc near-identical to a train doc);
-    the standard fix is to hash the cluster representative — every member
-    of a connected near-dup component inherits one split, so cross-split
-    near-dup pairs are zero BY CONSTRUCTION (asserted in
-    tests/test_sampling_corpus.py). Pipeline: the same capped-Jaccard
-    pair scan (>= 0.5) -> connected components (min-id label) -> split
-    key = component for clustered docs, own id for singletons -> the
-    shared md5 hash-range split. At 100 TB the pair scan dominates; the
-    component frame is a tiny contraction of the corpus (only clustered
-    docs), so the left join back is AQE-broadcastable and the assignment
-    itself stays one codegen'd projection. ORACLE-CHECKED end-to-end
-    (recursive-CTE closure + the same CASE split in DuckDB)."""
+def _near_dup_components(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, components) for the cluster-unit operators. ONE definition
+    of the cluster — capped-Jaccard pairs (>= 0.5, df-cap 0.05) ->
+    connected components (min-id label), components keyed by `doc_id` —
+    shared by `split_cluster_safe` and `soft_dedup_weights` so the split
+    unit and the weight unit can never silently de-synchronize on a
+    threshold tweak. The component frame is a tiny contraction of the
+    corpus (clustered docs only), so joins back against it are
+    AQE-broadcast when small, sort-merge when a pathological corpus
+    makes it large."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
         docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
@@ -2201,6 +2198,23 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dd.connected_components(pairs, detach=True).withColumnsRenamed(
         {"id": "doc_id"}
     )
+    return docs, comp
+
+
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split: the split unit is the near-dup
+    CLUSTER, not the document. `split_leakage_pairs` shows the naive
+    per-doc hash split leaks (a val doc near-identical to a train doc);
+    the standard fix is to hash the cluster representative — every member
+    of a connected near-dup component inherits one split, so cross-split
+    near-dup pairs are zero BY CONSTRUCTION (asserted in
+    tests/test_sampling_corpus.py). Pipeline: the shared
+    `_near_dup_components` contraction -> split key = component for
+    clustered docs, own id for singletons -> the shared md5 hash-range
+    split. At 100 TB the pair scan dominates and the assignment itself
+    stays one codegen'd projection. ORACLE-CHECKED end-to-end
+    (recursive-CTE closure + the same CASE split in DuckDB)."""
+    docs, comp = _near_dup_components(spark, sf_dir)
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -2219,18 +2233,12 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct piece of content contributes exactly 1.0 to the training
     mix no matter how many copies the crawl collected — the reweighting
     alternative data-constrained LM training uses when hard dedup would
-    discard too many tokens. Same contraction as `split_cluster_safe`
-    (pair scan -> connected components), plus one tiny per-component
-    count; both joins back are over the contraction and AQE-broadcast
-    when it is small. ORACLE-CHECKED (recursive-CTE closure + the same
-    size/weight arithmetic in DuckDB)."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
-    ).select("id_a", "id_b")
-    comp = dd.connected_components(pairs, detach=True).withColumnsRenamed(
-        {"id": "doc_id"}
-    )
+    discard too many tokens. The SAME `_near_dup_components` contraction
+    as `split_cluster_safe` (one cluster definition for both), plus one
+    tiny per-component count; both joins back are over the contraction
+    and AQE-broadcast when it is small. ORACLE-CHECKED (recursive-CTE
+    closure + the same size/weight arithmetic in DuckDB)."""
+    docs, comp = _near_dup_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -3829,8 +3837,13 @@ ORACLE_SQL["lang_label_confusion"] = """
     GROUP BY declared, predicted
 """
 
-ORACLE_SQL["source_near_dup_matrix"] = """
-    WITH base AS (
+# ONE oracle-side definition of the capped near-dup pair scan (trigram
+# shingles, fractional df-cap 0.05, exact Jaccard >= 0.5) and of the
+# component closure over it — composed into every 0.5-threshold twin
+# below exactly the way the Spark side shares dd.jaccard_all_pairs /
+# _near_dup_components, so the cluster definition cannot silently
+# de-synchronize between oracles either.
+_ORACLE_CAPPED_PAIRS_05 = """base AS (
         SELECT doc_id,
                CASE WHEN len(t) >= 3
                     THEN list_distinct(list_transform(
@@ -3858,7 +3871,23 @@ ORACLE_SQL["source_near_dup_matrix"] = """
             FROM capped a JOIN capped b ON a.doc_id < b.doc_id
         )
         WHERE jaccard >= 0.5
-    )
+    )"""
+
+_ORACLE_COMPONENT_CTES = """edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    )"""
+
+ORACLE_SQL["source_near_dup_matrix"] = f"""
+    WITH {_ORACLE_CAPPED_PAIRS_05}
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
            count(*) AS n_pairs,
@@ -3891,38 +3920,10 @@ ORACLE_SQL["length_curriculum_buckets"] = """
     GROUP BY bucket
 """
 
-ORACLE_SQL["split_leakage_pairs"] = """
-    WITH base AS (
+ORACLE_SQL["split_leakage_pairs"] = f"""
+    WITH {_ORACLE_CAPPED_PAIRS_05}, splits AS (
         SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                    THEN list_distinct(list_transform(
-                           generate_series(1, len(t) - 2),
-                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                    ELSE [array_to_string(t, ' ')] END AS s
-        FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
-              FROM documents)
-    ), shx AS (
-        SELECT doc_id, unnest(s) AS shingle FROM base
-    ), hot AS (
-        SELECT shingle FROM shx GROUP BY shingle
-        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
-    ), capped AS (
-        SELECT doc_id, list(shingle) AS s
-        FROM shx ANTI JOIN hot USING (shingle)
-        GROUP BY doc_id
-    ), pairs AS (
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s))::DOUBLE
-                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-                         6) AS jaccard
-            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
-        )
-        WHERE jaccard >= 0.5
-    ), splits AS (
-        SELECT doc_id,
-               {SPLIT_CASE} AS split
+               {smp.split_case_sql(["doc_id"], _SPLIT_WEIGHTS, "split")} AS split
         FROM documents
     )
     SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
@@ -3932,68 +3933,18 @@ ORACLE_SQL["split_leakage_pairs"] = """
     WHERE sa.split != sb.split
 """
 
-ORACLE_SQL["split_leakage_pairs"] = ORACLE_SQL["split_leakage_pairs"].replace(
-    "{SPLIT_CASE}", smp.split_case_sql(["doc_id"], _SPLIT_WEIGHTS, "split")
-)
-
-ORACLE_SQL["split_cluster_safe"] = """
-    WITH RECURSIVE base AS (
-        SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                    THEN list_distinct(list_transform(
-                           generate_series(1, len(t) - 2),
-                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                    ELSE [array_to_string(t, ' ')] END AS s
-        FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
-              FROM documents)
-    ), shx AS (
-        SELECT doc_id, unnest(s) AS shingle FROM base
-    ), hot AS (
-        SELECT shingle FROM shx GROUP BY shingle
-        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
-    ), capped AS (
-        SELECT doc_id, list(shingle) AS s
-        FROM shx ANTI JOIN hot USING (shingle)
-        GROUP BY doc_id
-    ), pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s))::DOUBLE
-                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-                         6) AS jaccard
-            FROM capped a JOIN capped b ON a.doc_id < b.doc_id
-        )
-        WHERE jaccard >= 0.5
-    ), edges AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ), reach(src, dst) AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
-    ), comp AS (
-        SELECT src AS doc_id, least(src, min(dst)) AS component
-        FROM reach GROUP BY src
-    ), keyed AS (
+ORACLE_SQL["split_cluster_safe"] = f"""
+    WITH RECURSIVE {_ORACLE_CAPPED_PAIRS_05}, {_ORACLE_COMPONENT_CTES}, keyed AS (
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     )
-    SELECT doc_id, split_key, {SPLIT_CASE} AS split FROM keyed
+    SELECT doc_id, split_key,
+           {smp.split_case_sql(["split_key"], _SPLIT_WEIGHTS, "split")} AS split
+    FROM keyed
 """
 
-ORACLE_SQL["split_cluster_safe"] = ORACLE_SQL["split_cluster_safe"].replace(
-    "{SPLIT_CASE}", smp.split_case_sql(["split_key"], _SPLIT_WEIGHTS, "split")
-)
-
-# same closure as split_cluster_safe up to `comp`, then per-component
-# sizes and the 1/|cluster| weight
-ORACLE_SQL["soft_dedup_weights"] = (
-    ORACLE_SQL["split_cluster_safe"][
-        : ORACLE_SQL["split_cluster_safe"].index("), keyed AS (")
-    ]
-    + """), sizes AS (
+ORACLE_SQL["soft_dedup_weights"] = f"""
+    WITH RECURSIVE {_ORACLE_CAPPED_PAIRS_05}, {_ORACLE_COMPONENT_CTES}, sizes AS (
         SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
     )
     SELECT d.doc_id,
@@ -4003,7 +3954,6 @@ ORACLE_SQL["soft_dedup_weights"] = (
     LEFT JOIN comp c ON d.doc_id = c.doc_id
     LEFT JOIN sizes s ON c.component = s.component
 """
-)
 
 ORACLE_SQL["rag_passage_windows"] = """
     WITH words AS (

@@ -6,11 +6,13 @@ The driver ships testdata up to sf0.1 (documents: 5k rows, embeddings:
 distributions are fit from sf0.1 itself — empirical token frequencies,
 token-count distribution, lang/source mix, the same planted exact/near
 dup rates, and per-label Gaussian embedding clusters fit from the real
-vectors — then measures each family query at both scales, each query in
-its own FRESH subprocess (round-6 methodology fix: a long shared session
-contaminates successors' timings up to 16x — see _measure_single), with
-bench.py's per-pass discipline (min of 2 passes, System.gc() between
-passes, loadavg stamped), and reports the scaling exponent
+vectors — then measures each family query at both scales, each
+(query, scale) pair in its own FRESH subprocess (round-6 methodology
+fix: a long shared session contaminates successors' timings up to 16x,
+and a shared per-query process would still run sf1 after sf0.1's debris
+— see _measure_single), with bench.py's per-pass discipline (min of 2
+passes, System.gc() between passes, loadavg stamped), and reports the
+scaling exponent
 ``log10(t_sf1 / t_sf0.1)`` (1.0 = linear in corpus size; pair scans over
 10x docs may exceed 1 where the PAIR population, not the row count, is
 the true workload).
@@ -278,33 +280,39 @@ def _load1() -> float:
 
 
 _RESULT_PREFIX = "##RESULT## "
+_SCALE_DIRS = {"sf0.1": SF01, "sf1": SF1_DIR}
+# generous per-(query,scale) ceiling: the slowest clean measurement seen
+# (forced-LSH probe at sf1) is ~150 s/pass; a subprocess past this is
+# hung, not slow, and the study should fail with its captured output
+_SINGLE_TIMEOUT_S = 1800
 
 
-def _measure_single(name: str, passes_n: int = 2) -> None:
-    """Measure ONE query at both scales inside THIS (fresh) process and
+def _measure_single(name: str, scale: str, passes_n: int = 2) -> None:
+    """Measure ONE query at ONE scale inside THIS (fresh) process and
     print a machine-readable result line.
 
-    Why a process per query: measured in round 6, a query's in-session
-    cost at sf1 depends on what ran before it — `embedding_semdedup` was
-    2.8 s standalone, 7.3 s after 11 family queries, and 46 s (both
-    passes, 20 min apart) deep inside the old single-session sweep, with
-    LOW loadavg during the slow passes. Predecessor queries' async
-    shuffle cleanup, Python-worker pools, JVM heap fragmentation, and
-    page-cache eviction pollute successors in ways release_cached() +
-    System.gc() cannot undo, and min-of-2 cannot defend against a
-    session that is PERSISTENTLY degraded by the time the query runs.
-    A scaling exponent should measure the query, not the session debris,
-    so each (query, both-scales) measurement gets a fresh JVM; within
-    the process both scales run under identical state (warmup at
-    sf0.01, then sf0.1 passes, then sf1 passes), keeping the ratio
-    internally consistent. Per-pass raw timings + loadavg stay in the
-    artifact so noise remains diagnosable."""
+    Why a process per (query, scale): measured in round 6, a query's
+    in-session cost at sf1 depends on what ran before it —
+    `embedding_semdedup` was 2.8 s standalone, 7.3 s after 11 family
+    queries, and 46 s (both passes, 20 min apart) deep inside the old
+    single-session sweep, with LOW loadavg during the slow passes.
+    Predecessor queries' async shuffle cleanup, Python-worker pools, JVM
+    heap fragmentation, and page-cache eviction pollute successors in
+    ways release_cached() + System.gc() cannot undo, and min-of-2 cannot
+    defend against a session that is PERSISTENTLY degraded by the time
+    the query runs. A scaling exponent should measure the query, not the
+    session debris — and both scales must be measured under the SAME
+    state (a shared process would run sf1 after sf0.1's debris, biasing
+    the ratio up) — so each (query, scale) pair gets its own fresh JVM:
+    warmup at sf0.01, then `passes_n` timed passes. Per-pass raw timings
+    + loadavg stay in the artifact so noise remains diagnosable."""
     from neynar_parquet_importer_spark.operators.dedup import release_cached
     from neynar_parquet_importer_spark.plans.queries import QUERIES
     from neynar_parquet_importer_spark.session import get_spark
 
+    sf_dir = _SCALE_DIRS[scale]
     spark = get_spark(
-        app_name=f"scale-{name}",
+        app_name=f"scale-{name}-{scale}",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -312,26 +320,28 @@ def _measure_single(name: str, passes_n: int = 2) -> None:
         QUERIES[name](spark, "/root/testdata/sf0.01").count()
     except Exception:
         pass  # a warmup failure surfaces in the timed pass with a trace
-    out: dict = {"query": name}
-    for key, sf_dir in [("sf0.1", SF01), ("sf1", SF1_DIR)]:
-        ps: list[float] = []
-        ls: list[float] = []
-        for _ in range(passes_n):
-            release_cached()
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            ls.append(_load1())
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            ps.append(round(time.perf_counter() - t0, 3))
-        out[key] = {"passes": ps, "loadavg_1m": ls}
+    ps: list[float] = []
+    ls: list[float] = []
+    for _ in range(passes_n):
+        release_cached()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        ls.append(_load1())
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        ps.append(round(time.perf_counter() - t0, 3))
     spark.stop()
+    out = {"query": name, scale: {"passes": ps, "loadavg_1m": ls}}
     print(_RESULT_PREFIX + json.dumps(out), flush=True)
 
 
 def time_queries_isolated(names: list[str], passes_n: int = 2) -> tuple[dict, dict]:
-    """Run `--single` for every query in its own subprocess; returns the
-    (sf0.1, sf1) result dicts in the artifact's schema."""
+    """Run `--single` for every (query, scale) in its own subprocess;
+    returns the (sf0.1, sf1) result dicts in the artifact's schema. A
+    subprocess that exits non-zero, hangs past the per-measurement
+    timeout, or produces no result line fails the study loudly with its
+    captured output — a half-dead measurement must never enter
+    BENCH_SCALING.json as a number."""
     import subprocess
     import sys
 
@@ -339,30 +349,39 @@ def time_queries_isolated(names: list[str], passes_n: int = 2) -> tuple[dict, di
     r1: dict = {"passes": {}, "loadavg_1m": {}, "timings": {}}
     here = os.path.abspath(__file__)
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, here, "--single", name, str(passes_n)],
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(here),
-        )
-        line = next(
-            (
-                ln
-                for ln in reversed(proc.stdout.splitlines())
-                if ln.startswith(_RESULT_PREFIX)
-            ),
-            None,
-        )
-        if line is None:
-            raise SystemExit(
-                f"measurement subprocess failed for {name}:\n"
-                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        for res, scale in [(r01, "sf0.1"), (r1, "sf1")]:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, here, "--single", name, scale, str(passes_n)],
+                    capture_output=True,
+                    text=True,
+                    cwd=os.path.dirname(here),
+                    timeout=_SINGLE_TIMEOUT_S,
+                )
+            except subprocess.TimeoutExpired as exc:
+                raise SystemExit(
+                    f"measurement hung (> {_SINGLE_TIMEOUT_S}s) for"
+                    f" {name} @ {scale}:\n"
+                    f"{(exc.stdout or b'')[-2000:]}\n{(exc.stderr or b'')[-2000:]}"
+                ) from exc
+            line = next(
+                (
+                    ln
+                    for ln in reversed(proc.stdout.splitlines())
+                    if ln.startswith(_RESULT_PREFIX)
+                ),
+                None,
             )
-        d = json.loads(line[len(_RESULT_PREFIX):])
-        for res, key in [(r01, "sf0.1"), (r1, "sf1")]:
-            res["passes"][name] = d[key]["passes"]
-            res["loadavg_1m"][name] = d[key]["loadavg_1m"]
-            res["timings"][name] = min(d[key]["passes"])
+            if proc.returncode != 0 or line is None:
+                raise SystemExit(
+                    f"measurement subprocess failed for {name} @ {scale}"
+                    f" (returncode {proc.returncode}):\n"
+                    f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+                )
+            d = json.loads(line[len(_RESULT_PREFIX):])
+            res["passes"][name] = d[scale]["passes"]
+            res["loadavg_1m"][name] = d[scale]["loadavg_1m"]
+            res["timings"][name] = min(d[scale]["passes"])
         print(
             f"{name}: sf0.1 {r01['timings'][name]}s  sf1 {r1['timings'][name]}s",
             flush=True,
@@ -557,8 +576,8 @@ def main() -> None:
         print("generating sf1 relational tables ...", flush=True)
         generate_sf1_relational(SF1_DIR)
 
-    # timings first, each (query, both-scales) in its own fresh JVM —
-    # see _measure_single for the measured session-contamination story
+    # timings first, each (query, scale) in its own fresh JVM — see
+    # _measure_single for the measured session-contamination story
     all_queries = FAMILY_QUERIES + RELATIONAL_QUERIES
     r01, r1 = time_queries_isolated(all_queries)
 
@@ -582,7 +601,7 @@ def main() -> None:
         "sf0.1": r01, "sf1": r1,
         "scaling_exponent_log10": exponents,
         "relational_queries": RELATIONAL_QUERIES,
-        "isolation": "fresh JVM per (query, both scales); min of 2 passes"
+        "isolation": "fresh JVM per (query, scale); min of 2 passes"
                      " per scale (see scale_study._measure_single)",
         "checks": checks,
         # measured, not asserted: generate_sf1's per-label rounding can
@@ -609,6 +628,10 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
-        _measure_single(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+        _measure_single(
+            sys.argv[2],
+            sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+        )
     else:
         main()

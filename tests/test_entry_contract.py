@@ -73,7 +73,10 @@ def test_bench_covers_every_registered_query():
 
     from neynar_parquet_importer_spark.plans.queries import QUERIES
 
-    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    import os
+
+    bench_path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", bench_path)
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     assert sorted(bench.BENCH_QUERIES) == sorted(QUERIES)

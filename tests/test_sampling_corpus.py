@@ -681,8 +681,6 @@ def test_cluster_ops_on_pair_free_corpus(spark):
     assert pairs.count() == 0
     comp = dd.connected_components(pairs, detach=True)
     assert comp.count() == 0
-    from pyspark.sql import functions as F
-
     assigned = (
         docs.select("doc_id")
         .join(comp.withColumnsRenamed({"id": "doc_id"}), "doc_id", "left")
