@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "split_leakage_pairs",
     "split_cluster_safe",
     "soft_dedup_weights",
+    "bloom_incremental_dedup",
+    "bloom_words_profile",
     "lang_label_confusion",
     "contrastive_negative_samples",
     "contrastive_triplets",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..filters import compile_filter
 from ..functions.scalars import window_start
+from ..operators import bloom as blm
 from ..operators import corpus as crp
 from ..operators import dedup as dd
 from ..operators import sampling as smp
@@ -2423,6 +2424,65 @@ def pretrain_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_summary(_pretrain_curated(spark, sf_dir))
 
 
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: Bloom pre-filter + exact confirmation.
+
+    History = even doc_ids, incoming = odd.  The history is folded into a
+    Bloom words table (``bloom.bloom_build``); each incoming row pays k
+    broadcast-join probes, and only the ``maybe`` slice is exactly
+    confirmed against history — the join the filter exists to avoid never
+    touches the definite-new rows.  The filter here is DELIBERATELY
+    undersized (1024 bits for ~250 history docs, load ~1 bit/bit) so the
+    false-positive path is exercised and value-checked at bench scale;
+    production sizing comes from ``bloom.bloom_size_for`` (12 GB of bits
+    covers 10 B documents at 1 % FPR).  Per-source accounting: candidate
+    = flagged by the filter, true dup = exact text match in history,
+    false positive = flagged but no match (resolved by the confirmation
+    join).  No false negatives by construction — the oracle twin replays
+    the identical md5/Kirsch-Mitzenmacher/bit arithmetic in DuckDB.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    bl = blm.bloom_build(hist, "text", n_bits=1024, k=4)
+    probed = blm.bloom_probe(
+        inc, "text", bl, n_bits=1024, k=4, id_col="doc_id"
+    )
+    confirmed = (
+        probed.filter(F.col("maybe_in_bloom"))
+        .join(hist.select("text").distinct(), "text", "left_semi")
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    flagged = probed.join(confirmed, "doc_id", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    maybe = F.col("maybe_in_bloom")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_incoming"),
+        F.sum((~maybe).cast("long")).alias("n_definite_new"),
+        F.sum(maybe.cast("long")).alias("n_candidate_dup"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_true_dup"),
+        F.sum((maybe & ~F.col("is_dup")).cast("long")).alias("n_false_pos"),
+    )
+
+
+def bloom_words_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact profile of a production-sized Bloom filter over the whole
+    documents table: word count, set-bit population, and a positional
+    checksum (``sum(word_idx * word)``, < 2^52 so exact in BIGINT on any
+    engine).  A single flipped bit anywhere in the filter changes the
+    checksum — this is the strongest value check of the build path."""
+    docs = _t(spark, sf_dir, "documents")
+    bl = blm.bloom_build(docs, "text", n_bits=1 << 15, k=4)
+    return bl.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.bit_count("word")).alias("n_set_bits"),
+        F.sum(F.col("word_idx") * F.col("word")).alias("words_checksum"),
+        F.min("word_idx").alias("min_word_idx"),
+        F.max("word_idx").alias("max_word_idx"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -2523,6 +2583,8 @@ QUERIES = {
     "split_leakage_pairs": split_leakage_pairs,
     "split_cluster_safe": split_cluster_safe,
     "soft_dedup_weights": soft_dedup_weights,
+    "bloom_incremental_dedup": bloom_incremental_dedup,
+    "bloom_words_profile": bloom_words_profile,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
     "contrastive_triplets": contrastive_triplets,
@@ -4553,6 +4615,65 @@ def _lsh_pairs_oracle_sql(sf_dir: str) -> str:
         )
         WHERE cos_sim >= 0.5
     """
+
+
+# Bloom family: DuckDB replays the identical md5 -> (h1, h2) ->
+# Kirsch-Mitzenmacher position -> 32-bit-word bit_or arithmetic; every
+# value stays positive and < 2^36, overflow-free on both engines.
+ORACLE_SQL["bloom_incremental_dedup"] = """
+    WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1),
+    hh AS (SELECT CAST('0x'||substr(md5(text),1,8) AS BIGINT) AS h1,
+                  CAST('0x'||substr(md5(text),9,8) AS BIGINT) AS h2
+           FROM hist),
+    hpos AS (SELECT ((h1 + i*h2) % 1024) AS pos
+             FROM hh, unnest(range(0,4)) u(i)),
+    words AS (SELECT pos // 32 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+              FROM hpos GROUP BY 1),
+    ih AS (SELECT doc_id, source, text,
+                  CAST('0x'||substr(md5(text),1,8) AS BIGINT) AS h1,
+                  CAST('0x'||substr(md5(text),9,8) AS BIGINT) AS h2
+           FROM inc),
+    probes AS (SELECT doc_id, ((h1 + i*h2) % 1024) AS pos
+               FROM ih, unnest(range(0,4)) u(i)),
+    hit AS (SELECT p.doc_id,
+                   bool_and(w.word IS NOT NULL
+                            AND ((w.word >> CAST(p.pos % 32 AS INT)) & 1) = 1)
+                     AS maybe
+            FROM probes p LEFT JOIN words w ON w.word_idx = p.pos // 32
+            GROUP BY p.doc_id),
+    labeled AS (
+        SELECT i.source, h.maybe,
+               (h.maybe AND EXISTS (SELECT 1 FROM hist x WHERE x.text = i.text))
+                 AS is_dup
+        FROM ih i JOIN hit h ON h.doc_id = i.doc_id)
+    SELECT source,
+           count(*) AS n_incoming,
+           sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END)::BIGINT AS n_definite_new,
+           sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_candidate_dup,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_true_dup,
+           sum(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_pos
+    FROM labeled GROUP BY source
+"""
+
+ORACLE_SQL["bloom_words_profile"] = """
+    WITH hh AS (SELECT CAST('0x'||substr(md5(text),1,8) AS BIGINT) AS h1,
+                       CAST('0x'||substr(md5(text),9,8) AS BIGINT) AS h2
+                FROM documents),
+    pos AS (SELECT ((h1 + i*h2) % 32768) AS pos
+            FROM hh, unnest(range(0,4)) u(i)),
+    words AS (SELECT pos // 32 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+              FROM pos GROUP BY 1)
+    SELECT count(*) AS n_words,
+           sum(bit_count(word))::BIGINT AS n_set_bits,
+           sum(word_idx * word)::BIGINT AS words_checksum,
+           min(word_idx) AS min_word_idx,
+           max(word_idx) AS max_word_idx
+    FROM words
+"""
 
 
 _ARTIFACT_ORACLE_CACHE: dict[tuple, dict[str, str]] = {}
