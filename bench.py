@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "soft_dedup_weights",
     "bloom_incremental_dedup",
     "bloom_words_profile",
+    "embedding_sq8_topk",
     "lang_label_confusion",
     "contrastive_negative_samples",
     "contrastive_triplets",

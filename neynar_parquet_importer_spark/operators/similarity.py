@@ -1059,3 +1059,131 @@ def pq_topk(
         .orderBy(F.desc("approx_cos"), F.col(id_col))
         .limit(k)
     )
+
+
+def sq8_params(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantization training state: ONE row ``(mns: array<double>,
+    mxs: array<double>)`` of per-dimension corpus min/max.
+
+    Unlike the LSH/IVF/PQ families, SQ8's entire "index training" is two
+    plan-side aggregates — no driver-side sample, no seeded artifact, no
+    collect anywhere — so the whole pipeline (train, compress, score) is
+    a single Catalyst plan and its oracle twin is plain static SQL. The
+    explode is k=dim rows per vector, map-side combined to dim rows per
+    partition before the shuffle."""
+    ex = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x")
+    )
+    pm = ex.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    one = pm.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("pm")
+    )
+    return one.select(
+        F.transform("pm", lambda s: s["mn"]).alias("mns"),
+        F.transform("pm", lambda s: s["mx"]).alias("mxs"),
+    )
+
+
+def _sq8_code(xi: Column, mn: Column, mx: Column) -> Column:
+    """8-bit affine code: clamp(floor((x - mn) / ((mx - mn)/255)), 0, 255).
+    Pure IEEE-double ops (sub/div/floor) — bit-identical on any engine,
+    which is what makes the family oracle-checkable without artifacts."""
+    s = (mx - mn) / F.lit(255.0)
+    raw = F.floor((xi - mn) / s).cast("double")
+    return F.when(
+        mx > mn, F.greatest(F.lit(0.0), F.least(F.lit(255.0), raw))
+    ).otherwise(F.lit(0.0))
+
+
+def sq8_compress(
+    df: DataFrame,
+    params: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sq_code: array<int>) — the 1-byte-per-dimension compressed
+    corpus (4x smaller than float32, what a 100 TB vector store scans)."""
+    if params is None:
+        params = sq8_params(df, vec_col)
+    x = F.col(vec_col).cast("array<double>")
+
+    def code(xi, i):
+        mn = F.element_at(F.col("mns"), i + 1)
+        mx = F.element_at(F.col("mxs"), i + 1)
+        return _sq8_code(xi, mn, mx).cast("int")
+
+    return df.crossJoin(F.broadcast(params)).select(
+        F.col(id_col), F.transform(x, code).alias("sq_code")
+    )
+
+
+def sq8_dequantized(
+    df: DataFrame,
+    params: DataFrame | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "sq_deq",
+) -> DataFrame:
+    """``df`` + ``out_col``: the quantize->dequantize round trip
+    ``mn + code * (mx - mn)/255`` — the reconstruction an SQ8 scanner
+    scores against. One narrow higher-order pass per row (fine at
+    dim <= ~128; see the PQ family for the wide-arithmetic regime where
+    per-row work moves to an Arrow-batched pandas UDF)."""
+    if params is None:
+        params = sq8_params(df, vec_col)
+    x = F.col(vec_col).cast("array<double>")
+
+    def deq(xi, i):
+        mn = F.element_at(F.col("mns"), i + 1)
+        mx = F.element_at(F.col("mxs"), i + 1)
+        s = (mx - mn) / F.lit(255.0)
+        return F.when(mx > mn, mn + _sq8_code(xi, mn, mx) * s).otherwise(mn)
+
+    return (
+        df.crossJoin(F.broadcast(params))
+        .withColumn(out_col, F.transform(x, deq))
+        .drop("mns", "mxs")
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    params: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: bool = True,
+) -> DataFrame:
+    """Approximate top-k by cosine over SQ8 reconstructions, with an
+    optional exact rerank of JUST the k winners.
+
+    ``query_df`` is a one-row broadcast frame with column ``q`` (the
+    no-collect convention of the cosine family). The scan scores every
+    row against the dequantized vector — TakeOrderedAndProject keeps it
+    a per-partition heap — then ``rerank=True`` joins only the k
+    surviving ids back to their float vectors for an exact score, so the
+    output exposes both ``sq_cos_raw`` and ``exact_cos_raw`` and the
+    quantization error is visible per hit. At 100 TB the scan touches
+    only the 1-byte codes + the one-row params broadcast; the float
+    corpus is read for k rows."""
+    deq = sq8_dequantized(df, params=params, vec_col=vec_col)
+    scored = deq.crossJoin(query_df)
+    num = _dot(F.col("sq_deq"), F.col("q"))
+    den = _norm(F.col("sq_deq")) * _norm(F.col("q"))
+    sq_cos = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    top = (
+        scored.select(F.col(id_col), sq_cos.alias("sq_cos_raw"))
+        .orderBy(F.desc("sq_cos_raw"), F.col(id_col))
+        .limit(k)
+    )
+    if not rerank:
+        return top
+    exact = df.select(id_col, vec_col).join(
+        F.broadcast(top), id_col
+    ).crossJoin(query_df)
+    enum = _dot(F.col(vec_col), F.col("q"))
+    eden = _norm(F.col(vec_col)) * _norm(F.col("q"))
+    ecos = F.when(eden > 0, enum / eden).otherwise(F.lit(0.0))
+    return exact.select(
+        id_col, "sq_cos_raw", ecos.alias("exact_cos_raw")
+    )

@@ -2424,6 +2424,25 @@ def pretrain_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_summary(_pretrain_curated(spark, sf_dir))
 
 
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 via 8-bit scalar quantization (SQ8), the fourth
+    index family next to LSH (data-oblivious), IVF (adaptive-probe), and
+    PQ (compressed-domain ADC). SQ8's entire training state is two
+    plan-side aggregates (per-dimension min/max) — no driver sample, no
+    seeded artifact, no collect — so unlike the other three families its
+    oracle twin is static SQL, not a generated artifact replay. The scan
+    scores dequantized reconstructions (1 byte/dim at rest), and the 20
+    winners are exactly reranked so quantization error is visible
+    per hit (sq_cos vs exact_cos)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    top = sim.sq8_topk(emb, _query_vec_df(spark, sf_dir), k=20, rerank=True)
+    return top.select(
+        "vec_id",
+        F.round("sq_cos_raw", 6).alias("sq_cos"),
+        F.round("exact_cos_raw", 6).alias("exact_cos"),
+    )
+
+
 def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: Bloom pre-filter + exact confirmation.
 
@@ -2585,6 +2604,7 @@ QUERIES = {
     "soft_dedup_weights": soft_dedup_weights,
     "bloom_incremental_dedup": bloom_incremental_dedup,
     "bloom_words_profile": bloom_words_profile,
+    "embedding_sq8_topk": embedding_sq8_topk,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
     "contrastive_triplets": contrastive_triplets,
@@ -4620,6 +4640,52 @@ def _lsh_pairs_oracle_sql(sf_dir: str) -> str:
 # Bloom family: DuckDB replays the identical md5 -> (h1, h2) ->
 # Kirsch-Mitzenmacher position -> 32-bit-word bit_or arithmetic; every
 # value stays positive and < 2^36, overflow-free on both engines.
+# SQ8: the one index family whose full pipeline (train = per-dim min/max
+# aggregates, compress, score, rerank) is static SQL — every step is
+# IEEE-double sub/div/floor, bit-identical across engines.
+ORACLE_SQL["embedding_sq8_topk"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    pm AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+           FROM e, unnest(range(1, len(v)+1)) u(d) GROUP BY d),
+    pma AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+            FROM pm),
+    deq AS (
+        SELECT e.vec_id,
+               list_transform(range(1, len(e.v)+1), i ->
+                   CASE WHEN pma.mxs[i] > pma.mns[i]
+                        THEN pma.mns[i]
+                             + GREATEST(0.0, LEAST(255.0,
+                                 floor((e.v[i] - pma.mns[i])
+                                       / ((pma.mxs[i] - pma.mns[i]) / 255.0))))
+                               * ((pma.mxs[i] - pma.mns[i]) / 255.0)
+                        ELSE pma.mns[i] END) AS dq
+        FROM e CROSS JOIN pma),
+    scored AS (
+        SELECT d.vec_id,
+               CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS sq_cos_raw
+        FROM (
+            SELECT d.vec_id,
+                   list_dot_product(d.dq, q.q) AS num,
+                   sqrt(list_dot_product(d.dq, d.dq))
+                     * sqrt(list_dot_product(q.q, q.q)) AS den
+            FROM deq d CROSS JOIN q
+        ) d),
+    top AS (SELECT vec_id, sq_cos_raw FROM scored
+            ORDER BY sq_cos_raw DESC, vec_id LIMIT 20)
+    SELECT t.vec_id,
+           round(t.sq_cos_raw, 6) AS sq_cos,
+           round(CASE WHEN eden > 0 THEN enum / eden ELSE 0.0 END, 6)
+             AS exact_cos
+    FROM (
+        SELECT t.vec_id, t.sq_cos_raw,
+               list_dot_product(e.v, q.q) AS enum,
+               sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.q, q.q)) AS eden
+        FROM top t JOIN e ON e.vec_id = t.vec_id CROSS JOIN q
+    ) t
+"""
+
 ORACLE_SQL["bloom_incremental_dedup"] = """
     WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
     inc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 1),
