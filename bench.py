@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "bloom_incremental_dedup",
     "bloom_words_profile",
     "embedding_sq8_topk",
+    "quality_classifier_scores",
     "lang_label_confusion",
     "contrastive_negative_samples",
     "contrastive_triplets",

@@ -27,6 +27,7 @@ from ..catalog import load_table
 from ..filters import compile_filter
 from ..functions.scalars import window_start
 from ..operators import bloom as blm
+from ..operators import classifier as clf
 from ..operators import corpus as crp
 from ..operators import dedup as dd
 from ..operators import sampling as smp
@@ -2424,6 +2425,27 @@ def pretrain_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_summary(_pretrain_curated(spark, sf_dir))
 
 
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality gate, inference side: tokens
+    -> md5 hash buckets -> weight-table join -> mean weight as the keep/
+    drop logit. Weights are integer milli-units so the per-doc sum is
+    exact int64 and the logit one deterministic double division —
+    value-checkable with no rounding tolerance (the gate projects the
+    exact integer sum, not the float logit — a rounded logit sits on
+    round-half boundaries engines break differently). The pseudo-trained
+    weight table stands in for a real model; the join shape is identical
+    (see operators/classifier.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = clf.pseudo_weights(spark, 4096)
+    out = clf.classify(docs, w, "text", "doc_id", n_buckets=4096)
+    return out.select(
+        "doc_id",
+        "n_terms",
+        "w_milli_sum",
+        (F.col("logit") > 0).alias("keep"),
+    )
+
+
 def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-20 via 8-bit scalar quantization (SQ8), the fourth
     index family next to LSH (data-oblivious), IVF (adaptive-probe), and
@@ -2605,6 +2627,7 @@ QUERIES = {
     "bloom_incremental_dedup": bloom_incremental_dedup,
     "bloom_words_profile": bloom_words_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
+    "quality_classifier_scores": quality_classifier_scores,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
     "contrastive_triplets": contrastive_triplets,
@@ -4640,6 +4663,30 @@ def _lsh_pairs_oracle_sql(sf_dir: str) -> str:
 # Bloom family: DuckDB replays the identical md5 -> (h1, h2) ->
 # Kirsch-Mitzenmacher position -> 32-bit-word bit_or arithmetic; every
 # value stays positive and < 2^36, overflow-free on both engines.
+# Hashed linear classifier: integer milli-weights make the per-doc sum
+# exact int64 on both engines; the logit is one double division.
+ORACLE_SQL["quality_classifier_scores"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tb AS (SELECT doc_id,
+                  (CAST('0x'||substr(md5(tok),1,8) AS BIGINT) % 4096) AS bucket
+           FROM tok),
+    w AS (SELECT i AS bucket,
+                 (CAST('0x'||substr(md5(CAST(i AS VARCHAR)),9,8) AS BIGINT)
+                    % 2001 - 1000) AS w_milli
+          FROM unnest(range(0, 4096)) u(i)),
+    j AS (SELECT tb.doc_id, coalesce(w.w_milli, 0) AS wm
+          FROM tb LEFT JOIN w USING (bucket))
+    SELECT doc_id,
+           count(*) AS n_terms,
+           sum(wm)::BIGINT AS w_milli_sum,
+           (sum(wm)::BIGINT / (1000.0 * count(*))) > 0 AS keep
+    FROM j GROUP BY doc_id
+"""
+
 # SQ8: the one index family whose full pipeline (train = per-dim min/max
 # aggregates, compress, score, rerank) is static SQL — every step is
 # IEEE-double sub/div/floor, bit-identical across engines.
