@@ -154,6 +154,8 @@ _FAMILY_PREFIXES = [
     # the tail line aren't perturbed by a reclassification
     ("split_cluster_", "dedup"),
     ("soft_dedup_", "dedup"),
+    ("bloom_", "dedup"),
+    ("quality_classifier_", "text"),
     ("text_", "text"),
     ("lang_", "lang"),
     ("contrastive_", "contrastive"),
