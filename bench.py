@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "bloom_words_profile",
     "embedding_sq8_topk",
     "quality_classifier_scores",
+    "heavy_hitters_cms",
     "lang_label_confusion",
     "contrastive_negative_samples",
     "contrastive_triplets",

@@ -28,6 +28,7 @@ from ..filters import compile_filter
 from ..functions.scalars import window_start
 from ..operators import bloom as blm
 from ..operators import classifier as clf
+from ..operators import cms as cm
 from ..operators import corpus as crp
 from ..operators import dedup as dd
 from ..operators import sampling as smp
@@ -2425,6 +2426,24 @@ def pretrain_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_summary(_pretrain_curated(spark, sf_dir))
 
 
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key candidates via a count-min sketch (the detector feeding
+    skew.salted_aggregate): build a 4x256 sketch over event user_ids —
+    one bounded, skew-free groupBy regardless of key cardinality — then
+    keep every key whose ESTIMATE clears the threshold. est >= true
+    always, so no genuinely hot key is missed (the one-sided CMS
+    guarantee); the narrow width deliberately forces collisions at bench
+    scale so overcounts are visible and value-checked. true_count rides
+    along to expose the estimation error per key."""
+    ev = _t(spark, sf_dir, "events")
+    sk = cm.cms_build(ev, "user_id", width=256, depth=4)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cm.cms_estimate(truth, sk, "user_id", width=256, depth=4)
+    return est.filter(F.col("est_count") >= 60).select(
+        "user_id", "true_count", "est_count"
+    )
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-linear quality gate, inference side: tokens
     -> md5 hash buckets -> weight-table join -> mean weight as the keep/
@@ -2628,6 +2647,7 @@ QUERIES = {
     "bloom_words_profile": bloom_words_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
+    "heavy_hitters_cms": heavy_hitters_cms,
     "lang_label_confusion": lang_label_confusion,
     "contrastive_negative_samples": contrastive_negative_samples,
     "contrastive_triplets": contrastive_triplets,
@@ -4663,6 +4683,40 @@ def _lsh_pairs_oracle_sql(sf_dir: str) -> str:
 # Bloom family: DuckDB replays the identical md5 -> (h1, h2) ->
 # Kirsch-Mitzenmacher position -> 32-bit-word bit_or arithmetic; every
 # value stays positive and < 2^36, overflow-free on both engines.
+# Count-min sketch: exact int64 counters over md5/KM probe cells; the
+# whole build/probe/min chain replays in SQL with no tolerance.
+ORACLE_SQL["heavy_hitters_cms"] = """
+    WITH hh AS (
+        SELECT user_id,
+               CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8) AS BIGINT)
+                 AS h1,
+               CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8) AS BIGINT)
+                 AS h2
+        FROM events
+    ),
+    cells AS (SELECT i AS r, ((h1 + i*h2) % 256) AS c
+              FROM hh, unnest(range(0,4)) u(i)),
+    sk AS (SELECT r, c, count(*)::BIGINT AS cnt FROM cells GROUP BY r, c),
+    truth AS (SELECT user_id, count(*)::BIGINT AS true_count
+              FROM events GROUP BY user_id),
+    keys AS (
+        SELECT user_id,
+               CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8) AS BIGINT)
+                 AS h1,
+               CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8) AS BIGINT)
+                 AS h2
+        FROM truth
+    ),
+    probes AS (SELECT user_id, i AS r, ((h1 + i*h2) % 256) AS c
+               FROM keys, unnest(range(0,4)) u(i)),
+    est AS (SELECT p.user_id, min(coalesce(s.cnt, 0)) AS est_count
+            FROM probes p LEFT JOIN sk s ON s.r = p.r AND s.c = p.c
+            GROUP BY p.user_id)
+    SELECT t.user_id, t.true_count, e.est_count
+    FROM truth t JOIN est e USING (user_id)
+    WHERE e.est_count >= 60
+"""
+
 # Hashed linear classifier: integer milli-weights make the per-doc sum
 # exact int64 on both engines; the logit is one double division.
 ORACLE_SQL["quality_classifier_scores"] = """
