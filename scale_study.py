@@ -101,6 +101,12 @@ FAMILY_QUERIES = [
     "split_cluster_safe",
     "soft_dedup_weights",
     "source_near_dup_matrix",
+    # round-6 second-pass primitives
+    "bloom_incremental_dedup",
+    "bloom_words_profile",
+    "embedding_sq8_topk",
+    "quality_classifier_scores",
+    "heavy_hitters_cms",
 ]
 
 
@@ -568,13 +574,22 @@ def ann_recall_checks(spark, sf1_dir: str) -> dict:
     return out
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
+    """Full study, or — with ``only`` — an incremental run that measures
+    just the named queries (same fresh-JVM isolation) and merges their
+    rows into the existing BENCH_SCALING.json, leaving every other
+    query's numbers and the corpus-level checks untouched.  Adding an
+    operator must not force re-measuring 45 unchanged ones."""
     if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
         print("generating sf1 corpus ...", flush=True)
         generate_sf1(SF1_DIR)
     if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
         print("generating sf1 relational tables ...", flush=True)
         generate_sf1_relational(SF1_DIR)
+
+    if only:
+        _main_incremental(only)
+        return
 
     # timings first, each (query, scale) in its own fresh JVM — see
     # _measure_single for the measured session-contamination story
@@ -624,6 +639,35 @@ def main() -> None:
     spark.stop()
 
 
+def _main_incremental(names: list[str]) -> None:
+    import math
+
+    unknown = [n for n in names if n not in FAMILY_QUERIES + RELATIONAL_QUERIES]
+    if unknown:
+        raise SystemExit(f"not in the study's query lists: {unknown}")
+    if not os.path.exists("BENCH_SCALING.json"):
+        raise SystemExit("--only needs an existing BENCH_SCALING.json to merge into")
+    with open("BENCH_SCALING.json") as f:
+        payload = json.load(f)
+    r01, r1 = time_queries_isolated(names)
+    for res, section in [(r01, "sf0.1"), (r1, "sf1")]:
+        for part in ("passes", "loadavg_1m", "timings"):
+            payload[section][part].update(res[part])
+    for n in names:
+        a, b = r01["timings"][n], r1["timings"][n]
+        payload["scaling_exponent_log10"][n] = round(
+            math.log10(max(b, 1e-3) / max(a, 1e-3)), 2
+        )
+    payload["run_at_incremental"] = {
+        "queries": names, "run_at": time.strftime("%Y%m%dT%H%M%S"),
+    }
+    with open("BENCH_SCALING.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(
+        {n: payload["scaling_exponent_log10"][n] for n in names}, indent=1
+    ))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -633,5 +677,7 @@ if __name__ == "__main__":
             sys.argv[3],
             int(sys.argv[4]) if len(sys.argv) > 4 else 2,
         )
+    elif len(sys.argv) > 2 and sys.argv[1] == "--only":
+        main(only=sys.argv[2].split(","))
     else:
         main()
