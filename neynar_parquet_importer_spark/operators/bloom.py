@@ -98,6 +98,7 @@ def bloom_probe(
     k: int = 4,
     id_col: str,
     flag_col: str = "maybe_in_bloom",
+    broadcast_words: bool = True,
 ) -> DataFrame:
     """``df`` + a boolean ``flag_col``: true iff all k probe bits are set.
 
@@ -105,6 +106,15 @@ def bloom_probe(
     :func:`bloom_build` (same ``n_bits``/``k``) flags true.  False
     positives occur at ~``bloom_fpr`` rate and are resolved by the exact
     confirmation join the caller runs on the flagged slice.
+
+    ``broadcast_words=True`` (default) hints the words table broadcast —
+    right whenever the filter fits an executor (up to a few hundred MB of
+    words).  Spark honors an explicit hint regardless of
+    ``autoBroadcastJoinThreshold``, so for filters past broadcast range
+    (~12 GB of words for 10 B docs at 1 % FPR) pass ``False``: the probe
+    degrades to a plain shuffled equi-join on ``word_idx`` (AQE may still
+    choose broadcast at runtime if the table turns out small — a sized
+    decision, not a forced one).
     """
     probes = df.select(
         F.col(id_col),
@@ -117,8 +127,9 @@ def bloom_probe(
     hit = F.col("word").isNotNull() & (
         F.expr("shiftright(word, bit) & 1L") == 1
     )
+    words = F.broadcast(bloom) if broadcast_words else bloom
     flags = (
-        probes.join(F.broadcast(bloom), "word_idx", "left")
+        probes.join(words, "word_idx", "left")
         .select(id_col, hit.alias("hit"))
         .groupBy(id_col)
         .agg(F.bool_and("hit").alias(flag_col))
@@ -136,6 +147,7 @@ def bloom_filter_new(
     n_bits: int = 1 << 15,
     k: int = 4,
     id_col: str,
+    broadcast_words: bool = True,
 ) -> DataFrame:
     """Rows of ``df`` that are DEFINITELY absent from the filtered history.
 
@@ -144,7 +156,8 @@ def bloom_filter_new(
     true duplicates plus an ~FPR-sized sliver of false positives.
     """
     flagged = bloom_probe(
-        df, content_col, bloom, n_bits=n_bits, k=k, id_col=id_col
+        df, content_col, bloom, n_bits=n_bits, k=k, id_col=id_col,
+        broadcast_words=broadcast_words,
     )
     return flagged.filter(~F.col("maybe_in_bloom")).drop("maybe_in_bloom")
 

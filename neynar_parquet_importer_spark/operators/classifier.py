@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .bloom import _md5_halves
+from .text import _tokens
 
 
 def pseudo_weights(
@@ -53,11 +54,13 @@ def token_buckets(
     n_buckets: int = 4096,
 ) -> DataFrame:
     """(id_col, bucket) per token occurrence."""
+    # ONE definition of the tokenization contract: text._tokens is the
+    # corpus-wide whitespace tokenizer (also the 1-gram base of
+    # dedup._shingle_stream); reusing it keeps the classifier's buckets
+    # from silently diverging if the contract ever changes
     tok = df.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("tok"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
     )
     h1, _ = _md5_halves(F.col("tok"))
     return tok.select(id_col, F.pmod(h1, F.lit(n_buckets)).alias("bucket"))

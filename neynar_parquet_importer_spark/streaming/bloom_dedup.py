@@ -52,22 +52,32 @@ def bloom_dedup_fold_batch(
     id_col: str = "doc_id",
     n_bits: int = 1 << 15,
     k: int = 4,
+    broadcast_words: bool = True,
 ) -> DataFrame:
     """Fold one micro-batch through the exact-dedup Bloom filter.
 
-    Returns ``(id, is_dup, dup_of)``: ``dup_of`` is the accepted state
-    doc with identical content (state first-wins), the batch's min-id
-    holder of the content for intra-batch dups, or the doc itself for
-    accepted rows.  The verdict frame is materialized executor-side
-    (eager ``localCheckpoint``) BEFORE the sinks mutate, exactly like
-    the near-dup fold — the result must describe the state transition
-    that happened, and must not be recomputed against post-upsert state.
+    Returns ``(id, is_dup, dup_of)`` for EVERY batch row: ``dup_of`` is
+    the accepted state doc with identical content (state first-wins),
+    the batch's min-id holder of the content for intra-batch dups, or
+    the doc itself for accepted rows.  Rows with NULL text have no
+    content to compare — exact equality is undefined on them — so each
+    is its own verdict row ``(id, false, id)`` and none enters the
+    content/words state (md5(NULL) is NULL; an equi-join would silently
+    drop them from the verdict instead, which is the bug this split
+    prevents).  The verdict frame is materialized executor-side (eager
+    ``localCheckpoint``) BEFORE the sinks mutate, exactly like the
+    near-dup fold — the result must describe the state transition that
+    happened, and must not be recomputed against post-upsert state.
+    ``broadcast_words`` is forwarded to :func:`bloom_probe` — pass
+    ``False`` once the words table outgrows broadcast range.
     """
-    hashed = batch.select(
+    all_hashed = batch.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__text"),
         F.md5(F.col(text_col).cast("string")).alias("content_hash"),
     )
+    null_text = all_hashed.filter(F.col("content_hash").isNull())
+    hashed = all_hashed.filter(F.col("content_hash").isNotNull())
 
     # --- intra-batch exact dedup: first(min-id)-wins per content -------
     rep = hashed.groupBy("content_hash").agg(F.min("id").alias("rep"))
@@ -83,6 +93,7 @@ def bloom_dedup_fold_batch(
         probed = bloom_probe(
             reps, "__text", state_words.select("word_idx", "word"),
             n_bits=n_bits, k=k, id_col="id",
+            broadcast_words=broadcast_words,
         )
         confirmed = (
             probed.filter(F.col("maybe_in_bloom"))
@@ -106,13 +117,24 @@ def bloom_dedup_fold_batch(
             "dup_of_state", F.lit(None).cast("long")
         )
 
-    verdict = resolved.select(
-        "id",
-        (
-            F.col("dup_of_state").isNotNull() | (F.col("id") != F.col("rep"))
-        ).alias("is_dup"),
-        F.coalesce("dup_of_state", "rep").alias("dup_of"),
-    ).localCheckpoint(eager=True)
+    verdict = (
+        resolved.select(
+            "id",
+            (
+                F.col("dup_of_state").isNotNull()
+                | (F.col("id") != F.col("rep"))
+            ).alias("is_dup"),
+            F.coalesce("dup_of_state", "rep").alias("dup_of"),
+        )
+        .unionByName(
+            null_text.select(
+                "id",
+                F.lit(False).alias("is_dup"),
+                F.col("id").alias("dup_of"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
 
     # --- accept survivors into the state -------------------------------
     accepted_ids = verdict.filter(~F.col("is_dup")).select("id")

@@ -67,8 +67,9 @@ SF01 = "/root/testdata/sf0.1"
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
 SCALE = 10
 
-# the doc/embedding-family queries measured at both scales (every one
-# reads only the documents/embeddings tables)
+# the doc/embedding-family queries measured at both scales (all read the
+# documents/embeddings tables; heavy_hitters_cms also needs events — the
+# SF1 corpus generator must cover all three)
 FAMILY_QUERIES = [
     # text dedup family
     "dedup_exact_documents",
@@ -677,7 +678,11 @@ if __name__ == "__main__":
             sys.argv[3],
             int(sys.argv[4]) if len(sys.argv) > 4 else 2,
         )
-    elif len(sys.argv) > 2 and sys.argv[1] == "--only":
+    elif sys.argv[1:2] == ["--only"]:
+        # an explicit error, never a fall-through: a bare `--only` must not
+        # silently run the full multi-hour study and overwrite the artifact
+        if len(sys.argv) < 3 or not sys.argv[2]:
+            raise SystemExit("--only needs a comma-separated query list")
         main(only=sys.argv[2].split(","))
     else:
         main()

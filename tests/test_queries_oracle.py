@@ -150,3 +150,52 @@ def test_lsh_pair_probe_oracle_on_planted_corpus(spark, tmp_path):
 
     assert len(spark_rows) >= 6  # every planted pair must surface
     assert spark_rows == duck_rows
+
+
+def test_bloom_incremental_dedup_oracle_on_planted_corpus(spark, tmp_path):
+    """At sf0.001 AND sf0.01 no odd-id doc shares text with an even-id doc,
+    so the true-dup confirmation join passes the gate empty-vs-empty: a
+    wrong EXISTS predicate in the twin or a wrong left_semi key on the
+    Spark side would go unnoticed. Re-run the parity on a planted corpus
+    where the expected n_true_dup is provably nonzero, so the confirmation
+    path (and the false-positive resolution around it) is actually
+    value-checked."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    rows = []
+    # history: even ids, two sources
+    for i in range(40):
+        rows.append((2 * i, f"history document number {i}", "en",
+                     "web" if i % 2 == 0 else "books", 20))
+    # incoming: odd ids — 7 exact matches of history texts (true dups,
+    # split across both sources) + 33 unique texts
+    for j in range(7):
+        rows.append((2 * j + 1, f"history document number {j}", "en",
+                     "web" if j % 3 == 0 else "books", 20))
+    for j in range(7, 40):
+        rows.append((2 * j + 1, f"incoming novel text {j}", "en",
+                     "web" if j % 2 == 0 else "books", 18))
+    frame = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = tmp_path / "planted_bloom"
+    sf_dir.mkdir()
+    con = _duckdb.connect()
+    con.register("f", frame)
+    con.execute(f"COPY f TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)")
+
+    sdf = QUERIES["bloom_incremental_dedup"](spark, str(sf_dir))
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    cols = sdf.columns
+    total_true_dup = sum(r[cols.index("n_true_dup")] for r in spark_rows)
+    assert total_true_dup == 7  # Bloom has no false negatives
+
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rel = con.sql(ORACLE_SQL["bloom_incremental_dedup"])
+    duck_rows = _multiset(rel.fetchall(), rel.columns)
+    con.close()
+
+    assert _multiset(spark_rows, cols) == duck_rows

@@ -97,3 +97,63 @@ def test_words_state_equals_batch_rebuild(spark, tmp_path):
         for r in sinks[1].read().select("word_idx", "word").collect()
     }
     assert got == want
+
+
+def test_null_text_rows_get_verdicts_and_stay_out_of_state(spark, tmp_path):
+    """md5(NULL) is NULL; an inner equi-join on content_hash would silently
+    drop NULL-text rows from the verdict. They must instead each come back
+    (id, False, id) — exact equality is undefined on absent content — and
+    must never enter the content/words state."""
+    sinks = _sinks(spark, tmp_path)
+    v1 = _fold(
+        spark, sinks, [(1, None), (2, "real text"), (3, None)], 1
+    )
+    assert v1 == {1: (False, 1), 2: (False, 2), 3: (False, 3)}
+    # state holds only the hashed doc; no NULL hash row, no NULL words
+    content = sinks[0].read()
+    assert [r["id"] for r in content.collect()] == [2]
+    words = sinks[1].read()
+    assert words.filter(F.col("word_idx").isNull()).count() == 0
+    # a later NULL-text row is again its own verdict, not a dup of anything
+    v2 = _fold(spark, sinks, [(4, None), (5, "real text")], 2)
+    assert v2 == {4: (False, 4), 5: (True, 2)}
+
+
+def test_broadcast_words_false_matches_and_drops_hint(spark, tmp_path):
+    """broadcast_words=False must produce identical verdicts through a
+    plain (unhinted) join — the 100 TB path where the words table has
+    outgrown an executor. The forced-broadcast hint must be absent from
+    the analyzed plan of the probe."""
+    from neynar_parquet_importer_spark.operators.bloom import bloom_probe
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], DOC_SCHEMA
+    )
+    bl = bloom_build(docs, "text", n_bits=256, k=3)
+    probe_new = spark.createDataFrame(
+        [(100, "text number 3"), (101, "novel content")], DOC_SCHEMA
+    )
+    hinted = bloom_probe(
+        probe_new, "text", bl, n_bits=256, k=3, id_col="doc_id"
+    )
+    plain = bloom_probe(
+        probe_new, "text", bl, n_bits=256, k=3, id_col="doc_id",
+        broadcast_words=False,
+    )
+    want = {(r["doc_id"], r["maybe_in_bloom"]) for r in hinted.collect()}
+    got = {(r["doc_id"], r["maybe_in_bloom"]) for r in plain.collect()}
+    assert got == want
+    assert want and (100, True) in want  # the true member always flags
+    assert "ResolvedHint (strategy=broadcast)" not in plain._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast)" in hinted._jdf.queryExecution().analyzed().toString()
+
+    # fold-level: a full fold with broadcast_words=False matches the default
+    sinks_a = _sinks(spark, tmp_path / "a")
+    sinks_b = _sinks(spark, tmp_path / "b")
+    rows1 = [(i, f"state doc {i}") for i in range(10)]
+    rows2 = [(20, "state doc 4"), (21, "fresh doc")]
+    _fold(spark, sinks_a, rows1, 1)
+    _fold(spark, sinks_b, rows1, 1, broadcast_words=False)
+    va = _fold(spark, sinks_a, rows2, 2)
+    vb = _fold(spark, sinks_b, rows2, 2, broadcast_words=False)
+    assert va == vb == {20: (True, 4), 21: (False, 21)}
