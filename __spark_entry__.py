@@ -36,8 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (113/113 — no
-    rows-only entries remain). The trained/seeded-artifact twins (IVF
+    """DuckDB-equivalent SQL for EVERY registered query — no rows-only
+    entries remain. The trained/seeded-artifact twins (IVF
     centroids, PQ codebooks, hyperplane tables — deterministic functions
     of the corpus and seeds, replayed outside Spark through the same
     code paths) are generated for the corpus the gate runs against:
@@ -57,7 +57,8 @@ def oracle_sql() -> dict[str, str]:
         warnings.warn(
             "artifact-oracle corpus missing at "
             f"{sf_dir!r}; embedding_lsh_topk / embedding_ivf_topk"
-            " / embedding_pq_topk / embedding_near_dup_lsh degrade to"
+            " / embedding_pq_topk / embedding_near_dup_lsh /"
+            " kmeans_corpus_clusters / kmeans_domain_profile degrade to"
             " rows-only checks",
             stacklevel=2,
         )

@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "embedding_norm_stats",
     "pretrain_curated_docs",
     "pretrain_corpus_summary",
+    "kmeans_corpus_clusters",
+    "kmeans_domain_profile",
 ]
 
 
@@ -149,6 +151,7 @@ _TPCH_RE = re.compile(r"^q\d+_")
 
 _FAMILY_PREFIXES = [
     ("embedding_", "embedding"),
+    ("kmeans_", "embedding"),
     ("dedup_", "dedup"),
     # the two round-6 cluster ops only: split_leakage_pairs predates the
     # family map and stays 'relational' so cross-round subtotal diffs of

@@ -28,6 +28,7 @@ from ..filters import compile_filter
 from ..functions.scalars import window_start
 from ..operators import bloom as blm
 from ..operators import classifier as clf
+from ..operators import clustering as clu
 from ..operators import cms as cm
 from ..operators import corpus as crp
 from ..operators import dedup as dd
@@ -2543,6 +2544,60 @@ def bloom_words_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_CENT_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Distributed-k-means centroids for the corpus, cached per
+    (path, mtime) like the other per-corpus artifacts so bench passes
+    don't re-pay the Lloyd iterations."""
+    key = _emb_cache_key(sf_dir)
+    if key not in _KMEANS_CENT_CACHE:
+        _KMEANS_CENT_CACHE[key] = clu.kmeans_fit(
+            _t(spark, sf_dir, "embeddings"), k=8, n_iter=4
+        )
+    return _KMEANS_CENT_CACHE[key]
+
+
+def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering with DISTRIBUTED Lloyd k-means (domain discovery
+    for mixture balancing): unlike the sample-trained IVF quantizer, the
+    iterations here run as Spark aggregations over every vector, made
+    value-checkable by fixed-point quantization — per-cluster sums are
+    exact int64, so the oracle generator recomputes the SAME training
+    single-process and must land bitwise-identical centroids (an
+    independent replay of training, a stronger check than the
+    shared-artifact ANN twins; operators/clustering.py). Output:
+    per-cluster membership count, exact id checksum, and mean squared
+    distance to the centroid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = clu.kmeans_assign(emb, _kmeans_cents(spark, sf_dir))
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("id").alias("sum_vec_id"),
+        F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+    )
+
+
+def kmeans_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a data-mixture scheduler reads off the clustering: per
+    (cluster, source) document counts and exact char mass — the inputs
+    to per-domain sampling weights. Joins the assignment frame to
+    documents on the shared id space; every output is an exact integer,
+    so the twin has zero float-parity surface."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    a = clu.kmeans_assign(emb, _kmeans_cents(spark, sf_dir))
+    return (
+        a.join(docs, a["id"] == docs["doc_id"])
+        .groupBy("cluster", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -2644,6 +2699,8 @@ QUERIES = {
     "split_cluster_safe": split_cluster_safe,
     "soft_dedup_weights": soft_dedup_weights,
     "bloom_incremental_dedup": bloom_incremental_dedup,
+    "kmeans_corpus_clusters": kmeans_corpus_clusters,
+    "kmeans_domain_profile": kmeans_domain_profile,
     "bloom_words_profile": bloom_words_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
@@ -4843,6 +4900,121 @@ ORACLE_SQL["bloom_words_profile"] = """
 """
 
 
+def _kmeans_replay_centroids(sf_dir: str, k: int = 8, n_iter: int = 4):
+    """INDEPENDENT single-process replay of the distributed k-means
+    training (queries must pass k/n_iter matching _kmeans_cents): fetch
+    the full gate corpus outside Spark, quantize with the same
+    floor(x*2^20), seed from the same md5-of-id order, and iterate the
+    same shared arithmetic (clu.assign_rows + clu.centroids_from_sums).
+    Fixed-point sums are exact integers on both paths, so the returned
+    centroids are bitwise-equal to Spark's IFF the distributed
+    aggregation is correct — this is the check."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [int(r[0]) for r in rows]
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    q = np.floor(x * float(clu.QUANT_SCALE)).astype(np.int64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cents = [
+        [float(v) / clu.QUANT_SCALE for v in q[i]] for i in order[:k]
+    ]
+    for _ in range(n_iter):
+        a, _ = clu.assign_rows(q, cents)
+        stats = {}
+        for cid in range(len(cents)):
+            m = a == cid
+            n = int(m.sum())
+            if n:
+                stats[cid] = (n, [int(s) for s in q[m].sum(axis=0)])
+        cents = clu.centroids_from_sums(cents, stats)
+    return cents, q.shape[1]
+
+
+def _kmeans_cents_values_sql(sf_dir: str) -> tuple[str, int]:
+    cents, dim = _kmeans_replay_centroids(sf_dir)
+    values = ",\n            ".join(
+        f"({i}, {cents[i]!r}::DOUBLE[])" for i in range(len(cents))
+    )
+    return values, dim
+
+
+def _kmeans_assign_ctes(sf_dir: str) -> str:
+    """Shared CTE chain: quantize -> dequantize -> distance to every
+    centroid literal -> first-index argmin (ORDER BY d2, cid = numpy
+    argmin tie rule). The float-parity caveat documented on
+    build_artifact_oracles applies to the d2 comparison only; counts
+    and id/char sums are exact."""
+    values, dim = _kmeans_cents_values_sql(sf_dir)
+    return f"""
+        WITH cents(cid, c) AS (VALUES
+            {values}
+        ), e AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       x -> CAST(floor(x * {float(clu.QUANT_SCALE)!r}) AS BIGINT)
+                   ) AS q
+            FROM embeddings
+        ), x AS (
+            SELECT vec_id,
+                   list_transform(q, v -> v / {float(clu.QUANT_SCALE)!r}) AS xv
+            FROM e
+        ), d AS (
+            SELECT vec_id, cid,
+                   list_sum(list_transform(
+                       range(1, {dim + 1}),
+                       i -> (xv[i] - c[i]) * (xv[i] - c[i])
+                   )) AS d2
+            FROM x CROSS JOIN cents
+        ), assigned AS (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+                     AS rn
+            FROM d
+        )"""
+
+
+def _kmeans_oracle_sql(sf_dir: str) -> str:
+    return (
+        _kmeans_assign_ctes(sf_dir)
+        + """
+        SELECT cid AS cluster,
+               count(*) AS n_vecs,
+               sum(vec_id) AS sum_vec_id,
+               round(avg(d2), 6) AS avg_dist2
+        FROM assigned WHERE rn = 1
+        GROUP BY cid
+    """
+    )
+
+
+def _kmeans_profile_oracle_sql(sf_dir: str) -> str:
+    return (
+        _kmeans_assign_ctes(sf_dir)
+        + """
+        SELECT a.cid AS cluster,
+               dc.source AS source,
+               count(*) AS n_docs,
+               sum(dc.n_chars) AS sum_chars
+        FROM assigned a JOIN documents dc ON dc.doc_id = a.vec_id
+        WHERE a.rn = 1
+        GROUP BY a.cid, dc.source
+    """
+    )
+
+
 _ARTIFACT_ORACLE_CACHE: dict[tuple, dict[str, str]] = {}
 
 
@@ -4870,5 +5042,7 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             "embedding_ivf_topk": _ivf_topk_oracle_sql(sf_dir),
             "embedding_pq_topk": _pq_topk_oracle_sql(sf_dir),
             "embedding_near_dup_lsh": _lsh_pairs_oracle_sql(sf_dir),
+            "kmeans_corpus_clusters": _kmeans_oracle_sql(sf_dir),
+            "kmeans_domain_profile": _kmeans_profile_oracle_sql(sf_dir),
         }
     return _ARTIFACT_ORACLE_CACHE[key]

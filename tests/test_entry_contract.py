@@ -40,6 +40,8 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "embedding_ivf_topk",
         "embedding_pq_topk",
         "embedding_near_dup_lsh",
+        "kmeans_corpus_clusters",
+        "kmeans_domain_profile",
     }
     assert any("missing" in str(w.message) for w in caught)
 
