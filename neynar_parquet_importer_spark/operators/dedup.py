@@ -694,7 +694,17 @@ def simhash_near_duplicates(
         ).alias("bc"),
     ).select("id", "simhash", "bc.blk", "bc.chunk")
     l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (
+    # popcount-verify IMMEDIATELY after the blocking join, before the
+    # distinct: the hamming filter is a map-side codegen expression, so
+    # evaluating it first means the dropDuplicates shuffle carries only
+    # true near-dup pairs (tiny at any scale) instead of every chunk
+    # collision — the collision set is what grows superlinearly on a
+    # skewed-vocabulary corpus (sf1 study measured exponent 1.1 with the
+    # distinct-first order)
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
         l.join(
             r,
             on=[
@@ -706,14 +716,10 @@ def simhash_near_duplicates(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("h_a"),
-            F.col("r.simhash").alias("h_b"),
+            ham.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 

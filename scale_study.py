@@ -108,6 +108,9 @@ FAMILY_QUERIES = [
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",
+    # round-6 third pass
+    "kmeans_corpus_clusters",
+    "kmeans_domain_profile",
 ]
 
 
