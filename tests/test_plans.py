@@ -438,3 +438,15 @@ def test_new_corpus_ops_stay_jvm_with_broadcast_hot_lists(spark):
     plan = _plan(spark, "bigram_logprob_score")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan  # map-side combine on the count models
+
+
+def test_kmeans_cluster_agg_is_partial_and_single_python_stage(spark):
+    """The k-means membership aggregation must combine map-side (the
+    shuffle carries k rows per partition, not the corpus), and the
+    quantize+assign pipeline must reach the aggregate as ONE Arrow
+    python stage — a second python round-trip would double the scan's
+    serialization cost at 100 TB."""
+    plan = _plan(spark, "kmeans_corpus_clusters")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
