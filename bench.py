@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "pretrain_corpus_summary",
     "kmeans_corpus_clusters",
     "kmeans_domain_profile",
+    "winnow_plagiarism_pairs",
+    "winnow_fingerprint_stats",
 ]
 
 
@@ -159,6 +161,7 @@ _FAMILY_PREFIXES = [
     ("split_cluster_", "dedup"),
     ("soft_dedup_", "dedup"),
     ("bloom_", "dedup"),
+    ("winnow_", "dedup"),
     ("quality_classifier_", "text"),
     ("text_", "text"),
     ("lang_", "lang"),

@@ -724,6 +724,94 @@ def simhash_near_duplicates(
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): position-robust LOCAL fingerprint selection
+# --------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp): the winnowed fingerprint set per document.
+
+    Winnowing selects, from every window of ``w`` consecutive k-gram
+    hashes, that window's minimum — the DISTINCT set of those minima is
+    the fingerprint set. Guarantee: any shared substring of at least
+    ``w + k - 1`` tokens yields at least one shared fingerprint, while
+    only ~``2/(w+1)`` of positions are kept — position-robust (an
+    insertion far from a match can't unselect it), unlike fixed-stride
+    passage chunks (``corpus.passage_chunks``) where a one-token shift
+    changes every window.
+
+    Expressed as ``min(hash) OVER (PARTITION BY id ORDER BY pos ROWS
+    w-1 PRECEDING)`` + distinct: each trailing window contributes its
+    minimum, which is exactly the per-window argmin selection (leading
+    partial windows add a benign superset at the document head). The
+    gram hash is the engine-portable signed-64 md5 form (same recipe as
+    the md5 SimHash family), so the whole selection replays in ANSI SQL
+    and the oracle twin is fully static. Per-doc window sort rides the
+    id-keyed spread ``_shingle_stream`` already establishes; the
+    distinct shuffles only the selected ~``2n/(w+1)`` fingerprints."""
+    stream = _shingle_stream(df, text_col, id_col, k)
+    m = F.md5(F.col("shingle"))
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        stream.select(
+            "id", "pos", F.shiftleft(hi, 32).bitwiseOR(lo).alias("hv")
+        )
+        .select("id", F.min("hv").over(win).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= ``min_shared``
+    winnowed fingerprints — the MOSS plagiarism-detection join.
+
+    ``max_df`` is the boilerplate cap: a fingerprint present in more
+    than ``max_df`` documents is navigation/template text whose postings
+    would fan out quadratically (the same df-cap discipline as the
+    n-gram inverted index); dropping it loses only pairs whose ONLY
+    evidence is corpus-wide boilerplate. The pair join is an equi-join
+    on fingerprint value over the capped postings — candidates never
+    include documents without a shared selected gram."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__ndocs"))
+    sel = fps.join(
+        dfc.filter(
+            (F.col("__ndocs") >= 2) & (F.col("__ndocs") <= max_df)
+        ),
+        "fp",
+    )
+    a = sel.select("fp", F.col("id").alias("id_a"))
+    b = sel.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup clustering: near-dup pairs -> connected components -> canonical doc
 # --------------------------------------------------------------------------
 

@@ -2544,6 +2544,42 @@ def bloom_words_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style plagiarism detection (Schleimer et al. 2003 winnowing):
+    per-window-minimum selection keeps ~2/(w+1) of the 5-gram hashes as
+    position-robust fingerprints — any shared substring of >= w+k-1 = 8
+    tokens is guaranteed a shared fingerprint — then a df-capped
+    equi-join on fingerprint value surfaces pairs sharing >= 2. The
+    engine-portable md5 hash makes the whole selection (window minima
+    included) replay as static ANSI SQL; every output column is an
+    exact integer."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_shared_pairs(
+        docs, k=5, w=4, min_shared=2, max_df=50
+    )
+
+
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing profile: gram count, selected-fingerprint
+    count, and the selection fraction (expected ~2/(w+1) ~ 0.4 at w=4,
+    lower when repeated text lets one minimum cover many windows — so
+    the fraction itself is a cheap repetitiveness signal)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = dd.winnow_fingerprints(docs, k=5, w=4)
+    n_fp = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    n_grams = (
+        dd._shingle_stream(docs, "text", "doc_id", 5)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    return n_grams.join(n_fp, "id").select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_fp",
+        F.round(F.col("n_fp") / F.col("n_grams"), 6).alias("fp_frac"),
+    )
+
+
 _KMEANS_CENT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
@@ -2701,6 +2737,8 @@ QUERIES = {
     "bloom_incremental_dedup": bloom_incremental_dedup,
     "kmeans_corpus_clusters": kmeans_corpus_clusters,
     "kmeans_domain_profile": kmeans_domain_profile,
+    "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
+    "winnow_fingerprint_stats": winnow_fingerprint_stats,
     "bloom_words_profile": bloom_words_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
@@ -4880,6 +4918,64 @@ ORACLE_SQL["bloom_incremental_dedup"] = """
            sum(CASE WHEN maybe AND NOT is_dup THEN 1 ELSE 0 END)::BIGINT
              AS n_false_pos
     FROM labeled GROUP BY source
+"""
+
+_WINNOW_FPS_CTE = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, u.i - 1 AS pos,
+               array_to_string(t[u.i : u.i + 4], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 4)) u(i)
+        WHERE len(t) >= 5
+        UNION ALL
+        SELECT doc_id, 0 AS pos, array_to_string(t, ' ') AS shingle
+        FROM toks WHERE len(t) < 5
+    ), hx AS (
+        SELECT doc_id, pos,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS lo
+        FROM grams
+    ), hv AS (
+        -- the engine's shiftleft(hi,32)|lo wraps into the sign bit; the
+        -- same two's-complement value via signed arithmetic
+        SELECT doc_id, pos,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                 * 4294967296 + lo AS hv
+        FROM hx
+    ), wmin AS (
+        SELECT doc_id,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM hv
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wmin
+    )
+"""
+
+ORACLE_SQL["winnow_plagiarism_pairs"] = _WINNOW_FPS_CTE + """
+    , dfc AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+    ), sel AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+ORACLE_SQL["winnow_fingerprint_stats"] = _WINNOW_FPS_CTE + """
+    , ng AS (
+        SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ), nf AS (
+        SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+    )
+    SELECT ng.doc_id AS doc_id, n_grams, n_fp,
+           round(n_fp / n_grams::DOUBLE, 6) AS fp_frac
+    FROM ng JOIN nf USING (doc_id)
 """
 
 ORACLE_SQL["bloom_words_profile"] = """

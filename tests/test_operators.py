@@ -1053,3 +1053,97 @@ def test_multimodal_auto_mode_resolved_on_driver(spark, monkeypatch):
     out = extract_features(documents_as_media(docs), fake=None)
     with pytest.raises(Exception, match="Pillow|NotImplementedError"):
         out.collect()
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (dedup.winnow_fingerprints / winnow_shared_pairs)
+# --------------------------------------------------------------------------
+
+def _winnow_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fp(spark):
+    """The winnowing theorem: any shared run of >= w + k - 1 tokens
+    (here 4 + 5 - 1 = 8) must produce at least one shared fingerprint —
+    regardless of where the run sits in each document."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        winnow_shared_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy"  # 8 tokens
+    docs = _winnow_docs(
+        spark,
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon"),
+            # same run at a very different offset
+            (2, f"one two three four five six seven eight nine {shared}"),
+            (3, "completely unrelated text with no overlap at all here"),
+        ],
+    )
+    pairs = winnow_shared_pairs(docs, k=5, w=4, min_shared=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_selection_is_position_robust(spark):
+    """A prefix insertion far from the shared region must not change
+    which fingerprints the region contributes (the property fixed-stride
+    chunking lacks): doc 2 = doc 1 with 11 extra leading tokens, and
+    their fingerprint sets still intersect on the shared tail."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    tail = "w x y z alpha beta gamma delta epsilon zeta eta theta"
+    docs = _winnow_docs(
+        spark,
+        [
+            (1, tail),
+            (2, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 " + tail),
+        ],
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4).collect()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["id"], set()).add(r["fp"])
+    assert sets[1] & sets[2]
+
+
+def test_winnow_selects_fraction_of_grams(spark):
+    """Selection density: far fewer fingerprints than grams (the point of
+    winnowing), but at least n_grams/w of them (every window of w has a
+    minimum; distinct minima >= ceil(n/w))."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    words = [f"tok{rng.randrange(10_000)}" for _ in range(400)]
+    docs = _winnow_docs(spark, [(1, " ".join(words))])
+    n_grams = len(words) - 4
+    n_fp = winnow_fingerprints(docs, k=5, w=4).count()
+    assert n_fp < n_grams / 2
+    assert n_fp >= n_grams / 4  # ceil(n/w) lower bound at w=4
+
+
+def test_winnow_df_cap_drops_boilerplate_only_pairs(spark):
+    """A fingerprint present in more than max_df documents is excluded
+    from pair evidence: 5 docs sharing only one boilerplate sentence
+    produce no pairs at max_df=3, while a genuine 2-doc overlap
+    survives."""
+    from neynar_parquet_importer_spark.operators.dedup import (
+        winnow_shared_pairs,
+    )
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [(i, f"unique{i} filler{i} words{i} {boiler}") for i in range(5)]
+    rows += [
+        (10, "genuine overlapping passage here alpha beta gamma delta x1 y1"),
+        (11, "genuine overlapping passage here alpha beta gamma delta x2 y2"),
+    ]
+    pairs = winnow_shared_pairs(
+        _winnow_docs(spark, rows), k=5, w=4, min_shared=1, max_df=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(10, 11)}
