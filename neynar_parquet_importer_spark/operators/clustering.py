@@ -95,22 +95,33 @@ def centroids_from_sums(
     return out
 
 
-def init_centroids_md5(
-    df: DataFrame, vec_col: str, id_col: str, k: int
-) -> list[list[float]]:
-    """k deterministic seeds: the k rows whose md5(id-as-string) sorts
-    first — an order-stable, engine-portable pick (the oracle generator
-    replays it with hashlib over the same decimal strings). Collects k
-    quantized rows — bounded regardless of corpus size."""
+def _init_from_quantized(q: DataFrame, k: int) -> list[list[float]]:
+    """Seeds from an (id, q) quantized frame: the k rows whose
+    md5(id-as-string) sorts first — an order-stable, engine-portable
+    pick (the oracle generator replays it with hashlib over the same
+    decimal strings). Collects k rows — bounded regardless of corpus
+    size — and reads the CALLER'S frame, so a persisted fit pipeline
+    pays no extra corpus scan for initialization."""
     rows = (
-        df.select(
-            F.col(id_col).alias("id"), quantize_col(vec_col).alias("q")
-        )
-        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        q.orderBy(F.md5(F.col("id").cast("string")), "id")
         .limit(k)
         .collect()
     )
     return [[qi / float(QUANT_SCALE) for qi in r["q"]] for r in rows]
+
+
+def init_centroids_md5(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[list[float]]:
+    """Standalone seed pick from a raw corpus (quantizes a projection
+    first); :func:`kmeans_fit` uses the internal form on its already-
+    persisted quantized frame instead of re-scanning the corpus."""
+    return _init_from_quantized(
+        df.select(
+            F.col(id_col).alias("id"), quantize_col(vec_col).alias("q")
+        ),
+        k,
+    )
 
 
 def _cluster_udf(centroids: Sequence[Sequence[float]]):
@@ -148,7 +159,7 @@ def kmeans_fit(
         if head is None:
             raise ValueError("kmeans_fit needs a non-empty corpus")
         dim = int(head["d"])
-        cents = init_centroids_md5(df, vec_col, id_col, k)
+        cents = _init_from_quantized(q, k)
         sum_cols = [
             F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)
         ]

@@ -24,6 +24,22 @@ import threading
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .bloom import _md5_halves
+
+
+def md5_signed64(c: Column) -> Column:
+    """THE engine-portable signed-64 hash: the first 16 hex chars of
+    md5 reinterpreted as a two's-complement BIGINT. shiftleft(h1, 32)
+    wraps into the sign bit (bitwise shift is unchecked), reproducing
+    the value an ANSI engine derives from the same hex via signed
+    arithmetic — DuckDB mirror:
+    ``(CASE WHEN hi >= 2^31 THEN hi - 2^32 ELSE hi END) * 2^32 + lo``.
+    One definition shared by the md5 SimHash family and winnowing;
+    the 32-bit halves come from ``bloom._md5_halves`` (also the
+    Kirsch-Mitzenmacher base of the portable MinHash members)."""
+    h1, h2 = _md5_halves(c)
+    return F.shiftleft(h1, 32).bitwiseOR(h2)
+
 # DataFrames persisted by operators in this module (signature frames that
 # feed self-joins). Persisting is load-bearing for performance — without it
 # the signature aggregation runs once per join side — but a long-lived
@@ -632,13 +648,7 @@ def simhash(
     )
     tok = F.coalesce(F.col("tok"), F.lit(""))
     if token_hash == "md5":
-        m = F.md5(tok)
-        hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
-        # hi << 32 wraps into the sign bit (bitwise shift is unchecked),
-        # reproducing the two's-complement value DuckDB derives from the
-        # same hex via signed arithmetic
-        token_h = F.shiftleft(hi, 32).bitwiseOR(lo)
+        token_h = md5_signed64(tok)
     elif token_hash == "xxhash64":
         token_h = F.xxhash64(tok)
     else:
@@ -750,24 +760,20 @@ def winnow_fingerprints(
     w-1 PRECEDING)`` + distinct: each trailing window contributes its
     minimum, which is exactly the per-window argmin selection (leading
     partial windows add a benign superset at the document head). The
-    gram hash is the engine-portable signed-64 md5 form (same recipe as
-    the md5 SimHash family), so the whole selection replays in ANSI SQL
-    and the oracle twin is fully static. Per-doc window sort rides the
-    id-keyed spread ``_shingle_stream`` already establishes; the
-    distinct shuffles only the selected ~``2n/(w+1)`` fingerprints."""
+    gram hash is the engine-portable signed-64 md5 form
+    (:func:`md5_signed64`, shared with the md5 SimHash family), so the
+    whole selection replays in ANSI SQL and the oracle twin is fully
+    static. Per-doc window sort rides the id-keyed spread
+    ``_shingle_stream`` already establishes; the distinct shuffles only
+    the selected ~``2n/(w+1)`` fingerprints."""
     stream = _shingle_stream(df, text_col, id_col, k)
-    m = F.md5(F.col("shingle"))
-    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
     win = (
         Window.partitionBy("id")
         .orderBy("pos")
         .rowsBetween(-(w - 1), Window.currentRow)
     )
     return (
-        stream.select(
-            "id", "pos", F.shiftleft(hi, 32).bitwiseOR(lo).alias("hv")
-        )
+        stream.select("id", "pos", md5_signed64(F.col("shingle")).alias("hv"))
         .select("id", F.min("hv").over(win).alias("fp"))
         .distinct()
     )
@@ -792,7 +798,10 @@ def winnow_shared_pairs(
     evidence is corpus-wide boilerplate. The pair join is an equi-join
     on fingerprint value over the capped postings — candidates never
     include documents without a shared selected gram."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # the fingerprint frame feeds the df count AND both self-join sides;
+    # without the persist the shingle explode + window + distinct subtree
+    # runs 3-4x (the same rework simhash_near_duplicates pins down)
+    fps = _persist(winnow_fingerprints(df, text_col, id_col, k, w))
     dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__ndocs"))
     sel = fps.join(
         dfc.filter(

@@ -726,6 +726,7 @@ def reset_corpus_caches() -> None:
     _PQ_CODEBOOK_CACHE.clear()
     _HOT_SHINGLE_CACHE.clear()
     _ARTIFACT_ORACLE_CACHE.clear()
+    _KMEANS_CENT_CACHE.clear()
 
 
 def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
@@ -2576,7 +2577,11 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "n_grams",
         "n_fp",
-        F.round(F.col("n_fp") / F.col("n_grams"), 6).alias("fp_frac"),
+        # UNROUNDED: one double division of the same exact int64s is
+        # bitwise identical on every engine, while round() sits on
+        # half-boundaries Spark (decimal HALF_UP) and DuckDB (binary)
+        # break differently — the documented classifier lesson
+        (F.col("n_fp") / F.col("n_grams")).alias("fp_frac"),
     )
 
 
@@ -4974,7 +4979,7 @@ ORACLE_SQL["winnow_fingerprint_stats"] = _WINNOW_FPS_CTE + """
         SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
     )
     SELECT ng.doc_id AS doc_id, n_grams, n_fp,
-           round(n_fp / n_grams::DOUBLE, 6) AS fp_frac
+           n_fp / n_grams::DOUBLE AS fp_frac
     FROM ng JOIN nf USING (doc_id)
 """
 
@@ -5049,9 +5054,14 @@ def _kmeans_cents_values_sql(sf_dir: str) -> tuple[str, int]:
 def _kmeans_assign_ctes(sf_dir: str) -> str:
     """Shared CTE chain: quantize -> dequantize -> distance to every
     centroid literal -> first-index argmin (ORDER BY d2, cid = numpy
-    argmin tie rule). The float-parity caveat documented on
-    build_artifact_oracles applies to the d2 comparison only; counts
-    and id/char sums are exact."""
+    argmin tie rule). Float-parity scope (the build_artifact_oracles
+    caveat): numpy sums d2 pairwise, DuckDB's list_sum sequentially, so
+    per-row d2 can differ by ulps — which perturbs not only the rounded
+    avg_dist2 but, for a vector near-EQUIDISTANT from two centroids
+    (|Δd2| within ~1 ulp), the argmin itself, flipping that row's
+    cluster and with it the integer count/sum columns. Same ~1e-9-per-
+    run class as the IVF/PQ assignment replays; the integer columns are
+    exact GIVEN agreeing assignments, not unconditionally."""
     values, dim = _kmeans_cents_values_sql(sf_dir)
     return f"""
         WITH cents(cid, c) AS (VALUES

@@ -111,6 +111,8 @@ FAMILY_QUERIES = [
     # round-6 third pass
     "kmeans_corpus_clusters",
     "kmeans_domain_profile",
+    "winnow_plagiarism_pairs",
+    "winnow_fingerprint_stats",
 ]
 
 
