@@ -90,3 +90,26 @@ def test_window_start(spark):
     got = [r[0] for r in df.select(window_start("ts", 3600)).collect()]
     assert got[1] - got[0] == 3600
     assert got[0] % 3600 == 0
+
+
+def test_md5_signed64_matches_hashlib_twos_complement(spark):
+    """The shared engine-portable hash (dedup.md5_signed64) must equal the
+    two's-complement reinterpretation of the first 16 md5 hex chars —
+    pinned against hashlib so the ONE definition every md5 family builds
+    on (simhash, winnowing) can't drift."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.operators.dedup import md5_signed64
+
+    vals = ["", "a", "the quick brown fox", "tok123 tok456", "ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", md5_signed64(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        u = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:16], 16)
+        want = u - (1 << 64) if u >= (1 << 63) else u
+        assert got[v] == want, v
