@@ -58,8 +58,8 @@ def oracle_sql() -> dict[str, str]:
             "artifact-oracle corpus missing at "
             f"{sf_dir!r}; embedding_lsh_topk / embedding_ivf_topk"
             " / embedding_pq_topk / embedding_near_dup_lsh /"
-            " kmeans_corpus_clusters / kmeans_domain_profile degrade to"
-            " rows-only checks",
+            " kmeans_corpus_clusters / kmeans_domain_profile /"
+            " pagerank_supplier_rank degrade to rows-only checks",
             stacklevel=2,
         )
     return out

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "kmeans_domain_profile",
     "winnow_plagiarism_pairs",
     "winnow_fingerprint_stats",
+    "pagerank_supplier_rank",
 ]
 
 
@@ -168,6 +169,7 @@ _FAMILY_PREFIXES = [
     ("contrastive_", "contrastive"),
     ("pretrain_", "pretrain"),
     ("graph_", "graph"),
+    ("pagerank_", "graph"),
     ("filter_dsl", "filters"),
 ]
 

@@ -18,6 +18,7 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,6 +36,7 @@ from ..operators import dedup as dd
 from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..graph import pagerank as pgr
 from ..operators.multimodal import documents_as_media, extract_features
 
 
@@ -2585,6 +2587,39 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier influence via integer-exact distributed PageRank (the
+    third iterative algorithm next to connected components and the
+    fixed-point k-means): nodes are customers (2k) and suppliers (2k+1)
+    on the who-buys-from-whom graph (distinct lineitem x orders pairs,
+    both directions so no node dangles), 5 damped iterations of pure
+    int64 mass arithmetic — partition-order invariant, so the oracle
+    generator INDEPENDENTLY replays the identical recursion over the
+    same edge set and the top-20 (mass desc, suppkey) must agree
+    exactly (graph/pagerank.py). Top-k via orderBy+limit
+    (TakeOrderedAndProject — no single-task window)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pgr.pagerank(edges, n_iter=5)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(F.expr("(node - 1) div 2").alias("suppkey"), "mass")
+        .orderBy(F.desc("mass"), "suppkey")
+        .limit(20)
+    )
+
+
 _KMEANS_CENT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
@@ -2744,6 +2779,7 @@ QUERIES = {
     "kmeans_domain_profile": kmeans_domain_profile,
     "winnow_plagiarism_pairs": winnow_plagiarism_pairs,
     "winnow_fingerprint_stats": winnow_fingerprint_stats,
+    "pagerank_supplier_rank": pagerank_supplier_rank,
     "bloom_words_profile": bloom_words_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
@@ -5001,6 +5037,39 @@ ORACLE_SQL["bloom_words_profile"] = """
 """
 
 
+def _pagerank_oracle_sql(sf_dir: str) -> str:
+    """Independent single-process replay of the distributed PageRank:
+    fetch the SAME distinct customer-supplier edge set outside Spark,
+    run the identical integer recursion (graph.pagerank.pagerank_replay
+    — python ints, no floats anywhere), and embed the resulting top-20
+    supplier masses as a VALUES literal. Nothing is shared with the
+    Spark path but the formulas; a wrong distributed join/aggregation
+    shows up as a mass mismatch."""
+    import duckdb
+
+    from ..graph.pagerank import pagerank_replay
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS d "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet') l "
+        f"JOIN read_parquet('{sf_dir}/orders.parquet') o "
+        "ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    con.close()
+    edges = [(int(s), int(d)) for s, d in pairs]
+    edges += [(d, s) for s, d in edges]
+    mass = pagerank_replay(edges, n_iter=5)
+    supp = [((node - 1) // 2, m) for node, m in mass.items() if node % 2 == 1]
+    top = sorted(supp, key=lambda t: (-t[1], t[0]))[:20]
+    values = ",\n            ".join(f"({k}, {m})" for k, m in top)
+    return f"""
+        SELECT suppkey, mass FROM (VALUES
+            {values}
+        ) AS t(suppkey, mass)
+    """
+
+
 def _kmeans_replay_centroids(sf_dir: str, k: int = 8, n_iter: int = 4):
     """INDEPENDENT single-process replay of the distributed k-means
     training (queries must pass k/n_iter matching _kmeans_cents): fetch
@@ -5151,4 +5220,10 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             "kmeans_corpus_clusters": _kmeans_oracle_sql(sf_dir),
             "kmeans_domain_profile": _kmeans_profile_oracle_sql(sf_dir),
         }
+        # the PageRank replay reads the relational tables, which planted
+        # test corpora (embeddings-only dirs) don't carry — per-file gate
+        if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+            _ARTIFACT_ORACLE_CACHE[key]["pagerank_supplier_rank"] = (
+                _pagerank_oracle_sql(sf_dir)
+            )
     return _ARTIFACT_ORACLE_CACHE[key]

@@ -42,6 +42,7 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "embedding_near_dup_lsh",
         "kmeans_corpus_clusters",
         "kmeans_domain_profile",
+        "pagerank_supplier_rank",
     }
     assert any("missing" in str(w.message) for w in caught)
 
