@@ -134,6 +134,7 @@ RELATIONAL_QUERIES = [
     "events_interval_pairs",
     "range_join_shipments",
     "asof_latest_order_per_event",
+    "pagerank_supplier_rank",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
