@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_late_shippers",
     "filter_dsl_in_gt",
     "filter_dsl_and_or",
     "backfill_time_range",

@@ -465,6 +465,271 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 structure (correlated MIN subquery + 4-way dimension
+    join) adapted to this schema: partsupp doesn't exist, so the
+    part-supplier cost relation is derived from lineitem as
+    ``min(l_extendedprice / l_quantity)`` per (part, supplier) — MIN of
+    per-row ratios is commutative/order-independent, so the double
+    compares equal across engines (a SUM-based unit cost would be
+    summation-order-dependent and could break the min-equality join by
+    1 ulp). The correlated ``supplycost = (SELECT min(...) WHERE
+    partkey = p_partkey)`` becomes aggregate-then-equijoin; the
+    region-filtered supplier dimension (~1/5 of 100 rows) broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eur = ps.join(
+        F.broadcast(eur), ps.l_suppkey == eur.s_suppkey
+    ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
+    mc = ps_eur.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        ps_eur.join(
+            mc,
+            (ps_eur.l_partkey == F.col("mk"))
+            & (ps_eur.supplycost == F.col("min_cost")),
+        )
+        .join(F.broadcast(parts), ps_eur.l_partkey == parts.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 structure: GROUP BY ... HAVING sum > fraction × (scalar
+    subquery over the same scope). The scope (one nation's suppliers'
+    lineitems) is computed once and reused for both the per-part sums
+    and the global total; the 1-row total broadcasts as a cross join.
+    The HAVING compares raw double sums (not pre-rounded) exactly like
+    the oracle — quantities/prices sum over few rows per part, so a
+    boundary flip needs a 1-ulp straddle of the threshold, the same
+    accepted risk as q18's HAVING."""
+    scoped = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "supplier")
+                .join(
+                    _t(spark, sf_dir, "nation").filter(
+                        F.col("n_name") == "NATION_7"
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+                .select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+        )
+    )
+    total = scoped.agg(F.sum("val").alias("total_val"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("val").alias("raw_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > 0.001 * F.col("total_val"))
+        .select(
+            "l_partkey", F.round("raw_value", 2).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 structure: COUNT(DISTINCT supplier) per part attribute
+    triple, with a negated attribute filter and a NOT IN supplier
+    exclusion subquery (negative-balance suppliers stand in for the
+    reference's complaint scan). NOT IN compiles to a broadcast
+    left-anti join; the distinct (part, supplier) pair relation comes
+    from lineitem since partsupp doesn't exist in this schema."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        pairs.join(F.broadcast(excl), pairs.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 structure: correlated AVG subquery (``l_quantity <
+    0.2 * (SELECT avg(l_quantity) WHERE l_partkey = p_partkey)``) as
+    aggregate-then-equijoin. Quantities are integer-valued doubles, so
+    the per-part avg (exact integer sum / count) is bit-identical across
+    engines and the 0.2× threshold compare cannot straddle. The per-part
+    avg frame is one row per part (~2k) — broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 structure: nested IN chain (supplier IN (... part IN
+    (name-pattern scan) ... HAVING qty > correlated half-threshold)).
+    The reference's ``ps_availqty > 0.5 * shipped`` correlation becomes
+    ``per-(supplier, part) shipped qty > 0.5 * that part's total shipped
+    qty`` — a majority-shipper test with the same correlated-scalar
+    shape, exact under integer-valued quantities. Each IN level is a
+    semi/equi join; the name-filtered part list and the per-part totals
+    broadcast."""
+    target = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("tot_qty")
+    )
+    majority = (
+        shipped.join(F.broadcast(tot), F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("qty") > 0.5 * F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        asia.join(
+            F.broadcast(majority),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q21_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 structure: EXISTS + NOT EXISTS self-references on the
+    same fact scan. The reference's receipt-vs-commit lateness doesn't
+    exist in this schema (no commitdate/receiptdate), so "late" =
+    shipped >365 days after the order date; the semantics kept are the
+    interesting ones — a supplier counted only when it was late on a
+    finished multi-supplier order (EXISTS another supplier's line) and
+    it was the ONLY late supplier (NOT EXISTS another late line).
+    EXISTS → left_semi, NOT EXISTS → left_anti, both equi on l_orderkey
+    with the supplier-inequality conjunct evaluated inside the join."""
+    fli = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = fli.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+    )
+    other = fli.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    l1 = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(
+            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filter DSL (SURVEY §2.2 F1-F10)
 # ---------------------------------------------------------------------------
@@ -2693,6 +2958,12 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_part_value": q11_important_part_value,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_late_shippers": q21_late_shippers,
     "filter_dsl_in_gt": filter_dsl_in_gt,
     "filter_dsl_and_or": filter_dsl_and_or,
     "backfill_time_range": backfill_time_range,
@@ -2984,6 +3255,109 @@ ORACLE_SQL: dict[str, str] = {
                 AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
           )
         GROUP BY c_nationkey
+    """,
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY 1, 2
+        ), eur AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), ps_eur AS (
+            SELECT ps.l_partkey, ps.supplycost, eur.s_name, eur.s_acctbal, eur.n_name
+            FROM ps JOIN eur ON l_suppkey = s_suppkey
+        ), mc AS (
+            SELECT l_partkey, min(supplycost) AS min_cost FROM ps_eur GROUP BY 1
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(supplycost, 6) AS supplycost
+        FROM part
+        JOIN ps_eur ON p_partkey = ps_eur.l_partkey
+        JOIN mc ON ps_eur.l_partkey = mc.l_partkey AND supplycost = min_cost
+        WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q11_important_part_value": """
+        WITH scoped AS (
+            SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+        )
+        SELECT l_partkey, round(sum(val), 2) AS part_value
+        FROM scoped GROUP BY 1
+        HAVING sum(val) > 0.001 * (SELECT sum(val) FROM scoped)
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = part.p_partkey)
+    """,
+    "q20_excess_shippers": """
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT l_partkey, sum(qty) AS tot_qty FROM shipped GROUP BY 1
+        )
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM shipped
+              JOIN tot ON shipped.l_partkey = tot.l_partkey
+              WHERE qty > 0.5 * tot_qty)
+        ORDER BY s_name
+    """,
+    "q21_late_shippers": """
+        WITH fli AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM fli l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 365 DAY
+          AND EXISTS (
+              SELECT 1 FROM fli l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM fli l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l3.o_orderdate + INTERVAL 365 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
     """,
     "filter_dsl_in_gt": """
         SELECT c_custkey, c_name, c_mktsegment, c_acctbal
