@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "soft_dedup_weights",
     "bloom_incremental_dedup",
     "bloom_words_profile",
+    "hll_distinct_users",
+    "hll_register_union",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",
