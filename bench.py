@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "bloom_words_profile",
     "hll_distinct_users",
     "hll_register_union",
+    "bm25_topk_docs",
+    "bm25_term_stats",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

@@ -1,0 +1,208 @@
+"""BM25 full-text retrieval over a document corpus.
+
+A training-data pipeline needs lexical retrieval in several places:
+contamination checks (rank training docs against eval-set queries —
+``corpus.contamination_overlap`` is the n-gram variant, this is the
+scored one), dedup triage (find what an incoming doc most resembles),
+and hard-negative mining for retrieval models (top-BM25 non-positives
+are the classic negatives).  This module is the Okapi BM25 scorer as a
+pure DataFrame composition — postings are rows, never an in-memory
+index, so it scales like any other equi-join.
+
+Plan shape at 100 TB:
+
+- the postings table ``(doc_id, term, tf)`` is one explode + one
+  hash-aggregate off the corpus scan, partitioned by term after the
+  groupBy — exactly the layout an inverted index shards by;
+- per-term document frequencies reuse the postings aggregate; corpus
+  stats (N, avgdl) are two scalars broadcast as 1-row frames;
+- a query set joins postings on ``term`` — the query side is tiny and
+  broadcasts, so scoring touches ONLY the posting rows of query terms
+  (the pushed-down equi-join is the "seek the posting lists" of a
+  search engine, expressed declaratively);
+- per-query top-k is a window rank partitioned by query_id: fine while
+  queries are few and k small; for millions of queries use the
+  two-phase chunked top-k discipline of ``similarity.knn_join``.
+
+Determinism across engines: tf, dl, df, N are exact integers; avgdl is
+an exact-integer sum / count; the idf/tf-norm chain is the same double
+arithmetic on both sides.  The only order-sensitive step is summing the
+per-term partials of docs matching >= 2 query terms, which can differ
+by 1 ulp between engines — scores are therefore rounded (4 dp) BEFORE
+ranking on both sides, with doc_id as the total-order tie-break, so the
+top-k cut is cross-engine stable (a flip would need the ulp to straddle
+a half-boundary of the 4th decimal).
+
+Tokenization is the corpus-wide convention shared with the winnowing
+family: lowercase, trim, split on whitespace runs (DuckDB twin:
+``string_split_regex(trim(lower(text)), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def term_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf): the inverted-index relation. One explode +
+    one hash-aggregate; partial combine runs map-side so the shuffle
+    carries distinct (doc, term) pairs, not token occurrences."""
+    term = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("term")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), term)
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def query_frame(spark: SparkSession, queries: dict[str, list[str]]) -> DataFrame:
+    """(query_id, term) from a literal query set — lowercased through
+    the same convention as the postings so a mixed-case query term
+    still matches."""
+    rows = [
+        (qid, t.strip().lower())
+        for qid, terms in sorted(queries.items())
+        for t in terms
+    ]
+    return spark.createDataFrame(rows, "query_id string, term string").distinct()
+
+
+def bm25_scores(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    *,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, doc_id, score): Okapi BM25 with the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf (never negative, unlike
+    the raw Robertson form).  ``score`` is rounded to 4 dp — the
+    cross-engine ranking contract, see module doc."""
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = (
+        postings.join(F.broadcast(query_terms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    matched = (
+        postings.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        matched.select(
+            "query_id", "doc_id", (F.col("idf") * tf_norm).alias("partial")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), 4).alias("score"))
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    *,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): top-k docs per query by rounded
+    score, doc_id tie-break.  Window per query_id — see module doc for
+    when to switch to chunked top-k."""
+    scores = bm25_scores(postings, query_terms, k1=k1, b=b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_oracle_sql(
+    queries: dict[str, list[str]],
+    k: int = 5,
+    *,
+    k1: float = K1,
+    b: float = B,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin replaying postings, stats, idf, tf-norm, and the
+    rounded-score ranking from the same corpus."""
+    qvals = ",\n            ".join(
+        f"('{qid}', '{t.strip().lower()}')"
+        for qid, terms in sorted(queries.items())
+        for t in terms
+    )
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id,
+                   unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS term
+            FROM {table}
+        ), postings AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), q(query_id, term) AS (VALUES
+            {qvals}
+        ), qterms AS (SELECT DISTINCT query_id, term FROM q),
+        dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM postings
+            WHERE term IN (SELECT DISTINCT term FROM qterms)
+            GROUP BY 1
+        ), idf AS (
+            SELECT term,
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dfreq, stats
+        ), scored AS (
+            SELECT qterms.query_id, p.doc_id,
+                   round(sum(idf.idf * (p.tf * ({k1} + 1)) /
+                             (p.tf + {k1} * (1 - {b} + {b} * dl.dl / idf.avgdl))), 4)
+                     AS score
+            FROM postings p
+            JOIN qterms ON p.term = qterms.term
+            JOIN idf ON p.term = idf.term
+            JOIN dl ON p.doc_id = dl.doc_id
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+    """

@@ -34,6 +34,7 @@ from ..operators import cms as cm
 from ..operators import corpus as crp
 from ..operators import dedup as dd
 from ..operators import hll as hl
+from ..operators import retrieval as rtr
 from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -2884,6 +2885,63 @@ def hll_register_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = {
+    "q_exec": ["spark", "window", "merge"],
+    "q_io": ["scan", "batch"],
+    "q_cust": ["customer", "vector"],
+}
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 per query over the documents corpus — the
+    scored-retrieval primitive behind contamination triage and
+    hard-negative mining (``operators/retrieval`` module doc). Scoring
+    touches only the posting rows of query terms (broadcast equi-join =
+    posting-list seek); scores round to 4 dp BEFORE ranking with doc_id
+    tie-break, the cross-engine ranking contract."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = rtr.term_postings(docs)
+    return rtr.bm25_topk(
+        postings, rtr.query_frame(spark, _BM25_QUERIES), k=5
+    ).orderBy("query_id", "rank")
+
+
+def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 statistics path in isolation: per query-term document
+    frequency and idf, plus corpus N/avgdl — value-checks the stats
+    independently of the score composition so a regression localizes."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = rtr.term_postings(docs)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 4).alias("avgdl")
+    )
+    terms = rtr.query_frame(spark, _BM25_QUERIES).select("term").distinct()
+    dfreq = (
+        postings.join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+            "n_docs",
+            "avgdl",
+        )
+        .orderBy("term")
+    )
+
+
 def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style plagiarism detection (Schleimer et al. 2003 winnowing):
     per-window-minimum selection keeps ~2/(w+1) of the 5-gram hashes as
@@ -3126,6 +3184,8 @@ QUERIES = {
     "bloom_words_profile": bloom_words_profile,
     "hll_distinct_users": hll_distinct_users,
     "hll_register_union": hll_register_union,
+    "bm25_topk_docs": bm25_topk_docs,
+    "bm25_term_stats": bm25_term_stats,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -5519,6 +5579,30 @@ ORACLE_SQL["hll_register_union"] = f"""
            (SELECT sum(bucket * register)::BIGINT FROM regs) AS register_checksum,
            (SELECT count(*) FROM regs) AS n_registers
     FROM u_est u
+"""
+
+ORACLE_SQL["bm25_topk_docs"] = rtr.bm25_oracle_sql(_BM25_QUERIES, k=5)
+
+ORACLE_SQL["bm25_term_stats"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+        GROUP BY 1, 2
+    ), dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, round(avg(dl), 4) AS avgdl FROM dl),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM postings
+        WHERE term IN ({", ".join(sorted({f"'{t}'" for ts in _BM25_QUERIES.values() for t in ts}))})
+        GROUP BY 1)
+    SELECT term, df,
+           round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+           n_docs, avgdl
+    FROM dfreq, stats
+    ORDER BY term
 """
 
 
