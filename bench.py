@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "hll_register_union",
     "bm25_topk_docs",
     "bm25_term_stats",
+    "cosupplier_triangle_stats",
+    "cosupplier_triangle_nodes",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

@@ -39,6 +39,7 @@ from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..graph import pagerank as pgr
+from ..graph import triangles as tri
 from ..operators.multimodal import documents_as_media, extract_features
 
 
@@ -2942,6 +2943,54 @@ def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical co-supplier edge set: suppliers that shipped lines of
+    the same order during 1997 Q1 (the window keeps the graph sparse
+    enough that triangle structure is non-trivial rather than
+    near-complete)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = li.join(l2, "l_orderkey").filter(
+        F.col("l_suppkey") != F.col("s2")
+    )
+    return tri.canonical_edges(pairs, "l_suppkey", "s2")
+
+
+def cosupplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle count + global clustering coefficient
+    over the co-supplier graph (``graph/triangles`` module doc: the
+    orientation bounds the wedge join at O(m^1.5) regardless of hot
+    nodes — the property that keeps this runnable on a follows graph
+    with celebrity skew). Every column exact-integer except the final
+    coefficient division."""
+    return tri.triangle_stats(_cosupplier_edges(spark, sf_dir))
+
+
+def cosupplier_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle membership over the same graph — the local
+    density signal (bot rings and tight communities surface as high
+    per-node triangle counts)."""
+    return (
+        tri.node_triangle_counts(_cosupplier_edges(spark, sf_dir))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(25)
+    )
+
+
 def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style plagiarism detection (Schleimer et al. 2003 winnowing):
     per-window-minimum selection keeps ~2/(w+1) of the 5-gram hashes as
@@ -3186,6 +3235,8 @@ QUERIES = {
     "hll_register_union": hll_register_union,
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_term_stats": bm25_term_stats,
+    "cosupplier_triangle_stats": cosupplier_triangle_stats,
+    "cosupplier_triangle_nodes": cosupplier_triangle_nodes,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -5582,6 +5633,62 @@ ORACLE_SQL["hll_register_union"] = f"""
 """
 
 ORACLE_SQL["bm25_topk_docs"] = rtr.bm25_oracle_sql(_BM25_QUERIES, k=5)
+
+# shared replay of the degree-oriented triangle pipeline (canonical
+# edges -> degrees -> (deg, id) orientation -> wedge join -> canonical
+# closure) for both cosupplier_* oracles
+_TRIANGLE_CTE = """
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')
+    ), edges AS (
+        SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
+                        greatest(x.l_suppkey, y.l_suppkey) AS b
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_suppkey <> y.l_suppkey
+    ), deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM edges
+            UNION ALL SELECT b AS node FROM edges) t
+        GROUP BY 1
+    ), oriented AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                    THEN a ELSE b END AS u,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                    THEN b ELSE a END AS v
+        FROM edges
+        JOIN deg da ON da.node = a
+        JOIN deg db ON db.node = b
+    ), wedges AS (
+        SELECT w1.u, w1.v AS v1, w2.v AS v2
+        FROM oriented w1 JOIN oriented w2
+          ON w1.u = w2.u AND w1.v < w2.v
+    ), tri AS (
+        SELECT u, v1, v2 FROM wedges
+        WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = v1 AND e.b = v2)
+    )
+"""
+
+ORACLE_SQL["cosupplier_triangle_stats"] = _TRIANGLE_CTE + """
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT count(*) FROM tri) AS n_triangles,
+           round(3.0 * (SELECT count(*) FROM tri)
+                 / (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg),
+                 6) AS clustering_coeff
+"""
+
+ORACLE_SQL["cosupplier_triangle_nodes"] = _TRIANGLE_CTE + """
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT unnest([u, v1, v2]) AS node FROM tri) corners
+    GROUP BY 1
+    ORDER BY n_triangles DESC, node
+    LIMIT 25
+"""
 
 ORACLE_SQL["bm25_term_stats"] = f"""
     WITH toks AS (
