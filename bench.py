@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "bm25_term_stats",
     "cosupplier_triangle_stats",
     "cosupplier_triangle_nodes",
+    "event_funnel_steps",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

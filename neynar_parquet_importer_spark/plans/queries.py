@@ -1732,6 +1732,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase with
+    strictly-after chaining: a user reaches step N only via an event
+    AFTER their step-(N-1) time, and the step time is the EARLIEST such
+    event (min-ts chaining — the standard funnel semantics, not mere
+    per-type existence). Each step is one filtered aggregate joined to
+    the previous frontier; all three frames are user-sized (small next
+    to the event stream), and every output is an exact integer count,
+    plus an epoch-seconds checksum of the step times so the chaining
+    itself is value-checked, not just the counts. Timestamps compare as
+    NTZ — no session-zone dependence."""
+    ev = _t(spark, sf_dir, "events")
+    secs = _ntz_epoch_seconds("ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _row(step: str, order: int, frame, tcol: str):
+        chk = F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {tcol})"
+        )
+        return frame.agg(
+            F.lit(order).alias("step_order"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(chk).alias("step_ts_checksum"),
+        )
+
+    return (
+        _row("view", 1, s1, "t1")
+        .unionAll(_row("click", 2, s2, "t2"))
+        .unionAll(_row("purchase", 3, s3, "t3"))
+        .orderBy("step_order")
+    )
+
+
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filtering with a corpus-trained unigram model: score
     each document by the mean negative log-probability of its tokens
@@ -3204,6 +3256,7 @@ QUERIES = {
     "user_first_last_event": user_first_last_event,
     "orders_export_sorted": orders_export_sorted,
     "cohort_retention": cohort_retention,
+    "event_funnel_steps": event_funnel_steps,
     "unigram_logprob_score": unigram_logprob_score,
     "bigram_logprob_score": bigram_logprob_score,
     "dedup_simhash": dedup_simhash,
@@ -4405,6 +4458,32 @@ ORACLE_SQL["orders_export_sorted"] = """
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     ORDER BY o_orderdate, o_orderkey
+"""
+
+ORACLE_SQL["event_funnel_steps"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step_order, 'view' AS step, count(*) AS n_users,
+           sum(CAST(floor(epoch(t1)) AS BIGINT)) AS step_ts_checksum FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*),
+           sum(CAST(floor(epoch(t2)) AS BIGINT)) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', count(*),
+           sum(CAST(floor(epoch(t3)) AS BIGINT)) FROM s3
+    ORDER BY step_order
 """
 
 ORACLE_SQL["cohort_retention"] = """
