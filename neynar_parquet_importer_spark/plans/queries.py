@@ -33,6 +33,7 @@ from ..operators import clustering as clu
 from ..operators import cms as cm
 from ..operators import corpus as crp
 from ..operators import dedup as dd
+from ..operators import diff as dff
 from ..operators import hll as hl
 from ..operators import retrieval as rtr
 from ..operators import sampling as smp
@@ -3043,6 +3044,31 @@ def cosupplier_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot diff audit (``operators/diff`` module doc): two
+    deterministic versions of the orders table — rows keyed %7==6
+    appear only in the new snapshot (added), %5==4 only in the old
+    (removed), %11==0 get a price bump (changed) — classified by one
+    full-outer join with null-safe column comparison, then reduced to
+    per-status counts + key checksums. The operation a deployment runs
+    on every fresh full snapshot before trusting it as an incremental
+    source."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 6)
+    new = orders.filter(F.col("o_orderkey") % 5 != 4).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = dff.snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+    return dff.diff_summary(d, "o_orderkey")
+
+
 def winnow_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style plagiarism detection (Schleimer et al. 2003 winnowing):
     per-window-minimum selection keeps ~2/(w+1) of the 5-gram hashes as
@@ -3290,6 +3316,7 @@ QUERIES = {
     "bm25_term_stats": bm25_term_stats,
     "cosupplier_triangle_stats": cosupplier_triangle_stats,
     "cosupplier_triangle_nodes": cosupplier_triangle_nodes,
+    "snapshot_diff_orders": snapshot_diff_orders,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -5759,6 +5786,29 @@ ORACLE_SQL["cosupplier_triangle_stats"] = _TRIANGLE_CTE + """
            round(3.0 * (SELECT count(*) FROM tri)
                  / (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg),
                  6) AS clustering_coeff
+"""
+
+ORACLE_SQL["snapshot_diff_orders"] = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 6
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 4
+    ), diff AS (
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, count(*) AS n_rows, sum(o_orderkey)::BIGINT AS key_checksum
+    FROM diff GROUP BY status ORDER BY status
 """
 
 ORACLE_SQL["cosupplier_triangle_nodes"] = _TRIANGLE_CTE + """
