@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cosupplier_triangle_nodes",
     "event_funnel_steps",
     "snapshot_diff_orders",
+    "lpa_supplier_communities",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

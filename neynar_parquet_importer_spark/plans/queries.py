@@ -39,6 +39,7 @@ from ..operators import retrieval as rtr
 from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..graph import lpa
 from ..graph import pagerank as pgr
 from ..graph import triangles as tri
 from ..operators.multimodal import documents_as_media, extract_features
@@ -3044,6 +3045,25 @@ def cosupplier_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lpa_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the co-supplier
+    graph (``graph/lpa`` module doc): 4 fixed rounds, most-common
+    neighbor label, smallest label on ties — every update an exact
+    integer aggregate, so the community assignment is value-checked by
+    an INDEPENDENT single-process replay embedded as the oracle
+    (pagerank discipline, not a shared artifact)."""
+    edges = _cosupplier_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = lpa.label_propagation(directed, n_iter=4)
+    return lpa.community_sizes(labels).orderBy(
+        F.desc("n_members"), "community"
+    )
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-snapshot diff audit (``operators/diff`` module doc): two
     deterministic versions of the orders table — rows keyed %7==6
@@ -3317,6 +3337,7 @@ QUERIES = {
     "cosupplier_triangle_stats": cosupplier_triangle_stats,
     "cosupplier_triangle_nodes": cosupplier_triangle_nodes,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "lpa_supplier_communities": lpa_supplier_communities,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -5875,6 +5896,46 @@ def _pagerank_oracle_sql(sf_dir: str) -> str:
     """
 
 
+def _lpa_oracle_sql(sf_dir: str) -> str:
+    """Independent single-process replay of the distributed label
+    propagation: fetch the SAME canonical co-supplier edge set outside
+    Spark (1997 Q1 window, matching _cosupplier_edges), run the
+    identical synchronous integer recursion (graph.lpa.lpa_replay), and
+    embed the community sizes as a VALUES literal. Only the rules are
+    shared with the Spark path — a wrong distributed join/aggregate
+    shows up as a size mismatch."""
+    import duckdb
+
+    from ..graph.lpa import lpa_replay
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a, "
+        "       greatest(x.l_suppkey, y.l_suppkey) AS b "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet') x "
+        f"JOIN read_parquet('{sf_dir}/lineitem.parquet') y "
+        "  ON x.l_orderkey = y.l_orderkey AND x.l_suppkey <> y.l_suppkey "
+        "WHERE x.l_orderkey IN ("
+        f"  SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet')"
+        "   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+        "     AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')"
+    ).fetchall()
+    con.close()
+    directed = [(int(a), int(b)) for a, b in pairs]
+    directed += [(b, a) for a, b in directed]
+    labels = lpa_replay(directed, n_iter=4)
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    rows = sorted(sizes.items(), key=lambda t: (-t[1], t[0]))
+    values = ",\n            ".join(f"({c}, {n})" for c, n in rows)
+    return f"""
+        SELECT community, n_members FROM (VALUES
+            {values}
+        ) AS t(community, n_members)
+    """
+
+
 def _kmeans_replay_centroids(sf_dir: str, k: int = 8, n_iter: int = 4):
     """INDEPENDENT single-process replay of the distributed k-means
     training (queries must pass k/n_iter matching _kmeans_cents): fetch
@@ -6030,5 +6091,8 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
         if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
             _ARTIFACT_ORACLE_CACHE[key]["pagerank_supplier_rank"] = (
                 _pagerank_oracle_sql(sf_dir)
+            )
+            _ARTIFACT_ORACLE_CACHE[key]["lpa_supplier_communities"] = (
+                _lpa_oracle_sql(sf_dir)
             )
     return _ARTIFACT_ORACLE_CACHE[key]

@@ -43,6 +43,7 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "kmeans_corpus_clusters",
         "kmeans_domain_profile",
         "pagerank_supplier_rank",
+        "lpa_supplier_communities",
     }
     assert any("missing" in str(w.message) for w in caught)
 
