@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "event_funnel_steps",
     "snapshot_diff_orders",
     "lpa_supplier_communities",
+    "zorder_events_profile",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

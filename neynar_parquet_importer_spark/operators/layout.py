@@ -1,0 +1,117 @@
+"""Z-order (Morton) layout: multi-dimensional clustering for file skip.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet min/max footer stats prune a scan only if the row layout makes
+per-file ranges TIGHT on the filtered columns.  Sorting by one column
+gives tight ranges on that column and useless ones on every other;
+interleaving the bits of two (or more) columns into a Morton z-value
+and range-partitioning on it gives every co-sorted file a bounded
+rectangle in BOTH dimensions — the layout trick behind Delta/Iceberg
+``OPTIMIZE ZORDER BY``, built here from plain Column bit arithmetic.
+
+Everything is exact integer ops (shift/and/or), so layouts and their
+skip-profile audits replay as static ANSI SQL — no UDF, pure
+whole-stage codegen.
+
+``zorder_profile`` is the audit: bucket rows by z-range (the file
+boundaries a writer would use) and report each bucket's bounding box
+and its share of each dimension's domain.  Tight boxes (share ~
+1/sqrt(n_buckets) per dim for uniform data, vs 1.0 for the unsorted
+dimension of a single-column sort) are the direct evidence a
+predicate on EITHER dimension will skip most buckets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_z(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints: x in even
+    positions, y in odd. Callers must pre-scale dims into [0, 2^bits)
+    (values beyond wrap into high bits and break locality, so clamp or
+    quantize first)."""
+    terms = [
+        F.shiftleft(
+            F.shiftright(c, i).bitwiseAND(F.lit(1)), 2 * i + off
+        )
+        for i in range(bits)
+        for off, c in ((0, x), (1, y))
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def morton_z_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical interleave as an ANSI SQL expression (oracle twin /
+    pushdown into engines without the Column API)."""
+    terms = [
+        f"((({c} >> {i}) & 1) << {2 * i + off})"
+        for i in range(bits)
+        for off, c in ((0, x), (1, y))
+    ]
+    return " | ".join(terms)
+
+
+def quantize_dim(c: Column, cmin: Column, cmax: Column, bits: int = 16) -> Column:
+    """Affine-map an integer dimension onto [0, 2^bits): what a z-order
+    writer does before interleaving, so both dims spread over the full
+    bit budget regardless of their natural ranges. Exact integer
+    arithmetic (``div``), replayable as ``((c - cmin) * (2^bits - 1)) //
+    range`` — callers pass the GLOBAL min/max (two scalar aggregates,
+    broadcast), making the mapping a pure function of the corpus."""
+    span = F.greatest(cmax - cmin, F.lit(1))
+    scaled = (c - cmin) * F.lit((1 << bits) - 1)
+    # exact integer floor-division without `div`-on-columns: strip the
+    # remainder first, then the double division is an exactly-divisible
+    # ratio with a < 2^53 quotient — correctly-rounded to the integer
+    # (a raw floor(scaled/span) could round across an integer boundary)
+    return ((scaled - F.pmod(scaled, span)) / span).cast("long")
+
+
+def zorder_profile(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(bucket, n_rows, x_min, x_max, y_min, y_max, x_span, y_span):
+    the per-file bounding boxes a z-range writer would produce.
+
+    ``n_buckets`` must be a power of two <= 2^(2*bits); the bucket is
+    the top log2(n_buckets) bits of the z-value — exactly the split
+    points of an equal-width z-range partitioning."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 2 * bits - n_buckets.bit_length() + 1
+    z = morton_z(F.col(x_col), F.col(y_col), bits)
+    return (
+        df.select(
+            F.shiftright(z, shift).alias("bucket"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (F.col("x_max") - F.col("x_min")).alias("x_span"),
+            (F.col("y_max") - F.col("y_min")).alias("y_span"),
+        )
+        .orderBy("bucket")
+    )

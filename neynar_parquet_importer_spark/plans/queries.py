@@ -35,6 +35,7 @@ from ..operators import corpus as crp
 from ..operators import dedup as dd
 from ..operators import diff as dff
 from ..operators import hll as hl
+from ..operators import layout as lay
 from ..operators import retrieval as rtr
 from ..operators import sampling as smp
 from ..operators import similarity as sim
@@ -3064,6 +3065,37 @@ def lpa_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over (user_id, event time): quantize both
+    dims onto the full 16-bit budget from their global min/max, Morton-
+    interleave, bucket by the top z-bits (the file boundaries a writer
+    would cut), and report per-bucket bounding boxes. Tight boxes in
+    BOTH dims are the direct evidence a filter on either column skips
+    most files at 100 TB (``operators/layout`` module doc) — a
+    single-column sort would show x_span ~ full domain in every bucket.
+    Pure integer bit arithmetic end to end; static SQL replay."""
+    ev = _t(spark, sf_dir, "events")
+    secs = _ntz_epoch_seconds("ts")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("uid"), secs.alias("secs")
+    )
+    rng = base.agg(
+        F.min("uid").alias("umin"),
+        F.max("uid").alias("umax"),
+        F.min("secs").alias("smin"),
+        F.max("secs").alias("smax"),
+    )
+    q = base.crossJoin(F.broadcast(rng)).select(
+        lay.quantize_dim(
+            F.col("uid"), F.col("umin"), F.col("umax"), 16
+        ).alias("qx"),
+        lay.quantize_dim(
+            F.col("secs"), F.col("smin"), F.col("smax"), 16
+        ).alias("qy"),
+    )
+    return lay.zorder_profile(q, "qx", "qy", bits=16, n_buckets=64)
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-snapshot diff audit (``operators/diff`` module doc): two
     deterministic versions of the orders table — rows keyed %7==6
@@ -3338,6 +3370,7 @@ QUERIES = {
     "cosupplier_triangle_nodes": cosupplier_triangle_nodes,
     "snapshot_diff_orders": snapshot_diff_orders,
     "lpa_supplier_communities": lpa_supplier_communities,
+    "zorder_events_profile": zorder_events_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -5807,6 +5840,31 @@ ORACLE_SQL["cosupplier_triangle_stats"] = _TRIANGLE_CTE + """
            round(3.0 * (SELECT count(*) FROM tri)
                  / (SELECT CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) FROM deg),
                  6) AS clustering_coeff
+"""
+
+ORACLE_SQL["zorder_events_profile"] = f"""
+    WITH base AS (
+        SELECT user_id AS uid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        FROM events
+    ), rng AS (
+        SELECT min(uid) AS umin, max(uid) AS umax,
+               min(secs) AS smin, max(secs) AS smax
+        FROM base
+    ), q AS (
+        SELECT ((uid - umin) * 65535) // greatest(umax - umin, 1) AS qx,
+               ((secs - smin) * 65535) // greatest(smax - smin, 1) AS qy
+        FROM base, rng
+    ), zb AS (
+        SELECT ({lay.morton_z_sql("qx", "qy", 16)}) >> 26 AS bucket,
+               qx AS x, qy AS y
+        FROM q
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+    FROM zb GROUP BY bucket ORDER BY bucket
 """
 
 ORACLE_SQL["snapshot_diff_orders"] = """

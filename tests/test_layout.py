@@ -1,0 +1,96 @@
+"""Z-order layout: known Morton values, Column/SQL twin equality,
+quantization exactness, and the locality property the layout exists
+for. Cross-engine parity is the ``zorder_events_profile`` oracle twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.operators import layout as lay
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_matches_reference_bits(spark):
+    """Column interleave equals the bit-by-bit python reference on a
+    grid including domain corners."""
+    vals = [0, 1, 2, 3, 5, 255, 256, 32767, 65535]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", lay.morton_z(F.col("x"), F.col("y"), 16).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _py_morton(r.x, r.y), (r.x, r.y)
+
+
+def test_sql_twin_is_identical(spark):
+    """morton_z_sql must be the same function as morton_z (it is the
+    oracle's replay)."""
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 7, 1234) for y in (0, 9, 60000)],
+        "x long, y long",
+    )
+    mism = df.select(
+        (
+            lay.morton_z(F.col("x"), F.col("y"), 16)
+            != F.expr(lay.morton_z_sql("x", "y", 16))
+        ).alias("bad")
+    )
+    assert mism.filter(F.col("bad")).count() == 0
+
+
+def test_quantize_hits_domain_ends_exactly(spark):
+    """min -> 0, max -> 2^bits - 1, constant dim -> 0 (span guard)."""
+    df = spark.createDataFrame(
+        [(0,), (500,), (1000,)], "v long"
+    ).crossJoin(
+        spark.createDataFrame([(0, 1000)], "lo long, hi long")
+    )
+    got = sorted(
+        r[0]
+        for r in df.select(
+            lay.quantize_dim(F.col("v"), F.col("lo"), F.col("hi"), 16)
+        ).collect()
+    )
+    assert got[0] == 0 and got[-1] == 65535
+    const = spark.createDataFrame([(5, 5, 5)], "v long, lo long, hi long")
+    assert (
+        const.select(
+            lay.quantize_dim(F.col("v"), F.col("lo"), F.col("hi"), 16)
+        ).collect()[0][0]
+        == 0
+    )
+
+
+def test_zorder_boxes_are_tight_in_both_dims(spark):
+    """Uniform 256x256 grid, 64 buckets: every z-bucket's bounding box
+    must span ~1/8 of EACH dimension (the file-skip property); a
+    single-column sort would leave one dimension's span at ~full
+    domain. Asserts max span <= 1/4 of the domain in both dims."""
+    grid = spark.range(256).selectExpr("id as gx").crossJoin(
+        spark.range(256).selectExpr("id as gy")
+    )
+    q = grid.select(
+        lay.quantize_dim(F.col("gx"), F.lit(0), F.lit(255), 16).alias("qx"),
+        lay.quantize_dim(F.col("gy"), F.lit(0), F.lit(255), 16).alias("qy"),
+    )
+    prof = lay.zorder_profile(q, "qx", "qy", bits=16, n_buckets=64)
+    worst = prof.agg(
+        F.max("x_span").alias("xs"), F.max("y_span").alias("ys")
+    ).collect()[0]
+    assert worst.xs <= 65536 // 4
+    assert worst.ys <= 65536 // 4
+
+
+def test_n_buckets_must_be_power_of_two(spark):
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    with pytest.raises(ValueError):
+        lay.zorder_profile(df, "x", "y", n_buckets=48)
