@@ -113,6 +113,11 @@ FAMILY_QUERIES = [
     "kmeans_domain_profile",
     "winnow_plagiarism_pairs",
     "winnow_fingerprint_stats",
+    # round-6 fourth pass: sketches + retrieval
+    "hll_distinct_users",
+    "hll_register_union",
+    "bm25_topk_docs",
+    "bm25_term_stats",
 ]
 
 
@@ -135,6 +140,19 @@ RELATIONAL_QUERIES = [
     "range_join_shipments",
     "asof_latest_order_per_event",
     "pagerank_supplier_rank",
+    # round-6 fourth pass: correlated-subquery TPC-H shapes, graph,
+    # funnel/diff/layout
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_late_shippers",
+    "event_funnel_steps",
+    "snapshot_diff_orders",
+    "cosupplier_triangle_stats",
+    "lpa_supplier_communities",
+    "zorder_events_profile",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
