@@ -53,9 +53,19 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def oriented_edges(edges: DataFrame) -> DataFrame:
+def oriented_edges(
+    edges: DataFrame, broadcast_degrees: bool = True
+) -> DataFrame:
     """(u, v): each canonical edge directed from the lower-(deg, id)
-    endpoint to the higher — the skew-bounding orientation."""
+    endpoint to the higher — the skew-bounding orientation.
+
+    ``broadcast_degrees``: the degree frame is node-sized; fine to
+    broadcast for graphs whose NODE set fits an executor (the default,
+    right for dimension-keyed graphs like co-suppliers), but on a
+    billion-node follows graph pass False and let the two decorations
+    shuffle-join — the explicit hint would otherwise force an OOM
+    regardless of autoBroadcastJoinThreshold (same knob discipline as
+    ``bloom.bloom_probe``'s broadcast_words)."""
     deg = degrees(edges)
     da = deg.select(
         F.col("node").alias("a"), F.col("deg").alias("deg_a")
@@ -63,7 +73,9 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     db = deg.select(
         F.col("node").alias("b"), F.col("deg").alias("deg_b")
     )
-    j = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
+    j = edges.join(da, "a").join(db, "b")
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -73,14 +85,14 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, broadcast_degrees: bool = True) -> DataFrame:
     """(x, y, z): one row per triangle, each exactly once, as the sorted
     node triple. Wedge join on the common oriented source; the closure
     is an EQUI-join against the canonical edge set — the wedge's open
     pair is emitted id-ordered (v1 < v2), which is exactly the canonical
     form, so no OR-of-directions condition (which would plan as a
     nested-loop join) is ever needed."""
-    o = oriented_edges(edges)
+    o = oriented_edges(edges, broadcast_degrees)
     w1 = o.select(F.col("u"), F.col("v").alias("v1"))
     w2 = o.select(F.col("u"), F.col("v").alias("v2"))
     # out-neighbor pairs of u, ordered v1 < v2 to emit each wedge once
@@ -104,7 +116,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """One row: n_nodes, n_edges, n_wedges (sum C(deg,2) — open+closed),
     n_triangles, and the global clustering coefficient
     ``3*T / n_wedges`` (the only float, one division of exact ints,
-    rounded at 6 dp)."""
+    rounded at 6 dp).
+
+    The edge frame feeds four subtrees (degree stats, edge count, the
+    orientation's degree join, the closure join) with differing
+    projections, so exchange reuse alone doesn't collapse the repeats —
+    persist it through the shared thread-local registry that
+    ``release_cached()`` drains (the dedup/corpus discipline), sparing
+    ~4 recomputations of what is usually the most expensive subplan
+    (e.g. the lineitem self-join behind the co-supplier graph)."""
+    from ..operators.dedup import _persist
+
+    edges = _persist(edges)
     deg = degrees(edges)
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -131,7 +154,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
 def node_triangle_counts(edges: DataFrame) -> DataFrame:
     """(node, n_triangles): per-node triangle membership — each triangle
-    credits all three corners (explode of the triple)."""
+    credits all three corners (explode of the triple). Edges persist
+    through the shared registry for the same multi-subtree reason as
+    :func:`triangle_stats`."""
+    from ..operators.dedup import _persist
+
+    edges = _persist(edges)
     t = triangles(edges)
     node = F.explode(F.array("x", "y", "z")).alias("node")
     return t.select(node).groupBy("node").agg(

@@ -52,21 +52,31 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
     )
     j = o.join(n, o._ok == n._nk, "full_outer")
+    # empty compare_cols is a legitimate key-presence-only diff
+    # (added/removed audit) — seed the reduce so it doesn't raise
     same = reduce(
         lambda a, b: a & b,
         [
             F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
             for c in compare_cols
         ],
+        F.lit(True),
     )
+    removed = F.col("_nk").isNull()
     status = (
         F.when(F.col("_ok").isNull(), F.lit("added"))
-        .when(F.col("_nk").isNull(), F.lit("removed"))
+        .when(removed, F.lit("removed"))
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
+    # branch on row presence, NOT coalesce per column: a column that
+    # changed to NULL must surface as NULL (coalesce would resurrect the
+    # old value and a downstream "synthetic incremental batch" would
+    # silently undo the upstream NULL-ing)
     out_cols = [
-        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        F.when(removed, F.col(f"_o_{c}"))
+        .otherwise(F.col(f"_n_{c}"))
+        .alias(c)
         for c in compare_cols
     ]
     return j.select(

@@ -97,7 +97,11 @@ def hll_registers(
     group_cols = group_cols or []
     bucket, rho = _bucket_and_rank(F.col(key_col), p)
     return (
-        df.select(*group_cols, bucket, rho)
+        # NULL keys are ignored, matching countDistinct (md5(NULL) would
+        # otherwise yield a NULL-bucket row that hll_estimate counts in
+        # n_present, shrinking S/V and biasing the estimate upward)
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("register"))
     )
@@ -158,6 +162,10 @@ def hll_oracle_sql(
     gsel = "".join(f"{c}, " for c in group_cols)
     gby = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
     gby_bucket = "GROUP BY " + ", ".join([*group_cols, "bucket"])
+    null_guard = f"({key_expr}) IS NOT NULL"
+    where = (
+        f"{where} AND {null_guard}" if where.strip() else f"WHERE {null_guard}"
+    )
     return f"""
         WITH halves AS (
             SELECT {gsel}

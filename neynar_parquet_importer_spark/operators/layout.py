@@ -33,7 +33,10 @@ def morton_z(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` of two non-negative ints: x in even
     positions, y in odd. Callers must pre-scale dims into [0, 2^bits)
     (values beyond wrap into high bits and break locality, so clamp or
-    quantize first)."""
+    quantize first). Inputs are widened to LONG first — on an
+    IntegerType column the bit-31 term would otherwise wrap to
+    Integer.MIN_VALUE and the z-value would go negative."""
+    x, y = x.cast("long"), y.cast("long")
     terms = [
         F.shiftleft(
             F.shiftright(c, i).bitwiseAND(F.lit(1)), 2 * i + off
@@ -64,11 +67,16 @@ def quantize_dim(c: Column, cmin: Column, cmax: Column, bits: int = 16) -> Colum
     broadcast), making the mapping a pure function of the corpus."""
     span = F.greatest(cmax - cmin, F.lit(1))
     scaled = (c - cmin) * F.lit((1 << bits) - 1)
-    # exact integer floor-division without `div`-on-columns: strip the
-    # remainder first, then the double division is an exactly-divisible
-    # ratio with a < 2^53 quotient — correctly-rounded to the integer
-    # (a raw floor(scaled/span) could round across an integer boundary)
-    return ((scaled - F.pmod(scaled, span)) / span).cast("long")
+    # exact integer floor-division without `div`-on-columns: a first
+    # estimate via double division, then a +-1 correction computed in
+    # pure LONG arithmetic. The double path alone is exact only while
+    # scaled < 2^53 (spans above ~2^37 at 16 bits break it — e.g. an
+    # epoch-nanos dimension); the correction makes the result exact for
+    # ANY long span, matching an ANSI engine's integer `//` bit for bit
+    # (q <= 2^bits - 1, so q * span can't overflow).
+    q0 = F.floor(scaled / span).cast("long")
+    q1 = F.when(q0 * span > scaled, q0 - 1).otherwise(q0)
+    return F.when((q1 + 1) * span <= scaled, q1 + 1).otherwise(q1)
 
 
 def zorder_profile(
@@ -85,8 +93,15 @@ def zorder_profile(
     ``n_buckets`` must be a power of two <= 2^(2*bits); the bucket is
     the top log2(n_buckets) bits of the z-value — exactly the split
     points of an equal-width z-range partitioning."""
-    if n_buckets & (n_buckets - 1):
-        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    if (
+        n_buckets < 1
+        or n_buckets > (1 << (2 * bits))
+        or n_buckets & (n_buckets - 1)
+    ):
+        raise ValueError(
+            f"n_buckets must be a power of two in [1, 2^{2 * bits}],"
+            f" got {n_buckets}"
+        )
     shift = 2 * bits - n_buckets.bit_length() + 1
     z = morton_z(F.col(x_col), F.col(y_col), bits)
     return (

@@ -1747,7 +1747,6 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is value-checked, not just the counts. Timestamps compare as
     NTZ — no session-zone dependence."""
     ev = _t(spark, sf_dir, "events")
-    secs = _ntz_epoch_seconds("ts")
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1769,9 +1768,7 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _row(step: str, order: int, frame, tcol: str):
-        chk = F.expr(
-            f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {tcol})"
-        )
+        chk = _ntz_epoch_seconds(tcol)
         return frame.agg(
             F.lit(order).alias("step_order"),
             F.lit(step).alias("step"),
@@ -5783,7 +5780,7 @@ ORACLE_SQL["hll_register_union"] = f"""
                         ELSE 33 - length(bin(
                             CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),9,8)
                                  AS BIGINT))) END) AS register
-        FROM events GROUP BY 1)
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1)
     SELECT u.estimate AS union_estimate,
            u.estimate AS direct_estimate,
            TRUE AS union_equals_direct,

@@ -59,6 +59,27 @@ def test_null_to_value_is_changed(spark):
     assert got.status == "changed"
 
 
+def test_value_to_null_is_changed_and_surfaces_null(spark):
+    """A column NULL-ed upstream must come through as NULL (a coalesce
+    would resurrect the old value and the 'synthetic incremental batch'
+    use would silently undo the NULL-ing)."""
+    old = spark.createDataFrame([(1, 7.0)], "k long, v double")
+    new = spark.createDataFrame([(1, None)], "k long, v double")
+    got = dff.snapshot_diff(old, new, "k", ["v"]).collect()[0]
+    assert got.status == "changed"
+    assert got.v is None
+
+
+def test_empty_compare_cols_is_presence_only_diff(spark):
+    """No payload columns: a pure added/removed/unchanged audit."""
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r.k: r.status for r in dff.snapshot_diff(old, new, "k", []).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
 def test_summary_counts_and_checksums(spark, versions):
     old, new = versions
     d = dff.snapshot_diff(old, new, "k", ["s", "v"])

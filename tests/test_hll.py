@@ -91,6 +91,21 @@ def test_harmonic_sum_is_order_exact():
     assert fwd == rev == 1023 + 2.0**-33
 
 
+def test_null_keys_are_ignored(spark):
+    """NULL keys must not materialize a NULL-bucket row (it would count
+    in n_present and bias the estimate); semantics match countDistinct."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "k long"
+    )
+    regs = hll.hll_registers(df, "k", p=10)
+    assert regs.filter(F.col("bucket").isNull()).count() == 0
+    assert regs.count() == 2
+    clean = hll.hll_registers(df.filter(F.col("k").isNotNull()), "k", p=10)
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, clean.collect())
+    )
+
+
 def test_p_bounds_enforced(spark, events):
     with pytest.raises(ValueError):
         hll.hll_registers(events, "user_id", p=11)

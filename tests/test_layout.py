@@ -92,5 +92,38 @@ def test_zorder_boxes_are_tight_in_both_dims(spark):
 
 def test_n_buckets_must_be_power_of_two(spark):
     df = spark.createDataFrame([(1, 1)], "x long, y long")
-    with pytest.raises(ValueError):
-        lay.zorder_profile(df, "x", "y", n_buckets=48)
+    for bad in (48, 0, 1 << 40):
+        with pytest.raises(ValueError):
+            lay.zorder_profile(df, "x", "y", n_buckets=bad)
+
+
+def test_quantize_exact_at_epoch_nano_spans(spark):
+    """Spans above 2^37 overflow the pure-double division path; the
+    long-arithmetic correction must keep every quantile equal to
+    python's exact integer `//` (the oracle's arithmetic)."""
+    lo, hi = 1_700_000_000_000_000_000, 1_700_009_999_999_999_999  # ns
+    vals = [lo, lo + 1, (lo + hi) // 2, hi - 1, hi,
+            lo + (hi - lo) * 2 // 3 + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.q
+        for r in df.select(
+            "v",
+            lay.quantize_dim(
+                F.col("v"), F.lit(lo), F.lit(hi), 16
+            ).alias("q"),
+        ).collect()
+    }
+    span = hi - lo
+    for v in vals:
+        assert got[v] == ((v - lo) * 65535) // span, v
+
+
+def test_morton_int_input_does_not_wrap_negative(spark):
+    """IntegerType inputs with bit 15 set must not overflow into the
+    sign bit (z stays non-negative)."""
+    df = spark.createDataFrame([(65535, 65535)], "x int, y int")
+    z = df.select(
+        lay.morton_z(F.col("x"), F.col("y"), 16).alias("z")
+    ).collect()[0].z
+    assert z == (1 << 32) - 1
