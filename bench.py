@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",
     "lpa_supplier_communities",
     "zorder_events_profile",
+    "event_transition_matrix",
+    "copurchase_part_pairs",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

@@ -1784,6 +1784,60 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts (the Markov matrix behind
+    path analysis): lag over each user's ts-ordered stream, tie-broken
+    by event_id so the ordering is a total order and the lag is
+    deterministic on any engine. One window shuffle partitioned by
+    user_id (bounded keys, no global sort) + one count aggregate; every
+    output an exact integer."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, counted across orders, min-support filtered, top-20. The
+    pair self-join is bounded per order by C(lines, 2) (~6 here); at
+    100 TB the same shape needs the df-cap discipline the n-gram
+    families use — drop parts in more than a support-fraction of
+    baskets BEFORE pairing, since one ubiquitous part otherwise
+    dominates the pair shuffle exactly like a hot shingle. Exact
+    integer counts; id-ordered canonical pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(
+            F.col("l_orderkey"),
+            F.col("l_partkey").alias("part_a"),
+            F.col("p2").alias("part_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filtering with a corpus-trained unigram model: score
     each document by the mean negative log-probability of its tokens
@@ -3332,6 +3386,8 @@ QUERIES = {
     "orders_export_sorted": orders_export_sorted,
     "cohort_retention": cohort_retention,
     "event_funnel_steps": event_funnel_steps,
+    "event_transition_matrix": event_transition_matrix,
+    "copurchase_part_pairs": copurchase_part_pairs,
     "unigram_logprob_score": unigram_logprob_score,
     "bigram_logprob_score": bigram_logprob_score,
     "dedup_simhash": dedup_simhash,
@@ -4536,6 +4592,33 @@ ORACLE_SQL["orders_export_sorted"] = """
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     ORDER BY o_orderdate, o_orderkey
+"""
+
+ORACLE_SQL["event_transition_matrix"] = """
+    WITH seq AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    )
+    SELECT prev_type, next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["copurchase_part_pairs"] = """
+    WITH pairs AS (
+        SELECT DISTINCT x.l_orderkey,
+               x.l_partkey AS part_a, y.l_partkey AS part_b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
 """
 
 ORACLE_SQL["event_funnel_steps"] = """
