@@ -450,3 +450,54 @@ def test_kmeans_cluster_agg_is_partial_and_single_python_stage(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_q21_self_references_plan_as_hash_joins_not_nested_loop(spark):
+    """The EXISTS/NOT-EXISTS self-references must plan as equi semi/anti
+    joins on l_orderkey (sort-merge or hash) with the supplier
+    inequality evaluated inside the join — a BroadcastNestedLoopJoin
+    here means the orderkey equi-conjunct was lost and the plan is
+    O(n^2) at scale."""
+    plan = _plan(spark, "q21_late_shippers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_zorder_profile_is_pure_codegen_single_aggregate(spark):
+    """The Morton interleave must stay JVM-side (pure bit arithmetic —
+    no Python stage) and the profile must be one partial+final
+    aggregate pair; the min/max range frame arrives as a broadcast."""
+    plan = _plan(spark, "zorder_events_profile")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "SortMergeJoin" not in plan  # 1-row range frame broadcasts
+
+
+def test_transition_matrix_window_is_partitioned_by_user(spark):
+    """The lag window must shuffle on user_id — never an empty
+    PARTITION BY collapsing the event stream to one task."""
+    plan = _plan(spark, "event_transition_matrix")
+    lines = plan.splitlines()
+    single = [l for l in lines if "Exchange SinglePartition" in l]
+    # the only single-partition exchange allowed is the final tiny
+    # ORDER BY of the 25-row matrix
+    assert len(single) <= 1
+    assert any(
+        "hashpartitioning(user_id" in l for l in lines
+    ), "lag window lost its user_id partitioning"
+
+
+def test_lpa_round_is_join_plus_bounded_aggregate(spark):
+    """One LPA round = edge join + label-count aggregate with map-side
+    partial combine; no Python stages, no nested-loop joins."""
+    from neynar_parquet_importer_spark.graph import lpa as _lpa
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src long, dst long",
+    )
+    labels = _lpa.label_propagation(e, n_iter=1)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_max" in plan
