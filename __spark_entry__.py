@@ -59,8 +59,8 @@ def oracle_sql() -> dict[str, str]:
             f"{sf_dir!r}; embedding_lsh_topk / embedding_ivf_topk"
             " / embedding_pq_topk / embedding_near_dup_lsh /"
             " kmeans_corpus_clusters / kmeans_domain_profile /"
-            " pagerank_supplier_rank / lpa_supplier_communities"
-            " degrade to rows-only checks",
+            " pagerank_supplier_rank / lpa_supplier_communities /"
+            " kcore_supplier_stats degrade to rows-only checks",
             stacklevel=2,
         )
     return out

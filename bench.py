@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "zorder_events_profile",
     "event_transition_matrix",
     "copurchase_part_pairs",
+    "kcore_supplier_stats",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

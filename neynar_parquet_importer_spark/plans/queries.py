@@ -40,6 +40,7 @@ from ..operators import retrieval as rtr
 from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..graph import kcore as kcr
 from ..graph import lpa
 from ..graph import pagerank as pgr
 from ..graph import triangles as tri
@@ -3147,6 +3148,29 @@ def zorder_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lay.zorder_profile(q, "qx", "qy", bits=16, n_buckets=64)
 
 
+def kcore_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone of the co-supplier graph (``graph/kcore`` module
+    doc): simultaneous degree peeling to the unique fixpoint, one
+    bounded shuffle per round over a shrinking edge list. k is derived
+    from the graph itself — 70% of the average degree, in exact integer
+    arithmetic ``(14*E) // (10*N)`` — so the core stays non-empty (and
+    proper wherever the degree distribution has a tail) at every test
+    scale; the density of THIS graph varies 10x across sf. Two tiny
+    driver-side count jobs fix k before peeling (the adaptive-dispatch
+    pattern); the oracle re-derives the same k and independently
+    re-peels the same edge set single-process."""
+    edges = dd._persist(_cosupplier_edges(spark, sf_dir))
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .count()
+    )
+    k = max(1, (14 * n_edges) // (10 * max(n_nodes, 1)))
+    return kcr.kcore_stats(edges, k=k)
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-snapshot diff audit (``operators/diff`` module doc): two
     deterministic versions of the orders table — rows keyed %7==6
@@ -3423,6 +3447,7 @@ QUERIES = {
     "cosupplier_triangle_nodes": cosupplier_triangle_nodes,
     "snapshot_diff_orders": snapshot_diff_orders,
     "lpa_supplier_communities": lpa_supplier_communities,
+    "kcore_supplier_stats": kcore_supplier_stats,
     "zorder_events_profile": zorder_events_profile,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
@@ -6074,6 +6099,42 @@ def _lpa_oracle_sql(sf_dir: str) -> str:
     """
 
 
+def _kcore_oracle_sql(sf_dir: str) -> str:
+    """Independent single-process replay of the distributed k-core peel
+    (graph.kcore.kcore_replay) over the SAME co-supplier edge set,
+    embedded as a 1-row VALUES literal. The fixpoint is unique, so any
+    correct peel must land on these exact counts/checksum."""
+    import duckdb
+
+    from ..graph.kcore import kcore_replay
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a, "
+        "       greatest(x.l_suppkey, y.l_suppkey) AS b "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet') x "
+        f"JOIN read_parquet('{sf_dir}/lineitem.parquet') y "
+        "  ON x.l_orderkey = y.l_orderkey AND x.l_suppkey <> y.l_suppkey "
+        "WHERE x.l_orderkey IN ("
+        f"  SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet')"
+        "   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+        "     AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')"
+    ).fetchall()
+    con.close()
+    edges = {(int(a), int(b)) for a, b in pairs}
+    all_nodes = {v for e in edges for v in e}
+    # the SAME relative-k rule as kcore_supplier_stats: 70% of average
+    # degree in exact integer arithmetic
+    k = max(1, (14 * len(edges)) // (10 * max(len(all_nodes), 1)))
+    core = kcore_replay(edges, k=k)
+    nodes = {v for e in core for v in e}
+    return f"""
+        SELECT k, n_core_nodes, n_core_edges, node_checksum FROM (VALUES
+            ({k}, {len(nodes)}, {len(core)}, {sum(nodes)})
+        ) AS t(k, n_core_nodes, n_core_edges, node_checksum)
+    """
+
+
 def _kmeans_replay_centroids(sf_dir: str, k: int = 8, n_iter: int = 4):
     """INDEPENDENT single-process replay of the distributed k-means
     training (queries must pass k/n_iter matching _kmeans_cents): fetch
@@ -6232,5 +6293,8 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             )
             _ARTIFACT_ORACLE_CACHE[key]["lpa_supplier_communities"] = (
                 _lpa_oracle_sql(sf_dir)
+            )
+            _ARTIFACT_ORACLE_CACHE[key]["kcore_supplier_stats"] = (
+                _kcore_oracle_sql(sf_dir)
             )
     return _ARTIFACT_ORACLE_CACHE[key]

@@ -153,6 +153,8 @@ RELATIONAL_QUERIES = [
     "cosupplier_triangle_stats",
     "lpa_supplier_communities",
     "zorder_events_profile",
+    "event_transition_matrix",
+    "copurchase_part_pairs",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the

@@ -44,6 +44,7 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "kmeans_domain_profile",
         "pagerank_supplier_rank",
         "lpa_supplier_communities",
+        "kcore_supplier_stats",
     }
     assert any("missing" in str(w.message) for w in caught)
 

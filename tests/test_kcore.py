@@ -1,0 +1,73 @@
+"""k-core: closed-form graphs, peel-chain behavior, replay equivalence,
+empty-core edge case, and non-convergence guard. Cross-engine parity is
+the ``kcore_supplier_stats`` replay oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.graph import kcore as kcr
+from neynar_parquet_importer_spark.graph.triangles import canonical_edges
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return canonical_edges(df, "src", "dst")
+
+
+def _core_set(df):
+    return {(r.a, r.b) for r in df.collect()}
+
+
+def test_clique_survives_tail_peels(spark):
+    """K5 with a pendant path hanging off it: the 3-core is exactly the
+    clique — the path peels away over multiple rounds (chain peeling,
+    not a single pass)."""
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    core = kcr.kcore_edges(_edges(spark, k5 + tail), k=3)
+    assert _core_set(core) == set(k5)
+
+
+def test_spark_matches_replay(spark):
+    """Distributed peel == python replay on a mixed graph, several k."""
+    und = [(i, (i + 1) % 12) for i in range(12)]
+    und += [(i, (i + 3) % 12) for i in range(12)]
+    und += [(a, b) for a in range(20, 26) for b in range(a + 1, 26)]
+    und += [(5, 21), (6, 22)]
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in und})
+    for k in (2, 3, 4, 5):
+        want = kcr.kcore_replay(set(pairs), k=k)
+        got = _core_set(kcr.kcore_edges(_edges(spark, pairs), k=k))
+        assert got == want, k
+
+
+def test_empty_core_is_empty_not_error(spark):
+    path = [(i, i + 1) for i in range(6)]
+    core = kcr.kcore_edges(_edges(spark, path), k=3)
+    assert core.count() == 0
+    stats = kcr.kcore_stats(_edges(spark, path), k=3).collect()[0]
+    assert (stats.n_core_nodes, stats.n_core_edges, stats.node_checksum) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_stats_checksum_and_counts(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = kcr.kcore_stats(_edges(spark, k4 + [(3, 9)]), k=3).collect()[0]
+    assert (row.k, row.n_core_nodes, row.n_core_edges) == (3, 4, 6)
+    assert row.node_checksum == 0 + 1 + 2 + 3
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """max_iter=1 on the pendant-path graph (needs several rounds) must
+    raise, never return a non-fixpoint."""
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    with pytest.raises(RuntimeError):
+        kcr.kcore_edges(_edges(spark, k5 + tail), k=3, max_iter=1)
+    with pytest.raises(ValueError):
+        kcr.kcore_edges(_edges(spark, k5), k=0)
