@@ -155,6 +155,7 @@ RELATIONAL_QUERIES = [
     "zorder_events_profile",
     "event_transition_matrix",
     "copurchase_part_pairs",
+    "kcore_supplier_stats",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
