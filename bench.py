@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "event_transition_matrix",
     "copurchase_part_pairs",
     "kcore_supplier_stats",
+    "sliding_event_counts",
     "embedding_sq8_topk",
     "quality_classifier_scores",
     "heavy_hitters_cms",

@@ -1406,6 +1406,42 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows — 30-minute windows every 10 minutes,
+    so each event lands in exactly 3 overlapping windows. Expressed as
+    an explicit explode of the window/slide ratio (epoch-aligned
+    ``floor(secs/slide)*slide - i*slide``, exact integer arithmetic)
+    rather than ``F.window(..., slide)``: the expansion factor is then
+    visible in the plan, the alignment matches the tumbling W1
+    convention (``window_start``'s ts//dur*dur), and the whole thing
+    replays as static SQL. At scale the 3x row expansion happens
+    AFTER the scan projection (2 small columns), before the one
+    grouped aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    secs = _ntz_epoch_seconds("ts")
+    size, slide = 1800, 600
+    base = ev.select(
+        "event_type",
+        (F.floor(secs / slide) * slide).cast("long").alias("anchor"),
+        "value",
+    )
+    i = F.explode(F.array(*[F.lit(x) for x in range(size // slide)]))
+    return (
+        base.select("event_type", "value", "anchor", i.alias("i"))
+        .select(
+            "event_type",
+            "value",
+            (F.col("anchor") - F.col("i") * slide).alias("window_start"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) as a batch plan:
     cumulative sum over gap-breaks assigns session indexes, then one
@@ -3412,6 +3448,7 @@ QUERIES = {
     "event_funnel_steps": event_funnel_steps,
     "event_transition_matrix": event_transition_matrix,
     "copurchase_part_pairs": copurchase_part_pairs,
+    "sliding_event_counts": sliding_event_counts,
     "unigram_logprob_score": unigram_logprob_score,
     "bigram_logprob_score": bigram_logprob_score,
     "dedup_simhash": dedup_simhash,
@@ -4617,6 +4654,20 @@ ORACLE_SQL["orders_export_sorted"] = """
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
     ORDER BY o_orderdate, o_orderkey
+"""
+
+ORACLE_SQL["sliding_event_counts"] = """
+    WITH base AS (
+        SELECT event_type, value,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS anchor
+        FROM events
+    ), expanded AS (
+        SELECT event_type, value, anchor - i * 600 AS window_start
+        FROM base, unnest([0, 1, 2]) u(i)
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["event_transition_matrix"] = """
