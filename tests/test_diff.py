@@ -93,3 +93,45 @@ def test_summary_counts_and_checksums(spark, versions):
         "removed": (1, 4),
         "unchanged": (2, 4),
     }
+
+
+def test_diff_matches_python_reference_property(spark):
+    """Hypothesis: random keyed old/new tables (overlapping keys, NULLs,
+    value collisions) — statuses and carried values must match a plain
+    python reference diff."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    val = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+    table = st.dictionaries(
+        st.integers(min_value=0, max_value=9), val, max_size=8
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(old=table, new=table)
+    def check(old, new):
+        odf = spark.createDataFrame(
+            [(k, v) for k, v in old.items()] or [(None, None)],
+            "k long, v long",
+        ).filter(F.col("k").isNotNull())
+        ndf = spark.createDataFrame(
+            [(k, v) for k, v in new.items()] or [(None, None)],
+            "k long, v long",
+        ).filter(F.col("k").isNotNull())
+        got = {
+            r.k: (r.status, r.v)
+            for r in dff.snapshot_diff(odf, ndf, "k", ["v"]).collect()
+        }
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = ("added", new[k])
+            elif k not in new:
+                want[k] = ("removed", old[k])
+            elif old[k] == new[k]:
+                want[k] = ("unchanged", new[k])
+            else:
+                want[k] = ("changed", new[k])
+        assert got == want
+
+    check()

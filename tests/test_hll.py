@@ -125,3 +125,30 @@ def test_register_build_is_single_bounded_aggregate(spark, events):
     )
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_registers_match_replay_property(spark):
+    """Hypothesis: for random key sets and precisions, the distributed
+    register table equals the hashlib-only replay — the md5 discipline
+    holds over the whole input space, not one corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1,
+            max_size=60,
+        ),
+        p=st.integers(min_value=4, max_value=10),
+    )
+    def check(keys, p):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            (r.bucket, r.register)
+            for r in hll.hll_registers(df, "k", p=p).collect()
+        }
+        assert got == set(_py_registers(set(keys), p).items())
+
+    check()
