@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "bloom_words_profile",
     "hll_distinct_users",
     "hll_register_union",
+    "hll_intersection_users",
     "bm25_topk_docs",
     "bm25_term_stats",
     "cosupplier_triangle_stats",

@@ -3036,6 +3036,52 @@ _BM25_QUERIES = {
 }
 
 
+def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra, the estimated leg: |A∩B| by inclusion-exclusion
+    over two HLL sketches (est(A) + est(B) - est(A∪B)) — the union is
+    EXACT on registers (max-merge), so intersection inherits only the
+    two estimates' error. Audited in-row against the exact intersection
+    (the thing that needs a full distinct shuffle the sketches avoid).
+    Deterministic: all three estimates derive from the same md5
+    registers the oracle replays."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view")
+    buyers = ev.filter(F.col("event_type") == "purchase")
+    ra = hl.hll_registers(viewers, "user_id", p=10)
+    rb = hl.hll_registers(buyers, "user_id", p=10)
+    est_a = hl.hll_estimate(ra, p=10).select(
+        F.col("estimate").alias("est_viewers")
+    )
+    est_b = hl.hll_estimate(rb, p=10).select(
+        F.col("estimate").alias("est_buyers")
+    )
+    est_u = hl.hll_estimate(hl.hll_merge(ra.unionByName(rb), []), p=10).select(
+        F.col("estimate").alias("est_union")
+    )
+    exact = (
+        viewers.select("user_id")
+        .intersect(buyers.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "est_viewers",
+            "est_buyers",
+            "est_union",
+            F.round(
+                F.col("est_viewers")
+                + F.col("est_buyers")
+                - F.col("est_union"),
+                4,
+            ).alias("est_both"),
+            "exact_both",
+        )
+    )
+
+
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-5 per query over the documents corpus — the
     scored-retrieval primitive behind contamination triage and
@@ -3478,6 +3524,7 @@ QUERIES = {
     "bloom_words_profile": bloom_words_profile,
     "hll_distinct_users": hll_distinct_users,
     "hll_register_union": hll_register_union,
+    "hll_intersection_users": hll_intersection_users,
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_term_stats": bm25_term_stats,
     "cosupplier_triangle_stats": cosupplier_triangle_stats,
@@ -5946,6 +5993,28 @@ ORACLE_SQL["hll_register_union"] = f"""
            (SELECT sum(bucket * register)::BIGINT FROM regs) AS register_checksum,
            (SELECT count(*) FROM regs) AS n_registers
     FROM u_est u
+"""
+
+ORACLE_SQL["hll_intersection_users"] = f"""
+    WITH ea AS ({hl.hll_oracle_sql("events", "CAST(user_id AS VARCHAR)", [],
+                                   p=10, where="WHERE event_type = 'view'")}),
+    eb AS ({hl.hll_oracle_sql("events", "CAST(user_id AS VARCHAR)", [],
+                              p=10,
+                              where="WHERE event_type = 'purchase'")}),
+    eu AS ({hl.hll_oracle_sql("events", "CAST(user_id AS VARCHAR)", [],
+                              p=10,
+                              where="WHERE event_type IN ('view', 'purchase')")}),
+    exact AS (
+        SELECT count(*) AS exact_both FROM (
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+    )
+    SELECT ea.estimate AS est_viewers, eb.estimate AS est_buyers,
+           eu.estimate AS est_union,
+           round(ea.estimate + eb.estimate - eu.estimate, 4) AS est_both,
+           exact_both
+    FROM ea, eb, eu, exact
 """
 
 ORACLE_SQL["bm25_topk_docs"] = rtr.bm25_oracle_sql(_BM25_QUERIES, k=5)
