@@ -1,0 +1,121 @@
+"""Fuzzy record linkage: blocked edit-distance joins and best-match
+resolution.
+
+A dedup pipeline over entity tables (the reference's users/profiles
+model) eventually needs APPROXIMATE key matching — the same customer
+arriving with a typo'd name from a second source. The scalable form is
+the classic two-stage shape shared with this repo's MinHash/LSH
+modules: a cheap equi-join on a BLOCKING key bounds the candidate set,
+then the expensive string metric (Levenshtein) runs only inside
+blocks.
+
+Levenshtein is unit-cost edit distance in both Spark
+(``F.levenshtein``) and DuckDB (``levenshtein``), so the whole
+operator replays as static ANSI-ish SQL — the engine-portability
+discipline the md5 MinHash family established.
+
+At scale:
+
+- block sizes are the entire cost model: candidate pairs are
+  sum(|block_L| * |block_R|). ``blocked_pairs`` takes ``max_block`` and
+  DROPS oversized blocks (df-cap discipline, same rationale as
+  ``dedup.py``'s hot-shingle cap: a block that big means the blocking
+  key is underspecified, and the fix is a finer key — e.g. q-gram LSH,
+  which ``dedup.ngram_lsh_*`` already provides for long text — not a
+  quadratic join);
+- a length pre-filter (``abs(len_l - len_r) <= max_distance``) is
+  pushed inside the block join: length difference is a lower bound on
+  edit distance, so it discards most of the block cross-product before
+  any Levenshtein is evaluated;
+- best-match resolution is one row_number window per dirty record —
+  partitioned by the dirty key, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    max_block: int | None = None,
+) -> DataFrame:
+    """(left_id, right_id, distance) for all within-block pairs at
+    Levenshtein distance <= ``max_distance``.
+
+    ``max_block`` drops blocks whose LEFT-side size exceeds the cap
+    (logged into the plan as a filter, not silently: callers see the
+    dropped mass via ``block_profile``)."""
+    l = left.select(
+        *block_cols,
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltxt"),
+    )
+    if max_block is not None:
+        sizes = (
+            l.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+        l = l.join(F.broadcast(sizes), block_cols, "left_semi")
+    r = right.select(
+        *block_cols,
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+    )
+    j = l.join(r, block_cols).filter(
+        F.abs(F.length("_ltxt") - F.length("_rtxt")) <= max_distance
+    )
+    return (
+        j.withColumn("distance", F.levenshtein("_ltxt", "_rtxt"))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+def best_match(
+    pairs: DataFrame, left_id: str, right_id: str
+) -> DataFrame:
+    """One row per left id: the minimum-distance match, ties broken by
+    smallest right id (deterministic)."""
+    w = Window.partitionBy(left_id).orderBy("distance", right_id)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def block_profile(
+    df: DataFrame, block_cols: list[str], max_block: int | None = None
+) -> DataFrame:
+    """Audit of the blocking key: per-block sizes plus whether the block
+    would be dropped by the cap — run this BEFORE a linkage job to see
+    the candidate-pair budget and the dropped mass."""
+    out = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("block_n"))
+    dropped = (
+        F.lit(False)
+        if max_block is None
+        else (F.col("block_n") > max_block)
+    )
+    return out.select(
+        *block_cols,
+        F.col("block_n").cast("bigint").alias("block_n"),
+        (F.col("block_n") * F.col("block_n")).cast("bigint").alias(
+            "pair_budget"
+        ),
+        dropped.alias("dropped"),
+    )

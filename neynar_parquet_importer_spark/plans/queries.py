@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..filters import compile_filter
 from ..functions.scalars import window_start
+from ..operators import audit as aud
 from ..operators import bloom as blm
 from ..operators import classifier as clf
 from ..operators import clustering as clu
@@ -36,11 +37,15 @@ from ..operators import dedup as dd
 from ..operators import diff as dff
 from ..operators import hll as hl
 from ..operators import layout as lay
+from ..operators import linkage as lk
 from ..operators import retrieval as rtr
 from ..operators import sampling as smp
+from ..operators import scd as sc2
 from ..operators import similarity as sim
 from ..operators import text as tx
+from ..operators import timeseries as tss
 from ..graph import kcore as kcr
+from ..graph import khop as kh
 from ..graph import lpa
 from ..graph import pagerank as pgr
 from ..graph import triangles as tri
@@ -3405,6 +3410,195 @@ def kmeans_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward gap fill (``operators/timeseries``
+    module doc): per-user daily grid from each user's own min to max
+    observed day, exact event counts (0 on gap days), and the day's
+    average value carried forward through gaps. The grid explode runs on
+    the one-row-per-user span frame, AFTER aggregation; the fill window
+    is partitioned by user (never a global window). Values are rounded
+    BEFORE the fill so the carried value replays bit-equal cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    out = tss.resample_fill(
+        ev.select("user_id", "ts", "value"),
+        keys=["user_id"],
+        epoch_col=_ntz_epoch_seconds("ts"),
+        step=86400,
+        aggs={"day_avg_value": F.round(F.avg("value"), 4)},
+        fill_cols=["day_avg_value"],
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket_start").alias("day_start"),
+        "n_events",
+        F.col("day_avg_value").alias("filled_avg_value"),
+    )
+
+
+def user_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 rebuild (``operators/scd`` module doc): per-user
+    event_type version history — consecutive same-type events collapse
+    into one version, each version carries a half-open
+    [valid_from, valid_to) epoch-second interval, the latest is flagged
+    current. Ordering is (epoch second, event_id): a TOTAL order that
+    both engines compute identically (raw ns timestamps would tie at
+    different precisions cross-engine — the header's timestamp rule)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        _ntz_epoch_seconds("ts").alias("es"),
+    )
+    hist = sc2.scd2_history(
+        ev,
+        keys=["user_id"],
+        valid_from=F.col("es"),
+        order_cols=[F.col("es"), F.col("event_id")],
+        attr_cols=["event_type"],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "version_n",
+        "is_current",
+    )
+
+
+def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit (``operators/audit`` module doc):
+    the pre-import quality gate the reference delegates to Postgres
+    constraints (schema/*.sql PKs and NOT NULLs), run as ONE aggregation
+    pass over the fact table plus one broadcast RI join. The
+    ``unique_probe`` constraint is deliberately strict (o_custkey is a
+    foreign key, not a key) so the report exercises the failing branch
+    on real data."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    checks = [
+        aud.Check(
+            "orders.o_custkey.complete", aud.completeness("o_custkey")
+        ),
+        aud.Check(
+            "orders.o_orderkey.unique", aud.uniqueness("o_orderkey")
+        ),
+        aud.Check(
+            "orders.o_custkey.unique_probe", aud.uniqueness("o_custkey")
+        ),
+        aud.Check(
+            "orders.o_totalprice.positive",
+            aud.satisfies(F.col("o_totalprice") > 0),
+        ),
+        aud.Check(
+            "orders.o_orderstatus.domain",
+            aud.satisfies(F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+    ]
+    ri = aud.referential_integrity(
+        orders,
+        "o_custkey",
+        customer,
+        "c_custkey",
+        "orders.o_custkey.ref_customer",
+    )
+    return aud.audit_suite([aud.table_audit(orders, checks), ri])
+
+
+# deterministic "dirty" twin of the customer table for the linkage
+# queries: per-key perturbation mode (substitute a digit with 'X' /
+# delete a digit / append a char / identity) at a per-key position —
+# the same arithmetic replays as SQL in the oracle
+_DIRTY_NAME_EXPR = (
+    "CASE CAST(c_custkey % 4 AS INT) "
+    "WHEN 0 THEN concat(substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT)), 'X', "
+    "substr(c_name, CAST(9 + c_custkey % 8 AS INT) + 2)) "
+    "WHEN 1 THEN concat(substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT)), "
+    "substr(c_name, CAST(9 + c_custkey % 8 AS INT) + 2)) "
+    "WHEN 2 THEN concat(c_name, 'Z') "
+    "ELSE c_name END"
+)
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("d_key"),
+        "c_nationkey",
+        F.expr(_DIRTY_NAME_EXPR).alias("d_name"),
+    )
+
+
+def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    return lk.blocked_pairs(
+        _dirty_customers(spark, sf_dir),
+        clean,
+        block_cols=["c_nationkey"],
+        left_id="d_key",
+        right_id="c_custkey",
+        left_text="d_name",
+        right_text="c_name",
+        max_distance=2,
+    )
+
+
+def fuzzy_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (``operators/linkage`` module doc):
+    a deterministically-perturbed "dirty" copy of the customer table is
+    linked back to the clean table — equi-join on the nation blocking
+    key, length pre-filter, Levenshtein <= 2 — and the match pairs are
+    profiled per edit distance with id-sum checksums. Levenshtein is
+    unit-cost in both engines, so the whole pipeline replays as SQL."""
+    return (
+        _linkage_pairs(spark, sf_dir)
+        .groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("d_key").alias("dirty_checksum"),
+            F.sum("c_custkey").alias("clean_checksum"),
+        )
+        .orderBy("distance")
+    )
+
+
+def linkage_self_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage resolution quality: per dirty record keep the best match
+    (min distance, then min clean key — deterministic), then measure how
+    often the best match is the record's true source. Single-digit name
+    collisions make this genuinely < 1: a substituted digit is
+    equidistant from several neighboring customer names, and the
+    smallest-key tiebreak sometimes picks a neighbor — exactly the
+    ambiguity a real linkage pipeline has to quantify."""
+    best = lk.best_match(
+        _linkage_pairs(spark, sf_dir), "d_key", "c_custkey"
+    )
+    is_self = (F.col("d_key") == F.col("c_custkey")).cast("double")
+    return best.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(is_self.cast("bigint")).alias("n_self"),
+        F.round(F.avg(is_self), 6).alias("self_match_rate"),
+    )
+
+
+def khop_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (``graph/khop`` module doc): hop-distance rings
+    around the three smallest co-supplier-graph nodes, k=3 — per (root,
+    dist) node counts with id-sum checksums. Level-synchronous
+    frontier expansion with per-round eager localCheckpoints (the
+    k-core/CC lineage discipline); the oracle replays min-dist
+    reachability as a recursive CTE over the same canonical edges."""
+    edges = dd._persist(_cosupplier_edges(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("a").alias("root"))
+        .unionAll(edges.select(F.col("b").alias("root")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("root").limit(3)
+    return kh.khop_summary(kh.khop_reach(edges, seeds, k=3))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return q1_pricing_summary(spark, sf_dir)
 
@@ -3530,6 +3724,12 @@ QUERIES = {
     "cosupplier_triangle_stats": cosupplier_triangle_stats,
     "cosupplier_triangle_nodes": cosupplier_triangle_nodes,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "events_daily_resampled": events_daily_resampled,
+    "user_scd2_type_history": user_scd2_type_history,
+    "orders_quality_audit": orders_quality_audit,
+    "fuzzy_customer_linkage": fuzzy_customer_linkage,
+    "linkage_self_match_rate": linkage_self_match_rate,
+    "khop_supplier_reach": khop_supplier_reach,
     "lpa_supplier_communities": lpa_supplier_communities,
     "kcore_supplier_stats": kcore_supplier_stats,
     "zorder_events_profile": zorder_events_profile,
@@ -6143,6 +6343,154 @@ ORACLE_SQL["bm25_term_stats"] = f"""
            n_docs, avgdl
     FROM dfreq, stats
     ORDER BY term
+"""
+
+ORACLE_SQL["events_daily_resampled"] = """
+    WITH obs AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+               count(*) AS n_events,
+               round(avg(value), 4) AS day_avg
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT user_id, min(day_start) AS b0, max(day_start) AS b1
+        FROM obs GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(b0, b1, 86400)) AS day_start
+        FROM spans
+    )
+    SELECT g.user_id, g.day_start,
+           CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+           last_value(o.day_avg IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.day_start)
+               AS filled_avg_value
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.day_start = g.day_start
+"""
+
+ORACLE_SQL["user_scd2_type_history"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               row_number() OVER w AS rn,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    ), changes AS (
+        SELECT user_id, event_type, es, event_id FROM ordered
+        WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           es AS valid_from,
+           lead(es) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INTEGER) AS version_n,
+           lead(es) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+"""
+
+ORACLE_SQL["orders_quality_audit"] = """
+    WITH base AS (
+        SELECT 'orders.o_custkey.complete' AS "constraint",
+               round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6) AS metric
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderkey.unique',
+               round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey.unique_probe',
+               round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_totalprice.positive',
+               round(avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderstatus.domain',
+               round(avg(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                              THEN 1.0 ELSE 0.0 END), 6)
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_custkey.ref_customer',
+               round(avg(CASE WHEN c._pk IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS _pk
+                                 FROM customer) c
+          ON o.o_custkey = c._pk
+    )
+    SELECT "constraint", metric, metric >= 1.0 AS passed
+    FROM base ORDER BY "constraint"
+"""
+
+# shared dirty-customer + blocked-pair replay for both linkage oracles:
+# the same per-key perturbation arithmetic as _DIRTY_NAME_EXPR, verbatim
+_LINKAGE_CTE = f"""
+    WITH dirty AS (
+        SELECT c_custkey AS d_key, c_nationkey,
+               {_DIRTY_NAME_EXPR} AS d_name
+        FROM customer
+    ), pairs AS (
+        SELECT d.d_key, c.c_custkey,
+               levenshtein(d.d_name, c.c_name) AS distance
+        FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey
+        WHERE abs(length(d.d_name) - length(c.c_name)) <= 2
+          AND levenshtein(d.d_name, c.c_name) <= 2
+    )
+"""
+
+ORACLE_SQL["fuzzy_customer_linkage"] = _LINKAGE_CTE + """
+    SELECT CAST(distance AS INTEGER) AS distance,
+           count(*) AS n_pairs,
+           sum(d_key) AS dirty_checksum,
+           sum(c_custkey) AS clean_checksum
+    FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["linkage_self_match_rate"] = _LINKAGE_CTE + """
+    , best AS (
+        SELECT d_key, c_custkey,
+               row_number() OVER (PARTITION BY d_key
+                                  ORDER BY distance, c_custkey) AS rn
+        FROM pairs
+    )
+    SELECT count(*) AS n_matched,
+           sum(CASE WHEN d_key = c_custkey THEN 1 ELSE 0 END)::BIGINT
+               AS n_self,
+           round(avg(CASE WHEN d_key = c_custkey THEN 1.0 ELSE 0.0 END), 6)
+               AS self_match_rate
+    FROM best WHERE rn = 1
+"""
+
+# recursive min-dist reachability over the SAME canonical co-supplier
+# edges the triangle CTE defines (RECURSIVE applies to the whole WITH
+# clause; the unused deg/oriented/wedges/tri CTEs bind lazily)
+ORACLE_SQL["khop_supplier_reach"] = _TRIANGLE_CTE.replace(
+    "WITH li AS (", "WITH RECURSIVE li AS (", 1
+) + """
+    , und AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM edges
+    ), seeds AS (
+        SELECT node AS root FROM (
+            SELECT a AS node FROM edges
+            UNION
+            SELECT b AS node FROM edges
+        ) ORDER BY node LIMIT 3
+    ), reach(root, node, dist) AS (
+        SELECT root, root, 0 FROM seeds
+        UNION
+        SELECT r.root, u.dst, r.dist + 1
+        FROM reach r JOIN und u ON u.src = r.node
+        WHERE r.dist < 3
+    ), mind AS (
+        SELECT root, node, min(dist) AS dist FROM reach GROUP BY 1, 2
+    )
+    SELECT root, CAST(dist AS INTEGER) AS dist,
+           count(*) AS n_nodes, sum(node) AS node_checksum
+    FROM mind GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
