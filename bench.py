@@ -168,6 +168,14 @@ BENCH_QUERIES = [
     "winnow_plagiarism_pairs",
     "winnow_fingerprint_stats",
     "pagerank_supplier_rank",
+    # round-6 fifth pass: resample/gap-fill, SCD2, quality audit, fuzzy
+    # linkage, k-hop BFS
+    "events_daily_resampled",
+    "user_scd2_type_history",
+    "orders_quality_audit",
+    "fuzzy_customer_linkage",
+    "linkage_self_match_rate",
+    "khop_supplier_reach",
 ]
 
 

@@ -156,6 +156,16 @@ RELATIONAL_QUERIES = [
     "event_transition_matrix",
     "copurchase_part_pairs",
     "kcore_supplier_stats",
+    # round-6 fifth pass. The linkage pair queries are deliberately NOT
+    # here: the sf1 relational replicas keep original names, so every
+    # nation block holds 10 identical name sets and the nation-blocked
+    # pair population grows 100x — the quadratic regime the operator's
+    # max_block cap + finer-key guidance exists for (linkage.py module
+    # doc); a timed row would measure that design decision, not a scan.
+    "events_daily_resampled",
+    "user_scd2_type_history",
+    "orders_quality_audit",
+    "khop_supplier_reach",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
