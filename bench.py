@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "fuzzy_customer_linkage",
     "linkage_self_match_rate",
     "khop_supplier_reach",
+    "event_value_quantile_hist",
 ]
 
 

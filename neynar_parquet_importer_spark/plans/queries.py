@@ -35,6 +35,7 @@ from ..operators import cms as cm
 from ..operators import corpus as crp
 from ..operators import dedup as dd
 from ..operators import diff as dff
+from ..operators import histogram as hg
 from ..operators import hll as hl
 from ..operators import layout as lay
 from ..operators import linkage as lk
@@ -3602,6 +3603,25 @@ def linkage_self_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (``operators/histogram`` module doc):
+    per-event-type p50/p90/p99 of value answered from a 64-bin
+    equi-width histogram — the distribution member of the mergeable
+    sketch trio (HLL distinct / CMS frequency / histogram quantile).
+    The estimate is the selected bin's upper edge, over the true
+    quantile by at most one bin width; bin assignment, cumulative
+    ranks, and edges are identical IEEE arithmetic cross-engine, so
+    the whole chain replays as static SQL (unlike percentile sketches
+    with engine-specific interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    hist = hg.histogram_build(
+        ev, ["event_type"], "value", lo=0.0, width=8.0, n_bins=64
+    )
+    return hg.histogram_quantiles(
+        hist, ["event_type"], [0.5, 0.9, 0.99], lo=0.0, width=8.0
+    )
+
+
 def khop_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (``graph/khop`` module doc): hop-distance rings
     around the three smallest co-supplier-graph nodes, k=3 — per (root,
@@ -3750,6 +3770,7 @@ QUERIES = {
     "fuzzy_customer_linkage": fuzzy_customer_linkage,
     "linkage_self_match_rate": linkage_self_match_rate,
     "khop_supplier_reach": khop_supplier_reach,
+    "event_value_quantile_hist": event_value_quantile_hist,
     "lpa_supplier_communities": lpa_supplier_communities,
     "kcore_supplier_stats": kcore_supplier_stats,
     "zorder_events_profile": zorder_events_profile,
@@ -6483,6 +6504,38 @@ ORACLE_SQL["linkage_self_match_rate"] = _LINKAGE_CTE + """
            round(avg(CASE WHEN d_key = c_custkey THEN 1.0 ELSE 0.0 END), 6)
                AS self_match_rate
     FROM best WHERE rn = 1
+"""
+
+ORACLE_SQL["event_value_quantile_hist"] = """
+    WITH hist AS (
+        -- 8e0-style literals: a bare 8.0 is DECIMAL in DuckDB and
+        -- would silently retype the arithmetic away from Spark's
+        SELECT event_type,
+               CAST(least(greatest(floor((value - 0e0) / 8e0), 0), 63)
+                    AS INTEGER) AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bin,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n_total
+        FROM hist
+    ), probs AS (
+        SELECT CAST(0.5 AS DOUBLE) AS p
+        UNION ALL SELECT CAST(0.9 AS DOUBLE)
+        UNION ALL SELECT CAST(0.99 AS DOUBLE)
+    ), hit AS (
+        SELECT c.event_type, pr.p, c.n_total, min(c.bin) AS bin
+        FROM cum c CROSS JOIN probs pr
+        WHERE c.cum >= ceil(pr.p * c.n_total)
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, p,
+           CAST(ceil(p * n_total) AS BIGINT) AS rank,
+           n_total, bin,
+           0e0 + (bin + 1) * 8e0 AS q_upper
+    FROM hit
 """
 
 # recursive min-dist reachability over the SAME canonical co-supplier

@@ -166,6 +166,7 @@ RELATIONAL_QUERIES = [
     "user_scd2_type_history",
     "orders_quality_audit",
     "khop_supplier_reach",
+    "event_value_quantile_hist",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
