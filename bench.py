@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "linkage_self_match_rate",
     "khop_supplier_reach",
     "event_value_quantile_hist",
+    # round-6 sixth pass: exact prefix-filter set-similarity join
+    "dedup_prefix_filter_pairs",
+    "prefix_filter_candidate_stats",
 ]
 
 
@@ -193,6 +196,7 @@ _FAMILY_PREFIXES = [
     ("soft_dedup_", "dedup"),
     ("bloom_", "dedup"),
     ("winnow_", "dedup"),
+    ("prefix_filter_", "dedup"),
     ("quality_classifier_", "text"),
     ("text_", "text"),
     ("lang_", "lang"),

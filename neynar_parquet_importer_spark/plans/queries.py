@@ -6841,3 +6841,144 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
                 _kcore_oracle_sql(sf_dir)
             )
     return _ARTIFACT_ORACLE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (SSJoin/AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (capped Jaccard >= 0.5) via prefix filtering —
+    the zero-false-negative scale path: only each doc's rarest-token
+    prefix enters the inverted-index self-join, with PPJoin's length and
+    positional filters pruning inside the join condition (see
+    operators.dedup section comment; Bayardo WWW'07, Xiao WWW'08). Same
+    fractional df-cap (5%) and threshold as dedup_ngram_jaccard_allpairs,
+    so the result must EQUAL the all-pairs ground truth — the oracle is
+    the independent all-pairs DuckDB twin with the same exact-integer
+    acceptance predicate (2*common >= union), an algorithm-level
+    differential check."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.prefix_filter_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=0.05
+    )
+
+
+def prefix_filter_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filter pruning profile: corpus/posting sizes, prefix-row
+    count, candidates surviving the in-join filters, the naive
+    shared-token pair count an unfiltered inverted index would aggregate,
+    and the verified pairs. All exact integers; the oracle replays the
+    ENTIRE candidate pipeline (md5_signed64 hashes, global df order,
+    ranks, all three integer filters) as static SQL — the algorithm's
+    internals, value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.prefix_filter_stats(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=0.05
+    )
+
+
+QUERIES["dedup_prefix_filter_pairs"] = dedup_prefix_filter_pairs
+QUERIES["prefix_filter_candidate_stats"] = prefix_filter_candidate_stats
+
+ORACLE_SQL["dedup_prefix_filter_pairs"] = """
+    -- INDEPENDENT all-pairs twin of the engine's prefix-filter join:
+    -- same capped sets, same exact-integer predicate (2*inter >= union),
+    -- different algorithm — a differential test of the prefix-filtering
+    -- no-false-negative guarantee.
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hot AS (
+        SELECT shingle FROM shx GROUP BY shingle
+        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ), capped AS (
+        SELECT doc_id, list(shingle) AS s
+        FROM shx ANTI JOIN hot USING (shingle)
+        GROUP BY doc_id
+    )
+    SELECT id_a, id_b, round(inter::DOUBLE / un, 6) AS jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+        FROM capped a JOIN capped b ON a.doc_id < b.doc_id
+    )
+    WHERE 2 * inter >= un
+"""
+
+ORACLE_SQL["prefix_filter_candidate_stats"] = """
+    -- Full replay of the prefix-filter candidate pipeline: md5_signed64
+    -- shingle hashes, corpus df, global (df, hash) order, per-doc ranks,
+    -- prefix cut, and the length + positional integer filters
+    -- (threshold 1/2 -> n=1, d=2).
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT DISTINCT doc_id, unnest(s) AS shingle FROM base
+    ), hx AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS hi,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS lo
+        FROM shx
+    ), hv AS (
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                 * 4294967296 + lo AS shingle
+        FROM hx
+    ), dfreq AS (
+        SELECT shingle, count(*) AS df FROM hv GROUP BY shingle
+    ), joined AS (
+        SELECT h.doc_id, h.shingle, d.df
+        FROM hv h JOIN dfreq d USING (shingle)
+        WHERE d.df <= 0.05 * (SELECT count(*) FROM documents)
+    ), sized AS (
+        SELECT doc_id, shingle, df,
+               count(*) OVER (PARTITION BY doc_id) AS sz,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY df, shingle) AS rnk
+        FROM joined
+    ), prefix AS (
+        SELECT * FROM sized WHERE 1 * sz <= 2 * (sz - rnk + 1)
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM prefix l JOIN prefix r
+          ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         AND 2 * least(l.sz, r.sz) >= 1 * greatest(l.sz, r.sz)
+         AND (1 + least(l.sz - l.rnk, r.sz - r.rnk)) * 3 >= 1 * (l.sz + r.sz)
+    ), naive AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM sized l JOIN sized r
+          ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    ), verified AS (
+        SELECT id_a, id_b FROM (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   count(*) AS nc, min(l.sz) AS sa, min(r.sz) AS sb
+            FROM sized l JOIN sized r
+              ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        ) WHERE 2 * nc >= 1 * (sa + sb - nc)
+    )
+    SELECT (SELECT count(DISTINCT doc_id) FROM sized) AS n_docs,
+           (SELECT count(*) FROM sized) AS n_set_rows,
+           (SELECT count(*) FROM prefix) AS n_prefix_rows,
+           (SELECT count(*) FROM naive) AS n_naive_pairs,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM verified) AS n_verified
+"""

@@ -118,6 +118,9 @@ FAMILY_QUERIES = [
     "hll_register_union",
     "bm25_topk_docs",
     "bm25_term_stats",
+    # round-6 sixth pass: exact prefix-filter set-similarity join
+    "dedup_prefix_filter_pairs",
+    "prefix_filter_candidate_stats",
 ]
 
 
