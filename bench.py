@@ -177,9 +177,11 @@ BENCH_QUERIES = [
     "linkage_self_match_rate",
     "khop_supplier_reach",
     "event_value_quantile_hist",
-    # round-6 sixth pass: exact prefix-filter set-similarity join
+    # round-6 sixth pass: exact prefix-filter set-similarity join +
+    # hybrid lexical/dense retrieval fusion
     "dedup_prefix_filter_pairs",
     "prefix_filter_candidate_stats",
+    "hybrid_rrf_topk",
 ]
 
 

@@ -206,3 +206,50 @@ def bm25_oracle_sql(
         )
         SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval fusion (reciprocal-rank fusion)
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k_rrf: int = RRF_K, k: int | None = None
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) over any
+    number of (query_id, doc_id, rank) ranking frames — the standard way
+    to combine lexical (BM25) and dense (embedding) retrieval without
+    score calibration, since it consumes only RANKS.
+
+    Cross-engine exactness: the textbook score sum(1/(k+rank)) is a float
+    whose summation order varies; here each contribution is the exact
+    integer ``RRF_SCALE DIV (k_rrf + rank)`` and the fused score is an
+    integer SUM — associative, engine-independent, and monotone-identical
+    to the float version for any rank < RRF_SCALE**0.5. Final order:
+    (rrf_fp DESC, doc_id) — a total order, so the top-k cut is stable.
+
+    Plan shape: a unionByName of the (tiny) per-system top-k frames, one
+    hash aggregate on (query_id, doc_id), one per-query window rank. At
+    scale the inputs are already k rows per query per system, so the
+    fusion cost is negligible next to the retrieval legs."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    cols = ["query_id", "doc_id", "rank"]
+    unioned = rankings[0].select(*cols)
+    for r in rankings[1:]:
+        unioned = unioned.unionByName(r.select(*cols))
+    contrib = F.expr(f"CAST({RRF_SCALE} DIV ({k_rrf} + rank) AS BIGINT)")
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum(contrib).alias("rrf_fp"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_fp"), F.col("doc_id")
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("query_id", "rank", "doc_id", "rrf_fp", "n_systems")

@@ -6982,3 +6982,101 @@ ORACLE_SQL["prefix_filter_candidate_stats"] = """
            (SELECT count(*) FROM cand) AS n_candidates,
            (SELECT count(*) FROM verified) AS n_verified
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine, fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+# each lexical query is paired with a deterministic query VECTOR (the
+# embedding row whose vec_id is the query's index in sorted order) — the
+# plumbing a production hybrid search has, where a doc's embedding joins
+# by id. The SQL mapping literal is generated from this dict so the two
+# sides cannot drift.
+_HYBRID_QUERY_VECS = {qid: i for i, qid in enumerate(sorted(_BM25_QUERIES))}
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 (lexical leg) and exact-cosine
+    top-10 (dense leg, per mapped query vector) fused by reciprocal-rank
+    fusion — the calibration-free combiner (retrieval.rrf_fuse;
+    Cormack & Clarke SIGIR'09). Both legs rank on ROUNDED scores with id
+    tie-breaks (the cross-engine ranking contract) and the fused score is
+    an exact integer sum, so the final top-5 cut is boundary-proof. The
+    dense leg is a broadcast of 3 query vectors against the corpus scan —
+    no shuffle until the (30-row) per-query window."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    postings = rtr.term_postings(docs)
+    lex = rtr.bm25_topk(
+        postings, rtr.query_frame(spark, _BM25_QUERIES), k=10
+    ).select("query_id", "doc_id", "rank")
+    qmap = spark.createDataFrame(
+        sorted(_HYBRID_QUERY_VECS.items()), "query_id string, qvec_id long"
+    )
+    qvecs = emb.join(
+        F.broadcast(qmap), emb["vec_id"] == qmap["qvec_id"]
+    ).select("query_id", F.col("embedding").alias("q"))
+    joined = emb.crossJoin(F.broadcast(qvecs))
+    dot = sim._dot(F.col("embedding"), F.col("q"))
+    den = sim._norm(F.col("embedding")) * sim._norm(F.col("q"))
+    cos = F.round(F.when(den > 0, dot / den).otherwise(F.lit(0.0)), 6)
+    dw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("doc_id")
+    )
+    dense = (
+        joined.select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rtr.rrf_fuse([lex, dense], k=5).orderBy("query_id", "rank")
+
+
+QUERIES["hybrid_rrf_topk"] = hybrid_rrf_topk
+
+_HYBRID_QMAP_VALUES = ", ".join(
+    f"('{qid}', {vid})" for qid, vid in sorted(_HYBRID_QUERY_VECS.items())
+)
+
+ORACLE_SQL["hybrid_rrf_topk"] = f"""
+    WITH lex AS (
+        SELECT query_id, doc_id, rank
+        FROM ({rtr.bm25_oracle_sql(_BM25_QUERIES, k=10)})
+    ), qmap(query_id, qvec_id) AS (VALUES {_HYBRID_QMAP_VALUES}),
+    qv AS (
+        SELECT m.query_id, e.embedding::DOUBLE[] AS q
+        FROM qmap m JOIN embeddings e ON e.vec_id = m.qvec_id
+    ), ds AS (
+        SELECT query_id, doc_id,
+               round(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS cos
+        FROM (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+                   list_dot_product(e.embedding::DOUBLE[], qv.q) AS num,
+                   sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(qv.q, qv.q)) AS den
+            FROM embeddings e CROSS JOIN qv
+        )
+    ), dr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS rank
+        FROM ds
+    ), dense AS (
+        SELECT query_id, doc_id, rank FROM dr WHERE rank <= 10
+    ), u AS (
+        SELECT * FROM lex UNION ALL SELECT * FROM dense
+    ), fused AS (
+        SELECT query_id, doc_id,
+               CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+               count(*) AS n_systems
+        FROM u GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, doc_id, rrf_fp, n_systems,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_fp DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT query_id, rank, doc_id, rrf_fp, n_systems
+    FROM ranked WHERE rank <= 5
+"""

@@ -118,9 +118,11 @@ FAMILY_QUERIES = [
     "hll_register_union",
     "bm25_topk_docs",
     "bm25_term_stats",
-    # round-6 sixth pass: exact prefix-filter set-similarity join
+    # round-6 sixth pass: exact prefix-filter set-similarity join +
+    # hybrid retrieval fusion
     "dedup_prefix_filter_pairs",
     "prefix_filter_candidate_stats",
+    "hybrid_rrf_topk",
 ]
 
 

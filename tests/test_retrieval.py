@@ -90,3 +90,58 @@ def test_scoring_probe_broadcasts_query_side(spark, corpus):
     )
     assert "BroadcastHashJoin [term" in plan
     assert "SortMergeJoin [term" not in plan
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+def _rank_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, rank int"
+    )
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two systems, one query; fused scores checked against the exact
+    integer contributions 1e9 // (60 + rank)."""
+    a = _rank_frame(spark, [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)])
+    b = _rank_frame(spark, [("q", 20, 1), ("q", 10, 2), ("q", 40, 3)])
+    got = {
+        r.doc_id: (r.rank, r.rrf_fp, r.n_systems)
+        for r in rtr.rrf_fuse([a, b]).collect()
+    }
+    c = lambda rank: 1_000_000_000 // (60 + rank)
+    # doc 10: ranks 1+2 -> same total as doc 20 (ranks 2+1); doc_id breaks it
+    assert got[10] == (1, c(1) + c(2), 2)
+    assert got[20] == (2, c(2) + c(1), 2)
+    assert got[30] == (3, c(3), 1)
+    assert got[40] == (4, c(3), 1)
+
+
+def test_rrf_fuse_k_cut_and_multi_query(spark):
+    a = _rank_frame(
+        spark, [("q1", 1, 1), ("q1", 2, 2), ("q2", 7, 1), ("q2", 8, 2)]
+    )
+    b = _rank_frame(spark, [("q1", 3, 1), ("q2", 7, 2)])
+    out = rtr.rrf_fuse([a, b], k=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    # doc1 (rank1 in a) ties doc3 (rank1 in b) on rrf_fp; doc_id asc wins
+    assert sorted(per_q["q1"]) == [(1, 1), (2, 3)]
+    assert sorted(per_q["q2"]) == [(1, 7), (2, 8)]  # doc7 in both systems dominates
+    assert all(len(v) == 2 for v in per_q.values())
+
+
+def test_rrf_fuse_single_system_preserves_order(spark):
+    a = _rank_frame(spark, [("q", 5, 1), ("q", 6, 2), ("q", 7, 3)])
+    got = [(r.rank, r.doc_id) for r in rtr.rrf_fuse([a]).collect()]
+    assert sorted(got) == [(1, 5), (2, 6), (3, 7)]
+
+
+def test_rrf_fuse_empty_list_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rtr.rrf_fuse([])
