@@ -501,3 +501,34 @@ def test_lpa_round_is_join_plus_bounded_aggregate(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_max" in plan
+
+
+def test_prefix_filter_joins_are_hash_equi_joins(spark):
+    """The prefix-filter pipeline's three joins (candidate self-join on
+    shingle, the two candidate broadcasts into verification) must be
+    hash equi-joins — a lost equi-key would surface as a nested-loop
+    cartesian, which is quadratic in the corpus. The candidate frames
+    ship as broadcasts (they are small by contract)."""
+    from neynar_parquet_importer_spark.operators import dedup as dd
+
+    plan = _plan(spark, "dedup_prefix_filter_pairs")
+    dd.release_cached()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the one-row __n_docs broadcast the
+    # fractional df-cap crosses in — every corpus-sized join must be hash
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "__n_docs" in line, line
+    assert "BroadcastHashJoin [shingle" in plan  # candidate/verify equi-joins
+    assert plan.count("BroadcastHashJoin") >= 2  # cand_ids semi + cand semi
+
+
+def test_hybrid_dense_leg_broadcasts_queries_no_shuffle_cartesian(spark):
+    """The dense leg crosses the corpus with THREE query vectors — that
+    must be a broadcast nested-loop over a 3-row side (a map-side
+    expansion), never a shuffle cartesian; the lexical leg keeps its
+    broadcast posting-list seek."""
+    plan = _plan(spark, "hybrid_rrf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin [term" in plan
