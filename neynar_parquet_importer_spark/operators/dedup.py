@@ -1123,7 +1123,17 @@ def prefix_filter_pairs(
     entirely and keeps Jaccard semantics aligned with the rest of the
     dedup family (one cap rule shared by every exact path). Verification
     joins shingle sets back onto candidate docs only — the
-    ``ngram_jaccard_pairs`` discipline."""
+    ``ngram_jaccard_pairs`` discipline.
+
+    THRESHOLD REGIME: prefix length is ``sz - ceil(t*sz) + 1``, so the
+    prefix is ~(1-t) of each set — prefix filtering is the high-
+    threshold (t >= ~0.7) exact join. At t <= 0.5 on a vocabulary-dense
+    corpus HALF of every set is prefix and candidates approach the
+    naive shared-token join (measured: 18M candidates on a 50k-doc
+    replica corpus at t=0.5 vs thousands at 0.8); below ~0.7 prefer the
+    MinHash-LSH family and rerank. The candidate joins are NOT forced
+    broadcasts for exactly this reason — AQE broadcasts them when they
+    are genuinely small."""
     ranked = _persist(
         _prefix_ranked_sets(df, text_col, id_col, shingle_n, max_shingle_df)
     )
@@ -1135,15 +1145,22 @@ def _verified_pairs_from_ranked(ranked: DataFrame, threshold: float) -> DataFram
     (and persisted) capped-set frame — shared by the pairs query and the
     stats profile so the stats run builds the pipeline once."""
     n, d = _threshold_fraction(threshold)
-    # consumed twice (the id semi-join and the pair semi-join broadcasts)
+    # consumed twice (the id semi-join and the pair semi-join)
     cand = _persist(prefix_filter_candidates(ranked, threshold))
+    # NO forced broadcast on the candidate frames: at high thresholds
+    # they are small and AQE broadcasts them at runtime, but on a
+    # vocabulary-dense corpus at a LOW threshold (t <= 0.5 keeps half of
+    # every set as prefix) candidates can reach tens of millions — a
+    # forced broadcast there is a driver OOM, a shuffle semi-join is
+    # merely a bigger join. Measured: 18M candidates on the 50k-doc sf1
+    # replica corpus at t=0.5.
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
     sets = ranked.select("id", "shingle", "sz").join(
-        F.broadcast(cand_ids), "id", "left_semi"
+        cand_ids, "id", "left_semi"
     )
     l, r = sets.alias("l"), sets.alias("r")
     pair_rows = l.join(
@@ -1156,9 +1173,9 @@ def _verified_pairs_from_ranked(ranked: DataFrame, threshold: float) -> DataFram
         F.col("l.sz").alias("sz_a"),
         F.col("r.sz").alias("sz_b"),
     )
-    # cut the pair aggregate to candidates before it shuffles; candidates
-    # are small by the same contract as ngram_jaccard_pairs
-    pair_rows = pair_rows.join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
+    # cut the pair aggregate to candidates before it shuffles (AQE
+    # broadcasts the candidate side when it is actually small)
+    pair_rows = pair_rows.join(cand, ["id_a", "id_b"], "left_semi")
     common = pair_rows.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_common"),
         F.min("sz_a").alias("sz_a"),
@@ -1222,4 +1239,90 @@ def prefix_filter_stats(
     )
     return (
         base.crossJoin(naive).crossJoin(n_cand).crossJoin(n_ver)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | float | None = None,
+) -> DataFrame:
+    """EXACT asymmetric containment join: every ORDERED pair (a, b),
+    a != b, where ``|Sa ∩ Sb| / |Sa| >= threshold`` over the capped
+    shingle sets — (id_contained, id_container, containment). The
+    quote/subset detector: a doc whose shingles are mostly inside
+    another's (eval-set passages embedded in training docs, boilerplate
+    wrappers around a shared core) is invisible to symmetric Jaccard
+    when the container is much larger.
+
+    Candidate generation is the one-sided prefix-filter lemma: if
+    ``|Sa ∩ Sb| >= ceil(t*|Sa|)`` then Sa's first
+    ``|Sa| - ceil(t*|Sa|) + 1`` tokens (global ascending-df order) must
+    contain a shared token (pigeonhole) — so only the CONTAINED side's
+    prefix joins, against the container's full posting rows. No length
+    filter exists for containment (the container may be any size); the
+    positional filter on the contained side still applies
+    (``1 + (sz_a - rnk_a)`` caps the remaining overlap). Candidate
+    volume is sum-over-prefix-tokens of df — LINEAR in posting-list
+    length, bounded by the df-cap, never quadratic. Verification and
+    the acceptance predicate are exact-integer: ``d*common >= n*sz_a``.
+
+    Oracle strategy: independent all-ordered-pairs DuckDB twin — same
+    differential discipline as :func:`prefix_filter_pairs`."""
+    n, d = _threshold_fraction(threshold)
+    ranked = _persist(
+        _prefix_ranked_sets(df, text_col, id_col, shingle_n, max_shingle_df)
+    )
+    # contained-side prefix: rnk <= sz - ceil(n*sz/d) + 1
+    prefix = ranked.filter(
+        F.lit(n) * F.col("sz") <= F.lit(d) * (F.col("sz") - F.col("rnk") + 1)
+    )
+    a, b = prefix.alias("a"), ranked.alias("b")
+    # positional: remaining contained-side tokens after the match must
+    # still reach the required overlap: (1 + sz_a - rnk_a)*d >= n*sz_a
+    pos_ok = (F.lit(1) + F.col("a.sz") - F.col("a.rnk")) * F.lit(d) >= F.lit(
+        n
+    ) * F.col("a.sz")
+    cand = _persist(
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id"))
+            & pos_ok,
+        )
+        .select(F.col("a.id").alias("id_contained"), F.col("b.id").alias("id_container"))
+        .distinct()
+    )
+    pair_ids = (
+        cand.select(F.col("id_contained").alias("id"))
+        .union(cand.select(F.col("id_container").alias("id")))
+        .distinct()
+    )
+    sets = ranked.select("id", "shingle", "sz").join(pair_ids, "id", "left_semi")
+    l, r = sets.alias("l"), sets.alias("r")
+    pair_rows = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_contained"),
+            F.col("r.id").alias("id_container"),
+            F.col("l.sz").alias("sz_a"),
+        )
+        .join(cand, ["id_contained", "id_container"], "left_semi")
+    )
+    common = pair_rows.groupBy("id_contained", "id_container").agg(
+        F.count(F.lit(1)).alias("n_common"), F.min("sz_a").alias("sz_a")
+    )
+    return common.filter(
+        F.lit(d) * F.col("n_common") >= F.lit(n) * F.col("sz_a")
+    ).select(
+        "id_contained",
+        "id_container",
+        F.round(F.col("n_common") / F.col("sz_a"), 6).alias("containment"),
     )

@@ -6848,19 +6848,22 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs (capped Jaccard >= 0.5) via prefix filtering —
+    """EXACT near-dup pairs (capped Jaccard >= 0.8) via prefix filtering —
     the zero-false-negative scale path: only each doc's rarest-token
-    prefix enters the inverted-index self-join, with PPJoin's length and
-    positional filters pruning inside the join condition (see
-    operators.dedup section comment; Bayardo WWW'07, Xiao WWW'08). Same
-    fractional df-cap (5%) and threshold as dedup_ngram_jaccard_allpairs,
-    so the result must EQUAL the all-pairs ground truth — the oracle is
-    the independent all-pairs DuckDB twin with the same exact-integer
-    acceptance predicate (2*common >= union), an algorithm-level
-    differential check."""
+    prefix (~20% of the set at t=0.8) enters the inverted-index
+    self-join, with PPJoin's length and positional filters pruning
+    inside the join condition (see operators.dedup section comment;
+    Bayardo WWW'07, Xiao WWW'08). t=0.8 is the family's high-confidence
+    near-dup threshold (same as dedup_ngram_jaccard) and the regime
+    prefix filtering is designed for — the operator docstring records
+    the measured low-threshold blowup. Same fractional df-cap (5%) as
+    the all-pairs twin, so the result must EQUAL the all-pairs ground
+    truth — the oracle is the independent all-pairs DuckDB twin with the
+    same exact-integer acceptance predicate (5*common >= 4*union), an
+    algorithm-level differential check."""
     docs = _t(spark, sf_dir, "documents")
     return dd.prefix_filter_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=0.05
+        docs, "text", "doc_id", shingle_n=3, threshold=0.8, max_shingle_df=0.05
     )
 
 
@@ -6874,7 +6877,7 @@ def prefix_filter_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     internals, value-checked."""
     docs = _t(spark, sf_dir, "documents")
     return dd.prefix_filter_stats(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.5, max_shingle_df=0.05
+        docs, "text", "doc_id", shingle_n=3, threshold=0.8, max_shingle_df=0.05
     )
 
 
@@ -6883,9 +6886,9 @@ QUERIES["prefix_filter_candidate_stats"] = prefix_filter_candidate_stats
 
 ORACLE_SQL["dedup_prefix_filter_pairs"] = """
     -- INDEPENDENT all-pairs twin of the engine's prefix-filter join:
-    -- same capped sets, same exact-integer predicate (2*inter >= union),
-    -- different algorithm — a differential test of the prefix-filtering
-    -- no-false-negative guarantee.
+    -- same capped sets, same exact-integer predicate (5*inter >=
+    -- 4*union, t = 4/5), different algorithm — a differential test of
+    -- the prefix-filtering no-false-negative guarantee.
     WITH base AS (
         SELECT doc_id,
                CASE WHEN len(t) >= 3
@@ -6912,14 +6915,14 @@ ORACLE_SQL["dedup_prefix_filter_pairs"] = """
                len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
         FROM capped a JOIN capped b ON a.doc_id < b.doc_id
     )
-    WHERE 2 * inter >= un
+    WHERE 5 * inter >= 4 * un
 """
 
 ORACLE_SQL["prefix_filter_candidate_stats"] = """
     -- Full replay of the prefix-filter candidate pipeline: md5_signed64
     -- shingle hashes, corpus df, global (df, hash) order, per-doc ranks,
     -- prefix cut, and the length + positional integer filters
-    -- (threshold 1/2 -> n=1, d=2).
+    -- (threshold 4/5 -> n=4, d=5).
     WITH base AS (
         SELECT doc_id,
                CASE WHEN len(t) >= 3
@@ -6955,13 +6958,13 @@ ORACLE_SQL["prefix_filter_candidate_stats"] = """
                                   ORDER BY df, shingle) AS rnk
         FROM joined
     ), prefix AS (
-        SELECT * FROM sized WHERE 1 * sz <= 2 * (sz - rnk + 1)
+        SELECT * FROM sized WHERE 4 * sz <= 5 * (sz - rnk + 1)
     ), cand AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM prefix l JOIN prefix r
           ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-         AND 2 * least(l.sz, r.sz) >= 1 * greatest(l.sz, r.sz)
-         AND (1 + least(l.sz - l.rnk, r.sz - r.rnk)) * 3 >= 1 * (l.sz + r.sz)
+         AND 5 * least(l.sz, r.sz) >= 4 * greatest(l.sz, r.sz)
+         AND (1 + least(l.sz - l.rnk, r.sz - r.rnk)) * 9 >= 4 * (l.sz + r.sz)
     ), naive AS (
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM sized l JOIN sized r
@@ -6973,7 +6976,7 @@ ORACLE_SQL["prefix_filter_candidate_stats"] = """
             FROM sized l JOIN sized r
               ON l.shingle = r.shingle AND l.doc_id < r.doc_id
             GROUP BY 1, 2
-        ) WHERE 2 * nc >= 1 * (sa + sb - nc)
+        ) WHERE 5 * nc >= 4 * (sa + sb - nc)
     )
     SELECT (SELECT count(DISTINCT doc_id) FROM sized) AS n_docs,
            (SELECT count(*) FROM sized) AS n_set_rows,
@@ -7079,4 +7082,58 @@ ORACLE_SQL["hybrid_rrf_topk"] = f"""
     )
     SELECT query_id, rank, doc_id, rrf_fp, n_systems
     FROM ranked WHERE rank <= 5
+"""
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment pairs (|Sa∩Sb|/|Sa| >= 0.9): the
+    quote/subset detector symmetric Jaccard is blind to — an eval
+    passage embedded in a 100x larger training doc has Jaccard ~0.01
+    but containment ~1. One-sided prefix-filter candidates (only the
+    contained side's rarest-token prefix joins the full posting rows —
+    candidate volume linear in posting length, never quadratic), exact
+    integer acceptance 10*common >= 9*|Sa|. Oracle: independent
+    all-ordered-pairs DuckDB twin (the prefix-filter differential
+    discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.9, max_shingle_df=0.05
+    )
+
+
+QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
+
+ORACLE_SQL["dedup_containment_pairs"] = """
+    -- INDEPENDENT all-ordered-pairs twin of the engine's one-sided
+    -- prefix-filter containment join (t = 9/10): same capped sets, same
+    -- exact-integer predicate, different algorithm.
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ), shx AS (
+        SELECT doc_id, unnest(s) AS shingle FROM base
+    ), hot AS (
+        SELECT shingle FROM shx GROUP BY shingle
+        HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ), capped AS (
+        SELECT doc_id, list(shingle) AS s
+        FROM shx ANTI JOIN hot USING (shingle)
+        GROUP BY doc_id
+    )
+    SELECT id_contained, id_container,
+           round(inter::DOUBLE / sa, 6) AS containment
+    FROM (
+        SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+               len(list_intersect(a.s, b.s)) AS inter,
+               len(a.s) AS sa
+        FROM capped a JOIN capped b ON a.doc_id <> b.doc_id
+    )
+    WHERE 10 * inter >= 9 * sa
 """

@@ -504,14 +504,19 @@ def test_lpa_round_is_join_plus_bounded_aggregate(spark):
 
 
 def test_prefix_filter_joins_are_hash_equi_joins(spark):
-    """The prefix-filter pipeline's three joins (candidate self-join on
-    shingle, the two candidate broadcasts into verification) must be
-    hash equi-joins — a lost equi-key would surface as a nested-loop
-    cartesian, which is quadratic in the corpus. The candidate frames
-    ship as broadcasts (they are small by contract)."""
+    """The prefix-filter pipeline's joins (candidate self-join on
+    shingle, the candidate semi-joins into verification) must be hash
+    equi-joins — a lost equi-key would surface as a nested-loop
+    cartesian, quadratic in the corpus. The candidate semi-joins carry
+    NO forced broadcast (a low-threshold candidate set can be huge —
+    operator docstring), so we execute and inspect the FINAL adaptive
+    plan: AQE must have picked broadcast for the small candidate side
+    here, and nothing may degrade to a cartesian."""
     from neynar_parquet_importer_spark.operators import dedup as dd
 
-    plan = _plan(spark, "dedup_prefix_filter_pairs")
+    df = Q.QUERIES["dedup_prefix_filter_pairs"](spark, SF)
+    df.collect()  # drive AQE to the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
     dd.release_cached()
     assert "CartesianProduct" not in plan
     # the only nested-loop joins are the one-row __n_docs broadcast the
@@ -519,8 +524,8 @@ def test_prefix_filter_joins_are_hash_equi_joins(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "__n_docs" in line, line
-    assert "BroadcastHashJoin [shingle" in plan  # candidate/verify equi-joins
-    assert plan.count("BroadcastHashJoin") >= 2  # cand_ids semi + cand semi
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan  # AQE broadcast the candidate side
 
 
 def test_hybrid_dense_leg_broadcasts_queries_no_shuffle_cartesian(spark):

@@ -153,3 +153,76 @@ def test_candidates_have_no_false_negatives(spark):
         }
         want = _ref_pairs(CORPUS, Fraction(t).limit_denominator(10**6))
         assert set(want) <= cand, f"missed true pairs at t={t}"
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment join
+# --------------------------------------------------------------------------
+
+def _ref_containment(
+    docs: list[tuple[int, str]],
+    threshold: Fraction,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> dict[tuple[int, int], Fraction]:
+    sets = {i: _ref_shingle_set(t, shingle_n) for i, t in docs}
+    if max_df is not None:
+        from collections import Counter
+
+        df = Counter(s for ss in sets.values() for s in ss)
+        hot = {s for s, c in df.items() if c > max_df}
+        sets = {i: ss - hot for i, ss in sets.items()}
+    out: dict[tuple[int, int], Fraction] = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = Fraction(len(sa & sb), len(sa))
+            if c >= threshold:
+                out[(a, b)] = c
+    return out
+
+
+CONTAIN_CORPUS = CORPUS + [
+    # doc 11's shingles are a strict subset of doc 12's (quote inside a
+    # larger container) — symmetric Jaccard misses it, containment must not
+    (11, "alpha beta gamma delta epsilon"),
+    (12, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lamda mu nu xi omicron pi rho sigma tau upsilon"),
+]
+
+
+def _spark_containment(spark, docs, threshold, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dd.containment_pairs(
+        df, "text", "doc_id", threshold=threshold, **kw
+    ).collect()
+    dd.release_cached()
+    return {(r.id_contained, r.id_container): r.containment for r in rows}
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.9, 1.0])
+def test_containment_matches_python_reference(spark, threshold):
+    got = _spark_containment(spark, CONTAIN_CORPUS, threshold)
+    want = _ref_containment(
+        CONTAIN_CORPUS, Fraction(threshold).limit_denominator(10**6)
+    )
+    assert set(got) == set(want)
+    for pair, c in want.items():
+        assert got[pair] == pytest.approx(round(float(c), 6), abs=1e-9)
+
+
+def test_containment_finds_subset_jaccard_misses(spark):
+    got = _spark_containment(spark, CONTAIN_CORPUS, 1.0)
+    assert (11, 12) in got and got[(11, 12)] == 1.0
+    assert (12, 11) not in got  # asymmetric: the container isn't contained
+    jac = _spark_pairs(spark, CONTAIN_CORPUS, 0.5)
+    assert (11, 12) not in jac  # symmetric Jaccard 3/18 = 0.17 misses it
+
+
+def test_containment_df_cap(spark):
+    got = _spark_containment(spark, CONTAIN_CORPUS, 0.9, max_shingle_df=2)
+    want = _ref_containment(CONTAIN_CORPUS, Fraction(9, 10), max_df=2)
+    assert set(got) == set(want)
