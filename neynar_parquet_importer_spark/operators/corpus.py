@@ -341,7 +341,11 @@ def dsir_log_weights(
     scored = src.join(stats, "tok").crossJoin(totals)
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum(ratio), round_to).alias("log_weight"),
+        # + 0.0 normalizes IEEE negative zero: a log-ratio sum can round
+        # to -0.0, which formats as "-0" and breaks value-parity against
+        # an engine that landed on +0.0 (caught by the second-seed
+        # corpus run; -0.0 + 0.0 = +0.0, any other value is unchanged)
+        (F.round(F.sum(ratio), round_to) + F.lit(0.0)).alias("log_weight"),
     )
 
 

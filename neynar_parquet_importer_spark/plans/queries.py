@@ -5421,10 +5421,11 @@ ORACLE_SQL["dsir_importance_weights"] = """
         FROM stats
     )
     SELECT doc_id, count(*) AS n_tokens,
+           -- + 0.0 normalizes IEEE -0.0 (see dsir_log_weights)
            round(sum(
                ln((nt + 0.5) / (tot_t + 0.5 * vocab))
                - ln((ns + 0.5) / (tot_s + 0.5 * vocab))
-           ), 4) AS log_weight
+           ), 4) + 0.0 AS log_weight
     FROM src JOIN stats USING (tok) CROSS JOIN tot
     GROUP BY doc_id
 """

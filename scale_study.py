@@ -187,11 +187,13 @@ _KEY_OFFSETS: dict[str, dict[str, int]] = {
 }
 
 
-def generate_sf1_relational(out_dir: str) -> None:
-    """Key-shifted 10x replication of the sf0.1 relational tables via
-    pyarrow (type-faithful: preserves the events table's nanosecond
-    timestamps, which catalog.load_table's nanosAsLong path depends on).
-    Dims (region/nation) copy through unchanged."""
+def generate_sf1_relational(
+    out_dir: str, src_dir: str = SF01, scale: int = SCALE
+) -> None:
+    """Key-shifted ``scale``x replication of ``src_dir``'s relational
+    tables via pyarrow (type-faithful: preserves the events table's
+    nanosecond timestamps, which catalog.load_table's nanosAsLong path
+    depends on). Dims (region/nation) copy through unchanged."""
     import shutil
 
     import pyarrow as pa
@@ -201,12 +203,12 @@ def generate_sf1_relational(out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in ("region", "nation"):
         shutil.copyfile(
-            f"{SF01}/{name}.parquet", f"{out_dir}/{name}.parquet"
+            f"{src_dir}/{name}.parquet", f"{out_dir}/{name}.parquet"
         )
     for name, offsets in _KEY_OFFSETS.items():
-        t = pq.read_table(f"{SF01}/{name}.parquet")
+        t = pq.read_table(f"{src_dir}/{name}.parquet")
         parts = [t]
-        for i in range(1, SCALE):
+        for i in range(1, scale):
             cols = []
             for col_name in t.column_names:
                 col = t[col_name]
@@ -223,16 +225,21 @@ def generate_sf1_relational(out_dir: str) -> None:
         )
 
 
-def generate_sf1(out_dir: str) -> None:
-    """Deterministic sf1 corpus fit from sf0.1's empirical distributions."""
+def generate_sf1(
+    out_dir: str, src_dir: str = SF01, scale: int = SCALE, seed: int = 421
+) -> None:
+    """Deterministic ``scale``x corpus fit from ``src_dir``'s empirical
+    distributions — parameterized so a SECOND SEED at the driver's gate
+    scale can be generated for an independent oracle-harness pass
+    (r5 verdict #1's 'ideally a second seed')."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     docs = con.execute(
-        f"SELECT doc_id, text, lang, source FROM read_parquet('{SF01}/documents.parquet') ORDER BY doc_id"
+        f"SELECT doc_id, text, lang, source FROM read_parquet('{src_dir}/documents.parquet') ORDER BY doc_id"
     ).fetch_df()
-    rng = np.random.RandomState(421)
+    rng = np.random.RandomState(seed)
 
     # empirical token distribution + doc-length distribution
     toks: list[str] = []
@@ -248,7 +255,7 @@ def generate_sf1(out_dir: str) -> None:
     lang_p = lang_c / lang_c.sum()
     n_sources = docs["source"].nunique()
 
-    n = len(docs) * SCALE
+    n = len(docs) * scale
     # planted duplicate structure at sf0.1's rates: ~0.16% exact copies,
     # ~0.5% near copies (a few-token perturbation of a base doc)
     n_exact = int(round(n * 0.0016))
@@ -282,11 +289,11 @@ def generate_sf1(out_dir: str) -> None:
     )
 
     emb = con.execute(
-        f"SELECT vec_id, embedding, label FROM read_parquet('{SF01}/embeddings.parquet') ORDER BY vec_id"
+        f"SELECT vec_id, embedding, label FROM read_parquet('{src_dir}/embeddings.parquet') ORDER BY vec_id"
     ).fetch_df()
     mat = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
     labels = emb["label"].to_numpy()
-    m = len(emb) * SCALE
+    m = len(emb) * scale
     n_dup = int(round(m * 0.01))  # planted high-cos near-dups
     rows_v: list[np.ndarray] = []
     rows_l: list[int] = []
@@ -727,5 +734,51 @@ if __name__ == "__main__":
         if len(sys.argv) < 3 or not sys.argv[2]:
             raise SystemExit("--only needs a comma-separated query list")
         main(only=sys.argv[2].split(","))
+    elif sys.argv[1:2] == ["--second-seed"]:
+        # second-seed gate corpus (r5 verdict #1): documents/embeddings
+        # REGENERATED at sf0.01 size from a different RNG seed (the
+        # corpus-dependent branches — df-cap, auto-plane, exact-below
+        # dispatch — see genuinely new data), relational tables copied
+        # through (their oracle twins are deterministic transforms of
+        # whatever data is present, so a reseed adds nothing there).
+        # Run the harness against it with
+        #   ORACLE_SF_DIR=/tmp/sf001_seed2 python -m pytest tests/test_queries_oracle.py
+        import shutil
+
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 777
+        out = os.environ.get("SPARK_GRAFT_SEED2_DIR", "/tmp/sf001_seed2")
+        src = "/root/testdata/sf0.01"
+        os.makedirs(out, exist_ok=True)
+        for name in ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "events"):
+            shutil.copyfile(f"{src}/{name}.parquet", f"{out}/{name}.parquet")
+        generate_sf1(out, src_dir=src, scale=1, seed=seed)
+        print(json.dumps({
+            "out": out, "seed": seed,
+            "documents": _rows(f"{out}/documents.parquet"),
+            "embeddings": _rows(f"{out}/embeddings.parquet"),
+        }))
+    elif sys.argv[1:2] == ["--ann-recall"]:
+        # incremental checks run: compute the per-index sf1 recall block
+        # and merge it into the existing artifact without re-timing the
+        # ~50-query study
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit("--ann-recall needs an existing BENCH_SCALING.json")
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-ann-recall",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = ann_recall_checks(spark, SF1_DIR)
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        payload["checks"]["ann_recall_sf1"] = block
+        payload["checks"]["ann_recall_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
     else:
         main()

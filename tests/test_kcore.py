@@ -31,7 +31,10 @@ def test_clique_survives_tail_peels(spark):
 
 
 def test_spark_matches_replay(spark):
-    """Distributed peel == python replay on a mixed graph, several k."""
+    """BOTH engine paths — the default local tail-finish (bucket peel)
+    and the forced-distributed rounds (local_below=0) — must equal the
+    simultaneous-rounds python replay on a mixed graph, several k. Three
+    peel orders, one unique fixpoint."""
     und = [(i, (i + 1) % 12) for i in range(12)]
     und += [(i, (i + 3) % 12) for i in range(12)]
     und += [(a, b) for a in range(20, 26) for b in range(a + 1, 26)]
@@ -39,8 +42,32 @@ def test_spark_matches_replay(spark):
     pairs = sorted({(min(a, b), max(a, b)) for a, b in und})
     for k in (2, 3, 4, 5):
         want = kcr.kcore_replay(set(pairs), k=k)
-        got = _core_set(kcr.kcore_edges(_edges(spark, pairs), k=k))
-        assert got == want, k
+        got_local = _core_set(kcr.kcore_edges(_edges(spark, pairs), k=k))
+        got_dist = _core_set(
+            kcr.kcore_edges(_edges(spark, pairs), k=k, local_below=0)
+        )
+        assert got_local == want, k
+        assert got_dist == want, k
+
+
+def test_bucket_peel_matches_replay_randomized():
+    """Pure-python differential check of the two local algorithms over
+    random graphs — the independence claim behind the tail-finish."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(25):
+        n = rng.randint(4, 40)
+        m = rng.randint(n, 4 * n)
+        pairs = set()
+        while len(pairs) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        for k in (2, 3, 4):
+            assert kcr._local_kcore_bucket(sorted(pairs), k) == kcr.kcore_replay(
+                pairs, k
+            ), (trial, k)
 
 
 def test_empty_core_is_empty_not_error(spark):
@@ -64,10 +91,17 @@ def test_stats_checksum_and_counts(spark):
 
 def test_nonconvergence_raises_not_silent(spark):
     """max_iter=1 on the pendant-path graph (needs several rounds) must
-    raise, never return a non-fixpoint."""
+    raise on the forced-distributed path, never return a non-fixpoint;
+    the default local tail-finish resolves the same graph in one round
+    regardless of max_iter (it peels to the fixpoint locally)."""
     k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     tail = [(4, 10), (10, 11), (11, 12)]
     with pytest.raises(RuntimeError):
+        kcr.kcore_edges(
+            _edges(spark, k5 + tail), k=3, max_iter=1, local_below=0
+        )
+    assert _core_set(
         kcr.kcore_edges(_edges(spark, k5 + tail), k=3, max_iter=1)
+    ) == set(k5)
     with pytest.raises(ValueError):
         kcr.kcore_edges(_edges(spark, k5), k=0)
