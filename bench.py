@@ -178,10 +178,11 @@ BENCH_QUERIES = [
     "khop_supplier_reach",
     "event_value_quantile_hist",
     # round-6 sixth pass: exact prefix-filter set-similarity join +
-    # hybrid lexical/dense retrieval fusion
+    # hybrid lexical/dense retrieval fusion + asymmetric containment
     "dedup_prefix_filter_pairs",
     "prefix_filter_candidate_stats",
     "hybrid_rrf_topk",
+    "dedup_containment_pairs",
 ]
 
 

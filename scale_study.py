@@ -123,6 +123,7 @@ FAMILY_QUERIES = [
     "dedup_prefix_filter_pairs",
     "prefix_filter_candidate_stats",
     "hybrid_rrf_topk",
+    "dedup_containment_pairs",
 ]
 
 
