@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "prefix_filter_candidate_stats",
     "hybrid_rrf_topk",
     "dedup_containment_pairs",
+    "passjoin_doc_prefix_pairs",
 ]
 
 
@@ -200,6 +201,7 @@ _FAMILY_PREFIXES = [
     ("bloom_", "dedup"),
     ("winnow_", "dedup"),
     ("prefix_filter_", "dedup"),
+    ("passjoin_", "dedup"),
     ("quality_classifier_", "text"),
     ("text_", "text"),
     ("lang_", "lang"),

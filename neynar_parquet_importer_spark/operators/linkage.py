@@ -125,3 +125,200 @@ def block_profile(
         ),
         dropped.alias("dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PassJoin: exact edit-distance join via segment filtering
+# ---------------------------------------------------------------------------
+
+def _segment_bounds(n: int, k: int) -> list[tuple[int, int]]:
+    """Deterministic even partition of a length-``n`` string into ``k``
+    segments: the first ``k - n % k`` get ``n // k`` chars, the rest one
+    more — (start, length) pairs, 0-based. Probe-side substring
+    generation MUST use the identical scheme (it re-derives the index
+    side's boundaries from the candidate length alone)."""
+    base, rem = divmod(n, k)
+    out, start = [], 0
+    for i in range(k):
+        ln = base + (1 if i >= k - rem else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def passjoin_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT (left_id, right_id, distance) pairs at Levenshtein distance
+    <= ``max_distance`` — PassJoin segment filtering (Li, Deng, Feng,
+    VLDB'12 family), the edit-distance analog of ``dedup.py``'s
+    prefix-filter Jaccard join: a zero-false-negative candidate
+    equi-join replaces the block cross-product, and the quadratic
+    metric runs only on candidates.
+
+    The pigeonhole: partition each RIGHT string s into ``tau + 1``
+    segments. Any r with ``lev(r, s) <= tau`` aligns to s with at most
+    tau edits, so at least ONE segment is untouched — it occurs in r
+    VERBATIM, at a start position shifted by at most tau (the net
+    insertions/deletions before it). So the index side emits tau+1
+    (seg_idx, seg_string) rows per record, the probe side emits, for
+    each candidate right length n in [len(r)-tau, len(r)+tau] and each
+    segment of that length's partition scheme, the <= 2*tau+1 substrings
+    of r in the shifted window — and candidates are an EQUI-join on
+    (n, seg_idx, substring [, block]). Probe fan-out is bounded by
+    (2*tau+1) * (tau+1) * (2*tau+1) rows per record (45 at tau=2) —
+    constant, vs the |block| comparisons per record of the block
+    cross-product; candidate volume is driven by true near-matches, not
+    by block sizes. Kept pairs are verified with the threshold-banded
+    ``F.levenshtein`` — exact distances, identical external semantics
+    to ``blocked_pairs`` (tests pin set-equality; the DuckDB oracle is
+    the independent all-pairs twin).
+
+    SEGMENT-ENTROPY REGIME (measured): the filter's power is segment
+    selectivity. On high-entropy keys (document text prefixes) the
+    tau+1 segments are near-unique and this join runs a 5k x 5k corpus
+    UNBLOCKED in ~2 s at sf0.1 where the cross-product pays 25M banded
+    Levenshteins. On low-entropy zero-padded keys (customer names,
+    where segment "000" collides corpus-wide) candidates approach the
+    block cross-product and the extra join machinery makes it ~2x
+    SLOWER than ``blocked_pairs`` (13 s vs 7 s at sf0.1) — the same
+    regime boundary as the prefix-filter Jaccard join at low
+    thresholds. Prefer ``blocked_pairs`` when a selective blocking key
+    exists and the keys are low-entropy; prefer this join on text keys
+    or when no blocking key is available.
+
+    Degenerate-length leg: a right string shorter than tau+1 chars
+    cannot host tau+1 non-empty segments (the pigeonhole needs tau+1
+    pigeons); those few records join by the length filter alone
+    (lev <= tau forces len(r) <= len(s) + tau <= 2*tau, so both sides
+    are tiny strings and the leg's pair population is bounded by the
+    count of near-empty strings, not by corpus size).
+
+    ``block_cols``: optional exact blocking keys AND-ed into every
+    candidate join (the segment filter then prunes WITHIN blocks).
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    tau = max_distance
+    k = tau + 1
+    blocks = list(block_cols or [])
+    spark = left.sparkSession
+
+    l = left.select(
+        *blocks,
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltxt"),
+        F.length(left_text).alias("_llen"),
+    )
+    r = right.select(
+        *blocks,
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+        F.length(right_text).alias("_rlen"),
+    )
+
+    # ---- index side: tau+1 segments per right record (len >= k) -------
+    # one literal plan per possible (n, i): segment bounds depend only on
+    # the string LENGTH, so a CASE over n is avoided by computing
+    # substring bounds arithmetically: start_i(n) and len_i(n) in closed
+    # form from the even-partition scheme.
+    seg_idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_seg")
+    # integer division via `div` (Column has no // operator)
+    base, rem = F.expr(f"_rlen div {k}"), F.col("_rlen") % k
+    long_from = k - rem  # segments with index >= k - rem get base+1
+    seg_len = base + F.when(F.col("_seg") >= long_from, 1).otherwise(0)
+    seg_start = (
+        base * F.col("_seg")
+        + F.greatest(F.col("_seg") - long_from, F.lit(0))
+    )
+    idx = (
+        r.filter(F.col("_rlen") >= k)
+        .select(*blocks, "_rid", "_rtxt", "_rlen", seg_idx)
+        .select(
+            *blocks,
+            "_rid",
+            "_rlen",
+            "_seg",
+            F.col("_rtxt").substr(seg_start + 1, seg_len).alias("_piece"),
+        )
+    )
+
+    # ---- probe side: shifted windows for each candidate length --------
+    # candidate right lengths [len(r)-tau, len(r)+tau], clamped to >= k
+    # (shorter rights go through the degenerate leg). Guarded when():
+    # Spark's sequence(start, stop) runs DESCENDING when start > stop
+    # (a left string shorter than k - tau would fabricate lengths);
+    # the un-matched when() yields NULL and explode emits no rows.
+    lo = F.greatest(F.col("_llen") - tau, F.lit(k))
+    hi = F.col("_llen") + tau
+    cand_n = F.explode(F.when(lo <= hi, F.sequence(lo, hi))).alias("_n")
+    p = l.select(*blocks, "_lid", "_ltxt", "_llen", cand_n)
+    pbase, prem = F.expr(f"_n div {k}"), F.col("_n") % k
+    plong_from = k - prem
+    p = p.select(
+        *blocks, "_lid", "_ltxt", "_llen", "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_seg"),
+    )
+    pseg_len = pbase + F.when(F.col("_seg") >= plong_from, 1).otherwise(0)
+    pseg_start = (
+        pbase * F.col("_seg")
+        + F.greatest(F.col("_seg") - plong_from, F.lit(0))
+    )
+    shift = F.explode(
+        F.sequence(F.lit(-tau), F.lit(tau))
+    ).alias("_shift")
+    p = p.select(
+        *blocks, "_lid", "_ltxt", "_llen", "_n", "_seg",
+        pseg_start.alias("_pstart"), pseg_len.alias("_plen"), shift,
+    ).withColumn("_start", F.col("_pstart") + F.col("_shift"))
+    # valid windows only: inside r, non-empty
+    p = p.filter(
+        (F.col("_start") >= 0)
+        & (F.col("_plen") >= 1)
+        & (F.col("_start") + F.col("_plen") <= F.col("_llen"))
+    ).select(
+        *blocks, "_lid", "_llen", "_n", "_seg",
+        F.col("_ltxt").substr(F.col("_start") + 1, F.col("_plen")).alias(
+            "_piece"
+        ),
+    ).distinct()
+
+    join_keys = [*blocks, "_n", "_seg", "_piece"]
+    cand = (
+        p.join(idx.withColumnRenamed("_rlen", "_n"), join_keys)
+        .select(*blocks, "_lid", "_rid")
+        .distinct()
+    )
+
+    # ---- degenerate right strings (len < k): length filter only -------
+    short = r.filter(F.col("_rlen") < k)
+    short_cand = (
+        l.filter(F.col("_llen") <= 2 * tau)
+        .join(short, blocks if blocks else None)
+        if blocks
+        else l.filter(F.col("_llen") <= 2 * tau).crossJoin(short)
+    )
+    short_cand = short_cand.filter(
+        F.abs(F.col("_llen") - F.col("_rlen")) <= tau
+    ).select(*blocks, "_lid", "_rid")
+    cand = cand.unionByName(short_cand).distinct()
+
+    # ---- exact verification on candidates ------------------------------
+    verified = (
+        cand.join(l.select(*blocks, "_lid", "_ltxt"), [*blocks, "_lid"])
+        .join(r.select(*blocks, "_rid", "_rtxt"), [*blocks, "_rid"])
+        .withColumn("distance", F.levenshtein("_ltxt", "_rtxt", tau))
+        .filter(F.col("distance") >= 0)
+    )
+    return verified.select(
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        F.col("distance").cast("int").alias("distance"),
+    ).dropDuplicates([left_id, right_id])

@@ -124,6 +124,7 @@ FAMILY_QUERIES = [
     "prefix_filter_candidate_stats",
     "hybrid_rrf_topk",
     "dedup_containment_pairs",
+    "passjoin_doc_prefix_pairs",
 ]
 
 
