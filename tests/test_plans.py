@@ -537,3 +537,37 @@ def test_hybrid_dense_leg_broadcasts_queries_no_shuffle_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BroadcastHashJoin [term" in plan
+
+
+def test_containment_joins_are_hash_equi_joins(spark):
+    """The containment pipeline (one-sided prefix candidates, pair
+    semi-joins, verification aggregate) must never degrade to a
+    cartesian: every corpus-sized join is a hash equi-join on shingle
+    or on the pair/id keys. Same AQE-final-plan discipline as the
+    symmetric prefix-filter pin."""
+    from neynar_parquet_importer_spark.operators import dedup as dd
+
+    df = Q.QUERIES["dedup_containment_pairs"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    dd.release_cached()
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "__n_docs" in line, line
+    assert "isFinalPlan=true" in plan
+
+
+def test_passjoin_is_equi_join_on_segments(spark):
+    """PassJoin's candidate join must be a hash equi-join on the
+    (length, segment index, piece) key — the whole point of segment
+    filtering is that NO cross-product ever forms; the only acceptable
+    nested-loop is the degenerate short-string leg, which is bounded by
+    the count of near-empty strings (here: none)."""
+    df = Q.QUERIES["passjoin_doc_prefix_pairs"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "isFinalPlan=true" in plan
+    # the segment equi-join carries _piece in its key
+    assert "_piece" in plan
