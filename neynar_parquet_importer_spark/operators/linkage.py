@@ -209,7 +209,6 @@ def passjoin_pairs(
     tau = max_distance
     k = tau + 1
     blocks = list(block_cols or [])
-    spark = left.sparkSession
 
     l = left.select(
         *blocks,

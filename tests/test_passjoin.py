@@ -153,3 +153,22 @@ def test_passjoin_equals_blocked_pairs_on_linkage_corpus(spark):
         ).collect()
     }
     assert via_pass == via_block and len(via_pass) > 0
+
+
+def test_segment_closed_form_matches_reference():
+    """The operator computes segment (start, length) with closed-form
+    Column arithmetic (base*i + max(i - long_from, 0), base + [i >=
+    long_from]); pin it against the readable python partition scheme
+    for every (length, k) the joins can produce."""
+    for k in (2, 3, 4):
+        for n in range(k, 40):
+            base, rem = divmod(n, k)
+            long_from = k - rem
+            got = [
+                (
+                    base * i + max(i - long_from, 0),
+                    base + (1 if i >= long_from else 0),
+                )
+                for i in range(k)
+            ]
+            assert got == lk._segment_bounds(n, k), (n, k)
