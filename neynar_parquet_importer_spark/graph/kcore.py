@@ -41,7 +41,7 @@ def kcore_edges(
     k: int,
     max_iter: int = 50,
     broadcast_keep: bool = True,
-    local_below: int = 2_000_000,
+    local_below: int = 200_000,
 ) -> DataFrame:
     """Canonical (a, b) edges of the k-core of a canonical undirected
     edge list. Returns an empty frame when no k-core exists.
@@ -62,9 +62,12 @@ def kcore_edges(
     ``triangles.oriented_edges``).
 
     ``local_below`` — the bounded LOCAL TAIL-FINISH: once the surviving
-    edge list fits under this cap it is collected (driver memory bound:
-    ``local_below`` edges = two longs each, 32 MB at the 2M default) and
-    peeled to the fixpoint in one pass of Matula–Beck bucket peeling
+    edge list fits under this cap it is collected and peeled to the
+    fixpoint in one pass of Matula–Beck bucket peeling. The driver
+    budget is PYTHON-OBJECT cost, not raw longs: collected Rows + the
+    adjacency sets measure ~0.5 KB per edge (review-measured ~1 GB peak
+    at 2M edges), so the 200k default costs ~100 MB — safe on a
+    default-sized driver; raise it only alongside driver memory
     (O(E), min-degree-first). Peeling round count equals the longest
     peel CHAIN, which is independent of graph size — a gentle tail
     peels a handful of nodes per round for dozens of rounds, and every

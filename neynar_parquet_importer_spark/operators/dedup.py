@@ -1263,9 +1263,10 @@ def containment_pairs(
     ``|Sa| - ceil(t*|Sa|) + 1`` tokens (global ascending-df order) must
     contain a shared token (pigeonhole) — so only the CONTAINED side's
     prefix joins, against the container's full posting rows. No length
-    filter exists for containment (the container may be any size); the
-    positional filter on the contained side still applies
-    (``1 + (sz_a - rnk_a)`` caps the remaining overlap). Candidate
+    filter exists for containment (the container may be any size), and
+    the symmetric PPJoin positional filter degenerates to the prefix
+    bound itself when the required overlap is ``ceil(t*|Sa|)`` — the
+    prefix cut is the complete one-sided filter set. Candidate
     volume is sum-over-prefix-tokens of df — LINEAR in posting-list
     length, bounded by the df-cap, never quadratic. Verification and
     the acceptance predicate are exact-integer: ``d*common >= n*sz_a``.
@@ -1276,22 +1277,20 @@ def containment_pairs(
     ranked = _persist(
         _prefix_ranked_sets(df, text_col, id_col, shingle_n, max_shingle_df)
     )
-    # contained-side prefix: rnk <= sz - ceil(n*sz/d) + 1
+    # contained-side prefix: rnk <= sz - ceil(n*sz/d) + 1. For the
+    # ONE-SIDED join this is also the strongest positional bound — the
+    # symmetric PPJoin positional filter degenerates to exactly this
+    # inequality when the required overlap depends only on the contained
+    # side's size (ceil(t*|Sa|)), so no further in-join pruning exists.
     prefix = ranked.filter(
         F.lit(n) * F.col("sz") <= F.lit(d) * (F.col("sz") - F.col("rnk") + 1)
     )
     a, b = prefix.alias("a"), ranked.alias("b")
-    # positional: remaining contained-side tokens after the match must
-    # still reach the required overlap: (1 + sz_a - rnk_a)*d >= n*sz_a
-    pos_ok = (F.lit(1) + F.col("a.sz") - F.col("a.rnk")) * F.lit(d) >= F.lit(
-        n
-    ) * F.col("a.sz")
     cand = _persist(
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") != F.col("b.id"))
-            & pos_ok,
+            & (F.col("a.id") != F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_contained"), F.col("b.id").alias("id_container"))
         .distinct()

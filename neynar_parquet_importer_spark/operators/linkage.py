@@ -173,10 +173,12 @@ def passjoin_pairs(
     segment of that length's partition scheme, the <= 2*tau+1 substrings
     of r in the shifted window — and candidates are an EQUI-join on
     (n, seg_idx, substring [, block]). Probe fan-out is bounded by
-    (2*tau+1) * (tau+1) * (2*tau+1) rows per record (45 at tau=2) —
-    constant, vs the |block| comparisons per record of the block
-    cross-product; candidate volume is driven by true near-matches, not
-    by block sizes. Kept pairs are verified with the threshold-banded
+    (2*tau+1) lengths x (tau+1) segments x (2*tau+1) shifts = 75 rows
+    per record at tau=2 BEFORE the window-validity filter and distinct
+    (which cut overlapping/out-of-range windows) — constant either way,
+    vs the |block| comparisons per record of the block cross-product;
+    candidate volume is driven by true near-matches, not by block
+    sizes. Kept pairs are verified with the threshold-banded
     ``F.levenshtein`` — exact distances, identical external semantics
     to ``blocked_pairs`` (tests pin set-equality; the DuckDB oracle is
     the independent all-pairs twin).
@@ -299,8 +301,7 @@ def passjoin_pairs(
     # ---- degenerate right strings (len < k): length filter only -------
     short = r.filter(F.col("_rlen") < k)
     short_cand = (
-        l.filter(F.col("_llen") <= 2 * tau)
-        .join(short, blocks if blocks else None)
+        l.filter(F.col("_llen") <= 2 * tau).join(short, blocks)
         if blocks
         else l.filter(F.col("_llen") <= 2 * tau).crossJoin(short)
     )

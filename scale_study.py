@@ -776,8 +776,9 @@ if __name__ == "__main__":
         block = ann_recall_checks(spark, SF1_DIR)
         with open("BENCH_SCALING.json") as f:
             payload = json.load(f)
-        payload["checks"]["ann_recall_sf1"] = block
-        payload["checks"]["ann_recall_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        checks = payload.setdefault("checks", {})
+        checks["ann_recall_sf1"] = block
+        checks["ann_recall_run_at"] = time.strftime("%Y%m%dT%H%M%S")
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))

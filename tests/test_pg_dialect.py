@@ -259,20 +259,49 @@ def test_bootstrap_statements_all_validate():
     stmts = bootstrap_statements(list(ALL_SPECS.values()), SCHEMA)
     assert stmts[0].startswith("CREATE SCHEMA")
     n_tables = n_views = 0
+    kinds = []
     for s in stmts:
         if s.startswith("CREATE SCHEMA"):
             validate_create_schema(s)
+            kinds.append("schema")
         elif s.startswith("CREATE TABLE"):
             validate_create_table(s)
+            kinds.append("table")
             n_tables += 1
         elif s.startswith("CREATE OR REPLACE VIEW"):
             validate_create_view(s)
+            kinds.append("view")
             n_views += 1
         else:
             raise AssertionError(f"unexpected statement kind: {s[:60]!r}")
         assert "${" not in s, f"unsubstituted template var in {s[:80]!r}"
     assert n_tables == len(ALL_SPECS) + 1  # + ledger
     assert n_views >= 1
+    # ordering invariant: every view comes after every table — a view
+    # emitted before its base tables fails the live bootstrap even
+    # though each statement validates individually
+    assert kinds.index("view") > max(
+        i for i, kind in enumerate(kinds) if kind == "table"
+    )
+
+
+_FROM_TARGET = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][\w.]*)", re.I)
+
+
+def test_view_from_targets_are_schema_qualified():
+    """Every FROM/JOIN target inside a substituted view body must be
+    qualified into the substituted schema — an unqualified reference
+    resolves against search_path on the live sink (DuckDB's shim happens
+    to have the views registered unqualified, so only this assertion
+    catches a substitute_schema regression)."""
+    for stmt in view_statements(SCHEMA):
+        body = stmt.split(" AS", 1)[1]
+        targets = _FROM_TARGET.findall(body)
+        assert targets, "view body has no FROM targets?"
+        for t in targets:
+            assert t.startswith(SCHEMA + "."), (
+                f"unqualified view FROM target {t!r}"
+            )
 
 
 @pytest.mark.parametrize("name", sorted(ALL_SPECS))
