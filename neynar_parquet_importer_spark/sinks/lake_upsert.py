@@ -91,7 +91,19 @@ class LakeUpsertSink:
 
     # -- read --------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self._data_dir) and bool(os.listdir(self._data_dir))
+        """True iff the sink holds DATA — bucket dirs or parquet files.
+        A zero-row first upsert writes a data dir containing only
+        ``_SUCCESS``; counting that as existing bricks the sink (the
+        schemaless ``spark.read.parquet`` on it throws
+        UNABLE_TO_INFER_SCHEMA on every later read), so marker-only
+        dirs read as empty and the next non-empty upsert takes the
+        fresh-sink full-swap path."""
+        if not os.path.isdir(self._data_dir):
+            return False
+        return any(
+            n.startswith(f"{_BUCKET}=") or n.endswith(".parquet")
+            for n in os.listdir(self._data_dir)
+        )
 
     def _is_bucketed(self) -> bool:
         return any(

@@ -115,15 +115,40 @@ class ImportLedger:
         return max(fulls, key=lambda e: e.end_timestamp, default=None)
 
     def resume_point(self) -> int | None:
-        """Preference order (main.py:132-297): newest completed incremental,
-        else newest full's end_timestamp, else None (fresh start)."""
-        inc = self.newest_completed_incremental()
-        if inc is not None:
-            return inc.end_timestamp
+        """Preference order (main.py:132-297): completed incremental
+        frontier, else newest full's end_timestamp, else None (fresh
+        start).
+
+        The frontier is the end of the CONTIGUOUS completed chain
+        (each window's start <= the running frontier), anchored at the
+        newest full when one exists, else at the earliest completed
+        incremental. A completed window BEYOND a gap — reachable via
+        ``daemon.direct_import``, the documented operator override that
+        commits out of the in-order stream — must NOT advance the
+        cursor: taking the bare newest-completed end would make the
+        next catch-up plan from past the gap and silently skip every
+        unimported window under it, forever. Empty windows still get
+        ledger rows (S3 sentinels), so legitimate streams have no
+        holes and the chain walk reduces to the old newest-completed
+        answer."""
+        done = sorted(
+            (
+                e
+                for e in self._entries.values()
+                if e.completed and e.file_type == "incremental"
+            ),
+            key=lambda e: (e.start_timestamp, e.end_timestamp),
+        )
         full = self.newest_full()
-        if full is not None:
-            return full.end_timestamp
-        return None
+        frontier = full.end_timestamp if full is not None else None
+        for e in done:
+            if frontier is None:
+                frontier = e.end_timestamp
+            elif e.start_timestamp <= frontier:
+                frontier = max(frontier, e.end_timestamp)
+            else:
+                break  # gap: later completions wait for it to fill
+        return frontier
 
     def earliest_start(self) -> int | None:
         """Start of the oldest incremental window ever recorded — the

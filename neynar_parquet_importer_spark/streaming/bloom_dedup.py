@@ -71,11 +71,38 @@ def bloom_dedup_fold_batch(
     ``broadcast_words`` is forwarded to :func:`bloom_probe` — pass
     ``False`` once the words table outgrows broadcast range.
     """
+    # persist the hashed batch: it is re-read by the verdict checkpoint,
+    # the content-sink upsert's actions, and the words-sink bloom build
+    # (~5 actions per fold) — without the pin each one re-scans the
+    # caller's batch and recomputes the md5 (the near-dup fold pins its
+    # signature frame for the same reason). Released in the finally:
+    # every consumer runs inside this fold and the returned verdict is
+    # an eager localCheckpoint, so nothing escapes that depends on it —
+    # a long-running stream must not leak one cache per micro-batch
+    # (including batches that FAIL mid-fold).
     all_hashed = batch.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__text"),
         F.md5(F.col(text_col).cast("string")).alias("content_hash"),
-    )
+    ).persist()
+    try:
+        return _fold_inner(
+            content_sink, words_sink, all_hashed, epoch,
+            n_bits, k, broadcast_words,
+        )
+    finally:
+        all_hashed.unpersist()
+
+
+def _fold_inner(
+    content_sink,
+    words_sink,
+    all_hashed: DataFrame,
+    epoch: int,
+    n_bits: int,
+    k: int,
+    broadcast_words: bool,
+) -> DataFrame:
     null_text = all_hashed.filter(F.col("content_hash").isNull())
     hashed = all_hashed.filter(F.col("content_hash").isNotNull())
 

@@ -172,10 +172,15 @@ def direct_import(
         incremental_duration=meta.duration_s or 1,
         filter_doc=filter_doc,
     )
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = spark.read.schema(spec.schema).parquet(path)
-    out = pipe.transform(df)
-    rows = out.count()
+    obs = Observation()
+    out = pipe.transform(df).observe(obs, F.count(F.lit(1)).alias("n"))
+    # count rides the upsert's first action — no dedicated count pass
     pipe.sink.upsert(out, epoch=int(time.time()))
+    rows = int(obs.get["n"])
     from ..sinks.ledger import LedgerEntry
 
     name = path.rsplit("/", 1)[-1]

@@ -218,6 +218,25 @@ def _fold_batch_inner(
     if state_sigs is not None:
         rep_keys = _band_keys(reps, bands, rows_per_band)
         state_buckets = bucket_sink.read()
+        if state_buckets is None:
+            # crash window between the two sink upserts (sig landed,
+            # bucket didn't — reachable on the first-ever batch, or a
+            # manually cleared index dir): the bucket index is a pure
+            # function of the signatures, so REBUILD it from state
+            # rather than crash-looping on NoneType, and PERSIST the
+            # full rebuild NOW (before this fold mutates the sig sink)
+            # — persisting only this batch's survivors later would
+            # leave a non-None-but-partial index that silently misses
+            # state matches on every future fold
+            state_buckets = _band_keys(
+                state_sigs.select("id", "signature"), bands, rows_per_band
+            )
+            bucket_sink.upsert(
+                state_buckets.withColumn(
+                    "updated_at", F.lit(epoch).cast("long")
+                ),
+                epoch,
+            )
         cand = (
             rep_keys.join(
                 state_buckets.withColumnsRenamed({"id": "state_id"}),

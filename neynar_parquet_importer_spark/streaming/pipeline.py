@@ -168,8 +168,12 @@ class ImportPipeline:
                         "max_v"
                     ),
                 )
-                rows = out.count()
+                # the upsert's first action populates both Observations —
+                # a separate out.count() here would pay one whole extra
+                # scan+transform pass over every pending file just for
+                # the row count
                 self.sink.upsert(out, epoch=int(now))
+                rows = int(obs_kept.get["n"])
                 window_end = max(
                     parse_parquet_filename(p.rsplit("/", 1)[-1]).end_timestamp
                     for p in pending
@@ -191,9 +195,17 @@ class ImportPipeline:
                     self.emitter, m, self.spec.name, cost, self.cu_metric
                 )
             else:
-                out = self.transform(df)
-                rows = out.count()
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                out = self.transform(df).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+                # row count rides the upsert's own first action instead
+                # of a dedicated count pass (one less full read+transform
+                # of the pending window set per catch-up)
                 self.sink.upsert(out, epoch=int(now))
+                rows = int(obs.get["n"])
 
         # ledger: record data files + empty sentinels, then commit in order
         ordered_names: list[str] = []
@@ -320,7 +332,15 @@ class ImportPipeline:
                         f"window {window_start} not published after {max_wait}s"
                     )
                 return None
-            sleep_fn(min(max(1.0, dur / 10.0), max(0.0, eta - now)) or 1.0)
+            # before the ETA: sleep straight to it (no point probing a
+            # window that cannot exist yet); after: poll at max(1, dur/10)
+            # — the previous min()-form collapsed to a fixed 1 s poll the
+            # moment now >= eta (min(poll, 0) or 1), hammering the object
+            # store with dur/10-fold more HEAD probes than documented
+            if now < eta:
+                sleep_fn(eta - now)
+            else:
+                sleep_fn(max(1.0, dur / 10.0))
 
     def run_streaming(self, checkpoint_dir: str, available_now: bool = True):
         """Structured Streaming leg: file source over the window directory,

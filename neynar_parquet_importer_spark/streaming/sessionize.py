@@ -56,15 +56,26 @@ def make_session_fn(gap_s: int = 1800, idle_timeout_ms: int = 60_000):
 
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple[int, int, int]] = []
+        # drain ALL Arrow chunks before sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as multiple chunks with no
+        # cross-chunk ordering guarantee, so a per-chunk sort would feed
+        # the gap state machine out-of-order events (sessions silently
+        # split/merged). Memory is one group's events — the same bound
+        # the state machine itself implies.
+        events: list[int] = []
         for pdf in batches:
-            for es in sorted(int(v) for v in pdf["es"]):
-                if start is None:
-                    start, last, n = es, es, 1
-                elif es - last > gap_s:
-                    closed.append((start, last, n))
-                    start, last, n = es, es, 1
-                else:
-                    last, n = es, n + 1
+            events.extend(int(v) for v in pdf["es"])
+        for es in sorted(events):
+            if start is None:
+                start, last, n = es, es, 1
+            elif es - last > gap_s:
+                closed.append((start, last, n))
+                start, last, n = es, es, 1
+            else:
+                # max(): an event LATE across micro-batches (es < the
+                # carried state's last) joins the open session without
+                # regressing its end
+                last, n = max(last, es), n + 1
         if start is not None:
             state.update((start, last, n))
             state.setTimeoutDuration(idle_timeout_ms)

@@ -89,3 +89,33 @@ def test_wait_for_window_shutdown_fencing(poll_pipe):
     ev.set()
     with pytest.raises(InterruptedError):
         pipe.wait_for_window(0, shutdown=ev)
+
+
+def test_wait_for_window_polling_cadence(spark, tmp_path):
+    """The documented cadence (main.py:461-501): one sleep straight to
+    the ETA, then max(1, dur/10)-second polls — NOT a fixed 1 s spin
+    (the pre-fix min()-form collapsed to 1 s the moment now >= eta,
+    costing dur/10-fold more object-store HEAD probes)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=3600
+    )
+    clock = {"t": 0.0}
+    sleeps: list[float] = []
+
+    def now():
+        return clock["t"]
+
+    def sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+        if len(sleeps) >= 4:  # published after 3 post-ETA polls
+            open(
+                os.path.join(src, "nindexer-follows-0-3600.parquet"), "w"
+            ).close()
+
+    got = pipe.wait_for_window(0, now_fn=now, sleep_fn=sleep, max_wait=1e9)
+    assert got is not None
+    assert sleeps[0] == 3601.0          # straight to the ETA
+    assert sleeps[1:] == [360.0] * 3    # dur/10 polls, not 1 s spins

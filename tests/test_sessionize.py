@@ -57,3 +57,76 @@ def test_sessionize_stream_multi_batch(spark, tmp_path):
         assert rows[(1, 10000)] == (10000, 1)
     if (2, 7000) in rows:
         assert rows[(2, 7000)] == (7000, 1)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the update fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_update(fn, state, chunks):
+    import pandas as pd
+
+    out = list(fn((7,), (pd.DataFrame({"es": c}) for c in chunks), state))
+    closed = []
+    for pdf in out:
+        closed += list(
+            zip(pdf["session_start"], pdf["session_end"], pdf["n_events"])
+        )
+    return closed
+
+
+def test_session_fn_sorts_across_chunks_not_per_chunk():
+    """applyInPandasWithState splits a large group into multiple Arrow
+    chunks with NO cross-chunk ordering; per-chunk sorting fed the gap
+    state machine out-of-order events and silently split sessions. The
+    fn must drain all chunks, then sort once: chunk 2 here holds EARLIER
+    timestamps that belong to chunk 1's session."""
+    from neynar_parquet_importer_spark.streaming.sessionize import (
+        make_session_fn,
+    )
+
+    fn = make_session_fn(gap_s=100)
+    state = _FakeState()
+    # one true session 1000..1040 interleaved across unordered chunks,
+    # then a far-later event opening a second session
+    closed = _run_update(fn, state, [[1030, 1040, 5000], [1000, 1010, 1020]])
+    assert closed == [(1000, 1040, 5)]
+    assert state.get == (5000, 5000, 1)
+
+
+def test_session_fn_late_event_does_not_regress_open_session():
+    """An event LATE across micro-batches (older than the carried
+    state's last_seen but inside the gap) joins the open session without
+    regressing session_end."""
+    from neynar_parquet_importer_spark.streaming.sessionize import (
+        make_session_fn,
+    )
+
+    fn = make_session_fn(gap_s=100)
+    state = _FakeState((1000, 1050, 3))
+    closed = _run_update(fn, state, [[1020]])
+    assert closed == []
+    assert state.get == (1000, 1050, 4)  # count grew, end held

@@ -286,3 +286,28 @@ def test_fold_is_distributed_and_releases_caches(spark, tmp_path):
     verdicts = {r["id"]: (r["is_dup"], r["dup_of"]) for r in real_collect(out)}
     assert verdicts == {2: (True, 1), 3: (False, 3)}
     assert sorted(r["id"] for r in sinks[0].read().collect()) == [1, 3]
+
+
+def test_replay_heals_missing_bucket_index(spark, tmp_path):
+    """Crash window between the two sink upserts: signatures landed,
+    the bucket index didn't (reachable on the first-ever batch). The
+    re-fold must not crash-loop on the None bucket state — it rebuilds
+    the index from the signatures (a pure function of them), PERSISTS
+    the rebuild, and reproduces the original verdicts; a subsequent
+    batch then probes a complete index."""
+    import shutil
+
+    sinks = _sinks(spark, tmp_path)
+    rows = [(1, _doc(_G["a"])), (2, _doc(_G["b"]))]
+    _fold(spark, sinks, rows, epoch=1)
+    # simulate the crash: wipe the bucket sink only
+    shutil.rmtree(str(tmp_path / "buckets"))
+    sinks = _sinks(spark, tmp_path)  # fresh handles, sig state intact
+    assert sinks[0].read() is not None and sinks[1].read() is None
+    # replay the same batch: converges, no AttributeError
+    v = _fold(spark, sinks, rows, epoch=1)
+    assert v == {1: (False, 1), 2: (False, 2)}
+    # the heal persisted the FULL index: state docs are now probe-able
+    assert sinks[1].read() is not None
+    v2 = _fold(spark, sinks, [(3, _doc(_G["a"]))], epoch=2)
+    assert v2 == {3: (True, 1)}

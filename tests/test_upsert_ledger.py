@@ -321,3 +321,55 @@ def test_streaming_chunker_equals_list_chunker_property():
         assert [r for c in lazy for r in c] == rows  # order + completeness
 
     check()
+
+
+def test_empty_first_upsert_does_not_brick_sink(spark, sink):
+    """A zero-row first upsert must leave the sink readable-as-None and
+    writable: the marker-only data dir (just _SUCCESS) used to satisfy
+    exists() and then crash every read with UNABLE_TO_INFER_SCHEMA —
+    permanently poisoning all streaming sketch folds whose first batch
+    happened to produce an empty delta."""
+    empty = _df(spark, []).filter(F.lit(False))
+    sink.upsert(empty, epoch=1)
+    assert sink.exists() is False
+    assert sink.read() is None
+    # a later real upsert takes the fresh-sink path and works
+    sink.upsert(_df(spark, [(1, "a", _ts(1))]), epoch=2)
+    assert _state(sink) == {1: ("a", _ts(1))}
+    # empty upsert onto LIVE state is a no-op, not a wipe
+    sink.upsert(empty, epoch=3)
+    assert _state(sink) == {1: ("a", _ts(1))}
+
+
+def test_resume_point_holds_at_gap_despite_direct_import(tmp_path):
+    """A direct_import-style completion BEYOND a gap must not advance
+    the resume cursor: the next catch-up would otherwise plan from past
+    the gap and silently skip every unimported window under it."""
+    from neynar_parquet_importer_spark.sinks.ledger import ImportLedger
+
+    led = ImportLedger(str(tmp_path / "ledger.jsonl"))
+
+    def _win(name, start, end, kind="incremental"):
+        led.record_file(
+            LedgerEntry(
+                file_name=name, file_type=kind, file_version="v3",
+                file_duration_s=end - start, start_timestamp=start,
+                end_timestamp=end, backfill=False,
+            )
+        )
+
+    _win("full", 0, 1000, kind="full")
+    led.mark_completed("full")
+    _win("w1", 1000, 1001)
+    led.mark_completed("w1")
+    assert led.resume_point() == 1001
+    # operator override five windows ahead: recorded + completed out of
+    # order (what daemon.direct_import does)
+    _win("w9", 5000, 5001)
+    led.mark_completed("w9")
+    assert led.resume_point() == 1001  # cursor HOLDS at the gap
+    # the gap fills in order -> frontier walks through and past w9
+    for i, (s, e) in enumerate([(1001, 5000)]):
+        _win(f"gap{i}", s, e)
+        led.mark_completed(f"gap{i}")
+    assert led.resume_point() == 5001
