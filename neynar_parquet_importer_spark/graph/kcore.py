@@ -123,6 +123,10 @@ def kcore_edges(
         cur, n = nxt, m
         if n == 0:
             return cur
+    # release the live round before raising: every other exit path
+    # frees its checkpoint, and a caller retrying after the guard fires
+    # must not accumulate one materialized edge copy per attempt
+    _release_ckpt(cur)
     raise RuntimeError(
         f"k-core peeling did not converge within {max_iter} rounds"
     )

@@ -57,7 +57,14 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    und = undirect(edges)
+    # persist: every one of the k rounds joins the frontier against the
+    # doubled edge list — unpinned, the full upstream edge plan (often
+    # the most expensive subtree, e.g. a lineitem self-join) recomputes
+    # k times (the pagerank/lpa/triangles suite discipline); drained by
+    # release_cached()
+    from ..operators.dedup import _persist
+
+    und = _persist(undirect(edges))
     visited = _ckpt(
         seeds.select(
             F.col("root"),

@@ -26,11 +26,22 @@ _SCHEMA_GROUPS: list[tuple[frozenset[str] | None, list[str]]] = [
             "FOR (t:ImportTracking) REQUIRE (t.table_name, t.file_name) IS UNIQUE",
         ],
     ),
+    # Property names are THIS ENGINE's emitted names, not the
+    # reference's column names: transforms.users_to_nodes MERGEs User on
+    # `id` (fid aliased) and verifications_to_nodes_and_edges MERGEs
+    # Address on `id` ('0x'+hex address) with node prop `protocol` and
+    # edge prop `timestamp`. Constraints/indexes declared over renamed
+    # properties (u.fid, a.address, a.chain, r.verification_timestamp —
+    # the reference's spellings) would never fire: the uniqueness MERGE
+    # races under concurrent foreachPartition writers and every lookup
+    # full-scans the label. Faithful to the reference's DDL INTENT
+    # (which keys are unique, which props are indexed), mapped through
+    # the engine's property renames.
     (
         frozenset({"fids", "profiles", "nindexer_fids", "nindexer_profiles"}),
         [
-            "CREATE CONSTRAINT user_fid_unique IF NOT EXISTS "
-            "FOR (u:User) REQUIRE u.fid IS UNIQUE",
+            "CREATE CONSTRAINT user_id_unique IF NOT EXISTS "
+            "FOR (u:User) REQUIRE u.id IS UNIQUE",
             "CREATE INDEX user_username_index IF NOT EXISTS "
             "FOR (u:User) ON (u.username)",
             "CREATE INDEX user_updated_at_index IF NOT EXISTS "
@@ -42,10 +53,10 @@ _SCHEMA_GROUPS: list[tuple[frozenset[str] | None, list[str]]] = [
             {"verifications", "account_verifications", "nindexer_verifications"}
         ),
         [
-            "CREATE CONSTRAINT address_unique IF NOT EXISTS "
-            "FOR (a:Address) REQUIRE a.address IS UNIQUE",
-            "CREATE INDEX address_chain_index IF NOT EXISTS "
-            "FOR (a:Address) ON (a.chain)",
+            "CREATE CONSTRAINT address_id_unique IF NOT EXISTS "
+            "FOR (a:Address) REQUIRE a.id IS UNIQUE",
+            "CREATE INDEX address_protocol_index IF NOT EXISTS "
+            "FOR (a:Address) ON (a.protocol)",
             "CREATE INDEX address_updated_at_index IF NOT EXISTS "
             "FOR (a:Address) ON (a.updated_at)",
         ],
@@ -73,7 +84,7 @@ _SCHEMA_GROUPS: list[tuple[frozenset[str] | None, list[str]]] = [
             "CREATE INDEX follows_updated_at_index IF NOT EXISTS "
             "FOR ()-[r:FOLLOWS]-() ON (r.updated_at)",
             "CREATE INDEX verified_address_timestamp_index IF NOT EXISTS "
-            "FOR ()-[r:VERIFIED_ADDRESS]-() ON (r.verification_timestamp)",
+            "FOR ()-[r:VERIFIED_ADDRESS]-() ON (r.timestamp)",
             "CREATE INDEX verified_address_updated_at_index IF NOT EXISTS "
             "FOR ()-[r:VERIFIED_ADDRESS]-() ON (r.updated_at)",
         ],

@@ -131,9 +131,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     deg = degrees(edges)
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        # integer `div`, not float /: sum(deg*(deg-1)) passes 2^53 on a
+        # skewed 100 TB graph (one degree-2^27 node suffices) and the
+        # double-precision division would round — breaking the module's
+        # exact-integer contract. The sum is even, so div 2 is exact.
+        F.expr("sum(deg * (deg - 1)) div 2").alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -118,7 +118,17 @@ def write_merge_partition(
         def run() -> None:
             session = ensure()
             try:
-                session.run(cypher, batch=payload)
+                result = session.run(cypher, batch=payload)
+                # CONSUME the result: with the sync bolt driver an
+                # auto-commit query's execution errors (constraint
+                # violation, server-side failure mid-UNWIND) surface on
+                # consumption, not at run(). Unconsumed, a failed chunk
+                # reports success here and the error either re-raises
+                # against the NEXT chunk (whose retry re-runs the wrong
+                # payload) or dies inside drop()'s close-swallow —
+                # silently lost writes either way.
+                if result is not None and hasattr(result, "consume"):
+                    result.consume()
             except Exception:
                 drop()  # reconnect on the next attempt
                 raise

@@ -130,11 +130,62 @@ class LakeUpsertSink:
 
     def upsert(self, incoming: DataFrame, epoch: int = 0) -> None:
         self._recover()
+        self._check_meta()
         pk = list(self.primary_key)
+        # persist: the batch is evaluated TWICE (the touched-bucket
+        # collect, then the merged staging write). Unpinned, the second
+        # evaluation re-runs the whole upstream plan — and if that plan
+        # embeds any non-determinism (a re-read of a changing source),
+        # it can emit a bucket that was not in `touched`, whose existing
+        # directory was never merged: the per-bucket swap would then
+        # replace it with only new rows, silently deleting stored PKs.
         batch = last_writer_wins(
             incoming.withColumn("__src_priority", F.lit(1)), pk, self._order()
-        ).withColumn(_BUCKET, self._bucket_expr())
+        ).withColumn(_BUCKET, self._bucket_expr()).persist()
+        try:
+            self._upsert_inner(batch, epoch)
+        finally:
+            batch.unpersist()
 
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_sink_meta.json")
+
+    def _check_meta(self) -> None:
+        """Pin (n_buckets, pk) across reopens: a sink reopened with a
+        different n_buckets hashes updated PKs into different buckets,
+        the merge never sees the old version, and read() returns
+        duplicate PKs forever — silently. First write records the
+        layout; every later open asserts it."""
+        import json
+
+        path = self._meta_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            if meta.get("n_buckets") != self.n_buckets or tuple(
+                meta.get("primary_key", ())
+            ) != tuple(self.primary_key):
+                raise ValueError(
+                    f"sink at {self.root!r} was written with "
+                    f"n_buckets={meta.get('n_buckets')}, "
+                    f"pk={tuple(meta.get('primary_key', ()))}; reopened "
+                    f"with n_buckets={self.n_buckets}, "
+                    f"pk={tuple(self.primary_key)} — a layout change "
+                    "requires a rewrite, not a reopen"
+                )
+        else:
+            os.makedirs(self.root, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(
+                    {
+                        "n_buckets": self.n_buckets,
+                        "primary_key": list(self.primary_key),
+                    },
+                    f,
+                )
+
+    def _upsert_inner(self, batch: DataFrame, epoch: int) -> None:
+        pk = list(self.primary_key)
         full_swap = False
         if not self.exists():
             merged = batch.drop("__src_priority")

@@ -167,7 +167,11 @@ class ImportLedger:
         only while the contiguous prefix is done; return newly completed."""
         completed: list[str] = []
         for name in ordered_file_names:
-            if name not in done:
+            # a name claimed done but never recorded cannot be completed
+            # (mark_completed would KeyError mid-walk after appending
+            # earlier entries); in-order discipline says stop at it —
+            # the caller records it and re-advances
+            if name not in done or name not in self._entries:
                 break
             if not self.is_completed(name):
                 self.mark_completed(name)

@@ -257,11 +257,11 @@ def test_graph_schema_gating():
     # together whenever any relationship table is selected
     s = "\n".join(graph_schema_statements(["follows"]))
     assert "FOLLOWS" in s and "VERIFIED_ADDRESS" in s
-    assert "user_fid_unique" not in s and "address_unique" not in s
+    assert "user_id_unique" not in s and "address_id_unique" not in s
 
     # verifications triggers BOTH address schema and relationship indexes
     s = "\n".join(graph_schema_statements(["nindexer_verifications"]))
-    assert "address_unique" in s and "VERIFIED_ADDRESS" in s
+    assert "address_id_unique" in s and "VERIFIED_ADDRESS" in s
 
     # full selection emits every group exactly once, all idempotent
     all_s = graph_schema_statements(["nindexer_profiles", "nindexer_follows",
@@ -360,3 +360,52 @@ def test_edge_writer_crash_replay_is_idempotent():
 
     run_partition(crashed)  # the task retry: full partition replay
     assert _graph_canon(crashed) == _graph_canon(clean)
+
+
+def test_graph_schema_properties_match_emitted_transforms(spark):
+    """Every constraint/index property must be one the transforms
+    actually emit under that label/relationship — a constraint on a
+    property that never exists silently never fires (MERGE races under
+    concurrent writers) and its index never serves a lookup."""
+    import re
+
+    from neynar_parquet_importer_spark.graph import transforms as tr
+    from neynar_parquet_importer_spark.graph.schema import (
+        graph_schema_statements,
+    )
+
+    users = spark.createDataFrame(
+        [(1, "u", None)], "fid long, username string, updated_at timestamp"
+    )
+    ver = spark.createDataFrame(
+        [(1, bytearray(b"\x01"), "ethereum", None, None, None)],
+        "fid long, address binary, protocol string, "
+        "timestamp timestamp, updated_at timestamp, deleted_at timestamp",
+    )
+    node_props = {"User": set(tr.users_to_nodes(users).columns)}
+    anodes, aedges = tr.verifications_to_nodes_and_edges(ver)
+    node_props["Address"] = set(anodes.columns)
+    rel_props = {"VERIFIED_ADDRESS": set(aedges.columns)}
+    follows = spark.createDataFrame(
+        [(1, 2, None, None, None, None)],
+        "fid long, target_fid long, timestamp timestamp, "
+        "created_at timestamp, updated_at timestamp, deleted_at timestamp",
+    )
+    rel_props["FOLLOWS"] = set(tr.follows_to_edges(follows).columns)
+
+    pat = re.compile(
+        r"FOR (?:\((\w+):(\w+)\)|\(\)-\[(\w+):(\w+)\]-\(\)) "
+        r"(?:REQUIRE|ON) \(?([\w., ]+?)\)?(?: IS UNIQUE|$)"
+    )
+    for stmt in graph_schema_statements(
+        ["nindexer_profiles", "nindexer_follows", "nindexer_verifications"]
+    ):
+        m = pat.search(stmt)
+        assert m, stmt
+        var, label, rvar, rtype, props = m.groups()
+        if label == "ImportTracking":
+            continue  # ledger twin, written by a separate path
+        emitted = node_props[label] if label else rel_props[rtype]
+        for p in props.split(","):
+            name = p.strip().split(".", 1)[1]
+            assert name in emitted, f"{stmt}: property {name!r} never emitted"

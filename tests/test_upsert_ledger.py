@@ -373,3 +373,16 @@ def test_resume_point_holds_at_gap_despite_direct_import(tmp_path):
         _win(f"gap{i}", s, e)
         led.mark_completed(f"gap{i}")
     assert led.resume_point() == 5001
+
+
+def test_reopen_with_different_n_buckets_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    sink = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=16)
+    sink.upsert(_df(spark, [(1, "a", _ts(1))]), epoch=1)
+    reopened = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=32)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        reopened.upsert(_df(spark, [(1, "b", _ts(2))]), epoch=2)
+    # same layout reopens fine
+    LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=16).upsert(
+        _df(spark, [(1, "b", _ts(2))]), epoch=3
+    )
