@@ -13,14 +13,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def hex0x(col: Column | str) -> Column:
-    """bytes -> '0x' + lowercase hex. Already-string inputs that lack the
-    prefix get it added, mirroring the transformer's str branch."""
+def hex0x(col: Column | str, *, input_is_hex_string: bool = False) -> Column:
+    """bytes -> '0x' + lowercase hex.
+
+    ``input_is_hex_string=True`` mirrors the reference transformer's str
+    branch (an ALREADY-HEX string gets lowercased and prefixed if the
+    prefix is missing). The flag is explicit because the Column API
+    can't branch on input type, and ``F.hex`` applied to a StringType
+    column hex-encodes the string's UTF-8 BYTES — a silent double
+    encoding ('abc1' -> '0x61626331'), which an earlier docstring here
+    wrongly described as prefix-adding. Every in-repo caller passes the
+    binary address column (default path)."""
     c = F.col(col) if isinstance(col, str) else col
-    hexed = F.lower(F.hex(c))
-    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(F.lit("0x"), hexed)
-    )
+    if input_is_hex_string:
+        low = F.lower(c)
+        rendered = F.when(
+            low.startswith("0x"), low
+        ).otherwise(F.concat(F.lit("0x"), low))
+    else:
+        rendered = F.concat(F.lit("0x"), F.lower(F.hex(c)))
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(rendered)
 
 
 def uuid16_to_string(col: Column | str) -> Column:

@@ -113,3 +113,19 @@ def test_md5_signed64_matches_hashlib_twos_complement(spark):
         u = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:16], 16)
         want = u - (1 << 64) if u >= (1 << 63) else u
         assert got[v] == want, v
+
+
+def test_hex0x_hex_string_branch(spark):
+    """The reference transformer's str branch: an already-hex string is
+    lowercased and prefixed — NEVER re-encoded (F.hex on a StringType
+    hexes its UTF-8 bytes: 'abc1' would become '0x61626331')."""
+    df = spark.createDataFrame(
+        [("ABC1",), ("0xDEF2",), (None,)], "addr string"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            hex0x("addr", input_is_hex_string=True)
+        ).collect()
+    ]
+    assert got == ["0xabc1", "0xdef2", None]
