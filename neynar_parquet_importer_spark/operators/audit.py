@@ -49,16 +49,23 @@ class Check:
 
 
 def completeness(col: str) -> Column:
-    """Fraction of rows with a non-null value."""
-    return F.count(col) / F.count(F.lit(1))
+    """Fraction of rows with a non-null value. ``try_divide``: an EMPTY
+    table is 0/0 — a hard DIVIDE_BY_ZERO under ANSI, killing the audit
+    job exactly when the table most needs reporting (a mis-pathed read);
+    NULL metric + the fail-closed coalesce in table_audit turns it into
+    a failed check instead."""
+    return F.try_divide(F.count(col), F.count(F.lit(1)))
 
 
 def uniqueness(*cols: str) -> Column:
     """Distinct fraction: 1.0 iff the column set is a complete key.
     ``count_distinct`` ignores NULLs (identically in Spark and DuckDB),
     so NULL-bearing keys lower the ratio — pair with ``completeness``
-    to tell "has NULLs" apart from "has duplicates" in a PK check."""
-    return F.count_distinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
+    to tell "has NULLs" apart from "has duplicates" in a PK check.
+    try_divide: see completeness (empty-table 0/0)."""
+    return F.try_divide(
+        F.count_distinct(*[F.col(c) for c in cols]), F.count(F.lit(1))
+    )
 
 
 def satisfies(cond: Column) -> Column:
@@ -78,9 +85,13 @@ def table_audit(df: DataFrame, checks: list[Check]) -> DataFrame:
             F.struct(
                 F.lit(c.name).alias("constraint"),
                 F.round(F.col(f"_m_{i}"), 6).alias("metric"),
-                (F.round(F.col(f"_m_{i}"), 6) >= F.lit(c.threshold)).alias(
-                    "passed"
-                ),
+                # fail CLOSED: a NULL metric (empty table, NULL-yielding
+                # aggregate) is a FAILED check, never a silent pass — a
+                # consumer filtering passed == False must see it
+                F.coalesce(
+                    F.round(F.col(f"_m_{i}"), 6) >= F.lit(c.threshold),
+                    F.lit(False),
+                ).alias("passed"),
             )
             for i, c in enumerate(checks)
         ]
@@ -112,7 +123,10 @@ def referential_integrity(
     return agg.select(
         F.lit(name).alias("constraint"),
         F.col("_raw").alias("metric"),
-        (F.col("_raw") >= F.lit(threshold)).alias("passed"),
+        # fail closed on an empty child (avg -> NULL)
+        F.coalesce(F.col("_raw") >= F.lit(threshold), F.lit(False)).alias(
+            "passed"
+        ),
     )
 
 

@@ -76,8 +76,12 @@ def bloom_build(
     treats a missing word as all-zeros.
     """
     pos = F.explode(_positions(F.col(content_col), n_bits, k)).alias("pos")
+    # NULL content has no hashable identity: md5(NULL) is NULL, so its
+    # k probe positions are an array of NULLs that fold into one junk
+    # (NULL word_idx, NULL word) row per build — filtered here, like
+    # hll_registers filters NULL keys (the md5(NULL) discipline)
     return (
-        df.select(pos)
+        df.filter(F.col(content_col).isNotNull()).select(pos)
         .select(
             F.floor(F.col("pos") / WORD_BITS).alias("word_idx"),
             # SQL-form shiftleft: the pyspark wrapper only takes a literal
@@ -134,8 +138,17 @@ def bloom_probe(
         .groupBy(id_col)
         .agg(F.bool_and("hit").alias(flag_col))
     )
+    # NULL content is NOT probe-able (exact equality is undefined on
+    # it): the flag stays NULL rather than false, so bloom_filter_new's
+    # "definitely new" filter does NOT re-admit the same NULL-content
+    # rows batch after batch (the one duplicate class a false-flag
+    # would permanently exempt from dedup); callers wanting verdicts on
+    # NULL rows split them first (streaming.bloom_dedup's discipline)
     return df.join(flags, id_col, "left").withColumn(
-        flag_col, F.coalesce(F.col(flag_col), F.lit(False))
+        flag_col,
+        F.when(
+            F.col(content_col).isNull(), F.lit(None).cast("boolean")
+        ).otherwise(F.coalesce(F.col(flag_col), F.lit(False))),
     )
 
 

@@ -61,7 +61,13 @@ def token_buckets(
     tok = df.select(
         F.col(id_col),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
-    )
+    # drop the empty token split() yields on whitespace-only text: an
+    # empty doc would otherwise get n_terms=1 and the arbitrary pseudo-
+    # weight of bucket md5('') as its quality logit — inconsistent with
+    # text.token_count (0) and retrieval.term_postings (filters '').
+    # Empty docs therefore emit NO classifier row: "no terms to score",
+    # for the caller's empty-doc policy to handle explicitly.
+    ).filter(F.col("tok") != "")
     h1, _ = _md5_halves(F.col("tok"))
     return tok.select(id_col, F.pmod(h1, F.lit(n_buckets)).alias("bucket"))
 

@@ -197,6 +197,10 @@ def kmeans_assign(
     src = df.select(
         F.col(id_col).alias("id"), quantize_col(vec_col).alias("q")
     )
+    # carry the caller's id TYPE through: a hardcoded "id long" made any
+    # non-long id (string doc ids) die in the Arrow worker with
+    # ArrowInvalid even though id_col is a parameter
+    id_dt = src.schema["id"].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,4 +213,6 @@ def kmeans_assign(
                 {"id": pdf["id"], "cluster": a.astype("int32"), "dist2": d2}
             )
 
-    return src.mapInPandas(run, schema="id long, cluster int, dist2 double")
+    return src.mapInPandas(
+        run, schema=f"id {id_dt}, cluster int, dist2 double"
+    )

@@ -89,12 +89,31 @@ def snapshot_diff(
 def diff_summary(diff: DataFrame, key: str) -> DataFrame:
     """(status, n_rows, key_checksum): the audit aggregate — exact
     integer counts plus a sum-of-keys checksum so a misclassified row
-    moves mass between statuses and cannot cancel out."""
+    moves mass between statuses and cannot cancel out.
+
+    Numeric keys checksum as their plain sum (SQL-replayable as-is);
+    non-numeric keys (string/hex doc ids) sum the md5-half instead —
+    ``sum(key)`` on a string key is a CAST_INVALID_INPUT crash under
+    ANSI and a silent all-NULL checksum without it, which deletes the
+    misclassification-detection property this column exists for. The
+    md5-half is the engine-portable discipline (conv(substr(md5,1,8)))
+    every oracle twin can replay."""
+    dt = diff.schema[key].dataType.simpleString()
+    numeric = dt in {
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    } or dt.startswith("decimal")
+    checksum_src = (
+        F.col(key)
+        if numeric
+        else F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    )
     return (
         diff.groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(key).alias("key_checksum"),
+            F.sum(checksum_src).alias("key_checksum"),
         )
         .orderBy("status")
     )

@@ -46,10 +46,14 @@ def histogram_build(
     n_bins: int,
 ) -> DataFrame:
     """(group..., bin, cnt): one bounded aggregate — at most
-    groups x n_bins output rows. NULL values are dropped (a histogram
-    of known values; count them separately if NULLs are a signal)."""
+    groups x n_bins output rows. NULL AND NaN values are dropped (a
+    histogram of known values; count them separately if they are a
+    signal). NaN matters: floor(NaN) clamps into BIN 0, silently
+    inflating the low edge and dragging every quantile down, while the
+    profile audit counts the same NaN in n_above (NaN sorts greatest in
+    Spark) — the sketch and its own sizing audit would disagree."""
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
         .select(*group_cols, bin_col(value_col, lo, width, n_bins).alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -118,8 +122,9 @@ def histogram_profile(
     """Grid-sizing audit: per group, how much mass falls outside
     [lo, hi) — the check that keeps edge-bin clamping honest."""
     v = F.col(value_col)
+    # same population as histogram_build: NULLs and NaNs excluded
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(value_col))
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_values"),

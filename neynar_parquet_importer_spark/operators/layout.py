@@ -65,18 +65,23 @@ def quantize_dim(c: Column, cmin: Column, cmax: Column, bits: int = 16) -> Colum
     arithmetic (``div``), replayable as ``((c - cmin) * (2^bits - 1)) //
     range`` — callers pass the GLOBAL min/max (two scalar aggregates,
     broadcast), making the mapping a pure function of the corpus."""
-    span = F.greatest(cmax - cmin, F.lit(1))
-    scaled = (c - cmin) * F.lit((1 << bits) - 1)
-    # exact integer floor-division without `div`-on-columns: a first
-    # estimate via double division, then a +-1 correction computed in
-    # pure LONG arithmetic. The double path alone is exact only while
-    # scaled < 2^53 (spans above ~2^37 at 16 bits break it — e.g. an
-    # epoch-nanos dimension); the correction makes the result exact for
-    # ANY long span, matching an ANSI engine's integer `//` bit for bit
-    # (q <= 2^bits - 1, so q * span can't overflow).
+    # DECIMAL(38,0) for the scale-up: (c - cmin) * (2^bits - 1) in LONG
+    # overflows int64 once the span passes ~2^47 at bits=16 — an
+    # epoch-nanos dimension spanning a year (~2^55) dies with
+    # ARITHMETIC_OVERFLOW under ANSI and silently wraps without it.
+    # 128-bit decimal holds span * 2^bits (< 1e24) with room to spare,
+    # and +,*,compare on decimal(38,0) are exact.
+    span = F.greatest(cmax - cmin, F.lit(1)).cast("decimal(38,0)")
+    scaled = (c - cmin).cast("decimal(38,0)") * F.lit((1 << bits) - 1)
+    # exact integer floor-division: decimal division rounds to scale 6,
+    # so a quotient within 1e-6 of an integer can floor wrong — the
+    # +-1 correction below re-derives the exact floor with exact
+    # decimal multiply/compare (q <= 2^bits - 1, q * span < 1e24).
     q0 = F.floor(scaled / span).cast("long")
-    q1 = F.when(q0 * span > scaled, q0 - 1).otherwise(q0)
-    return F.when((q1 + 1) * span <= scaled, q1 + 1).otherwise(q1)
+    q1 = F.when(q0.cast("decimal(38,0)") * span > scaled, q0 - 1).otherwise(q0)
+    return F.when(
+        (q1 + 1).cast("decimal(38,0)") * span <= scaled, q1 + 1
+    ).otherwise(q1)
 
 
 def zorder_profile(

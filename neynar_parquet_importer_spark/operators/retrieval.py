@@ -158,8 +158,15 @@ def bm25_oracle_sql(
 ) -> str:
     """DuckDB twin replaying postings, stats, idf, tf-norm, and the
     rounded-score ranking from the same corpus."""
+    # SQL-escape single quotes ('' doubling): a natural-language term
+    # like "don't" would otherwise render a malformed VALUES clause and
+    # the parity check could not run for exactly the apostrophe-bearing
+    # queries the Spark side handles fine
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
     qvals = ",\n            ".join(
-        f"('{qid}', '{t.strip().lower()}')"
+        f"('{_q(qid)}', '{_q(t.strip().lower())}')"
         for qid, terms in sorted(queries.items())
         for t in terms
     )

@@ -157,10 +157,21 @@ def stratified_sample(
     scans, one pass at scan speed regardless of the number of strata.
     """
     h = hash_hex(list(key_cols), seed)
-    thresh: Column = F.lit(threshold_hex(default_fraction))
+
+    def keep_for(frac: float) -> Column:
+        # fraction >= 1.0 short-circuits to keep-everything, like
+        # hash_sample: the strict `h < 'ffffffff'` predicate silently
+        # and DETERMINISTICALLY drops any row whose hash is exactly
+        # 'ffffffff' (p = 2^-32 per row — real rows at 10B-doc scale)
+        # from a stratum configured to keep 100%
+        if frac >= 1.0:
+            return F.lit(True)
+        return h < F.lit(threshold_hex(frac))
+
+    keep: Column = keep_for(default_fraction)
     for value, frac in fractions.items():
-        thresh = F.when(F.col(strata_col) == F.lit(value), F.lit(threshold_hex(frac))).otherwise(thresh)
-    return df.filter(h < thresh)
+        keep = F.when(F.col(strata_col) == F.lit(value), keep_for(frac)).otherwise(keep)
+    return df.filter(keep)
 
 
 def weighted_sample(

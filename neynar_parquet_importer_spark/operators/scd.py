@@ -45,12 +45,16 @@ def collapse_consecutive(
     (per key, in ``order_cols`` order). The first row per key is always
     kept. Comparison is null-safe."""
     w = Window.partitionBy(*keys).orderBy(*order_cols)
+    # seeded reduce (diff.snapshot_diff discipline): attr_cols=[] means
+    # "all of zero attributes equal" — vacuous truth, one version per
+    # key — instead of reduce() raising TypeError on an empty iterable
     same_as_prev = reduce(
         lambda a, b: a & b,
         [
             F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
             for c in attr_cols
         ],
+        F.lit(True),
     )
     first = F.row_number().over(w) == 1
     return (

@@ -4567,11 +4567,13 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY split
     """,
     "stratified_sample_by_lang": f"""
+        -- fraction >= 1.0 strata keep EVERYTHING (mirrors the engine's
+        -- short-circuit: the strict < 'ffffffff' form deterministically
+        -- drops hash-boundary rows from keep-all strata)
         SELECT doc_id, lang FROM documents
-        WHERE {smp.hash_hex_sql(['doc_id'], 'stratified')} <
-              CASE lang
-                {' '.join(f"WHEN '{v}' THEN '{smp.threshold_hex(fr)}'" for v, fr in _STRAT_FRACTIONS.items())}
-                ELSE '{smp.threshold_hex(0.0)}' END
+        WHERE CASE lang
+                {' '.join(f"WHEN '{v}' THEN " + ("TRUE" if fr >= 1.0 else f"{smp.hash_hex_sql(['doc_id'], 'stratified')} < '{smp.threshold_hex(fr)}'") for v, fr in _STRAT_FRACTIONS.items())}
+                ELSE FALSE END
     """,
     "domain_capped_sample": f"""
         SELECT doc_id, source, lang FROM documents
@@ -4781,8 +4783,16 @@ def _pretrain_curated_cte() -> str:
     md5 sampling thresholds)."""
     from .pretrain import DEFAULT_SPLIT_WEIGHTS, DEFAULT_STRAT_FRACTIONS
 
+    # fraction >= 1.0 strata keep everything (the engine's short-circuit)
     strat_arms = " ".join(
-        f"WHEN '{v}' THEN '{smp.threshold_hex(fr)}'"
+        "WHEN '%s' THEN %s"
+        % (
+            v,
+            "TRUE"
+            if fr >= 1.0
+            else "%s < '%s'"
+            % (smp.hash_hex_sql(["doc_id"], "pretrain-mix"), smp.threshold_hex(fr)),
+        )
         for v, fr in DEFAULT_STRAT_FRACTIONS.items()
     )
     return f"""
@@ -4849,8 +4859,7 @@ def _pretrain_curated_cte() -> str:
             SELECT doc_id, lang, n_tokens, quality, contamination,
                    {smp.split_case_sql(['doc_id'], DEFAULT_SPLIT_WEIGHTS, 'pretrain-split')} AS split
             FROM decont
-            WHERE {smp.hash_hex_sql(['doc_id'], 'pretrain-mix')} <
-                  CASE lang {strat_arms} ELSE '{smp.threshold_hex(0.0)}' END
+            WHERE CASE lang {strat_arms} ELSE FALSE END
         )
     """
 
@@ -6027,7 +6036,7 @@ ORACLE_SQL["quality_classifier_scores"] = """
     ),
     tb AS (SELECT doc_id,
                   (CAST('0x'||substr(md5(tok),1,8) AS BIGINT) % 4096) AS bucket
-           FROM tok),
+           FROM tok WHERE tok <> ''),
     w AS (SELECT i AS bucket,
                  (CAST('0x'||substr(md5(CAST(i AS VARCHAR)),9,8) AS BIGINT)
                     % 2001 - 1000) AS w_milli
@@ -6515,7 +6524,7 @@ ORACLE_SQL["event_value_quantile_hist"] = """
                CAST(least(greatest(floor((value - 0e0) / 8e0), 0), 63)
                     AS INTEGER) AS bin,
                count(*) AS cnt
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         GROUP BY 1, 2
     ), cum AS (
         SELECT event_type, bin,

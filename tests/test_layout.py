@@ -101,22 +101,30 @@ def test_quantize_exact_at_epoch_nano_spans(spark):
     """Spans above 2^37 overflow the pure-double division path; the
     long-arithmetic correction must keep every quantile equal to
     python's exact integer `//` (the oracle's arithmetic)."""
-    lo, hi = 1_700_000_000_000_000_000, 1_700_009_999_999_999_999  # ns
-    vals = [lo, lo + 1, (lo + hi) // 2, hi - 1, hi,
-            lo + (hi - lo) * 2 // 3 + 1]
-    df = spark.createDataFrame([(v,) for v in vals], "v long")
-    got = {
-        r.v: r.q
-        for r in df.select(
-            "v",
-            lay.quantize_dim(
-                F.col("v"), F.lit(lo), F.lit(hi), 16
-            ).alias("q"),
-        ).collect()
-    }
-    span = hi - lo
-    for v in vals:
-        assert got[v] == ((v - lo) * 65535) // span, v
+    spans = [
+        # ~2.8 h of nanos: past the pure-double exactness bound (2^37)
+        (1_700_000_000_000_000_000, 1_700_009_999_999_999_999),
+        # ~1 YEAR of nanos (~2^55): past the int64 scale-up bound too —
+        # (c - cmin) * 65535 overflows a long here (ANSI
+        # ARITHMETIC_OVERFLOW before the decimal fix)
+        (1_700_000_000_000_000_000, 1_731_536_000_000_000_000),
+    ]
+    for lo, hi in spans:
+        vals = [lo, lo + 1, (lo + hi) // 2, hi - 1, hi,
+                lo + (hi - lo) * 2 // 3 + 1]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r.v: r.q
+            for r in df.select(
+                "v",
+                lay.quantize_dim(
+                    F.col("v"), F.lit(lo), F.lit(hi), 16
+                ).alias("q"),
+            ).collect()
+        }
+        span = hi - lo
+        for v in vals:
+            assert got[v] == ((v - lo) * 65535) // span, (v, span)
 
 
 def test_morton_int_input_does_not_wrap_negative(spark):
