@@ -87,7 +87,15 @@ def kcore_edges(
     differential test even when the engine finishes locally."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cur = _ckpt(edges.select("a", "b"))
+    # Dedup up front: the local bucket peel builds SET adjacency while
+    # the distributed degree aggregate counts rows — on a non-canonical
+    # input with duplicate (a, b) rows the two fixpoints (and output
+    # multiplicities) would diverge, and which path runs would depend on
+    # local_below. One distinct here makes both paths compute the same
+    # simple-graph core on any input; on an already-canonical list it is
+    # a cheap first-round combine over the same shuffle key the degree
+    # aggregate uses anyway.
+    cur = _ckpt(edges.select("a", "b").distinct())
     n = cur.count()
     for _ in range(max_iter):
         if local_below and n <= local_below:

@@ -1140,13 +1140,19 @@ def prefix_filter_pairs(
     return _verified_pairs_from_ranked(ranked, threshold)
 
 
-def _verified_pairs_from_ranked(ranked: DataFrame, threshold: float) -> DataFrame:
+def _verified_pairs_from_ranked(
+    ranked: DataFrame, threshold: float, cand: DataFrame | None = None
+) -> DataFrame:
     """Candidate generation + exact verification over an already-ranked
     (and persisted) capped-set frame — shared by the pairs query and the
-    stats profile so the stats run builds the pipeline once."""
+    stats profile so the stats run builds the pipeline once. ``cand``
+    lets the stats profile hand in its already-persisted candidate frame
+    so counting and verifying share ONE evaluation of the join (the most
+    expensive stage) instead of rebuilding it."""
     n, d = _threshold_fraction(threshold)
     # consumed twice (the id semi-join and the pair semi-join)
-    cand = _persist(prefix_filter_candidates(ranked, threshold))
+    if cand is None:
+        cand = _persist(prefix_filter_candidates(ranked, threshold))
     # NO forced broadcast on the candidate frames: at high thresholds
     # they are small and AQE broadcasts them at runtime, but on a
     # vocabulary-dense corpus at a LOW threshold (t <= 0.5 keeps half of
@@ -1211,7 +1217,11 @@ def prefix_filter_stats(
     ranked = _persist(
         _prefix_ranked_sets(df, text_col, id_col, shingle_n, max_shingle_df)
     )
-    cand = prefix_filter_candidates(ranked, threshold)
+    # one persisted candidate frame, shared by the n_candidates count
+    # and the verification leg — previously the self-join (the most
+    # expensive stage) evaluated twice: once unpersisted for the count,
+    # again inside _verified_pairs_from_ranked
+    cand = _persist(prefix_filter_candidates(ranked, threshold))
     base = ranked.agg(
         F.countDistinct("id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_set_rows"),
@@ -1234,7 +1244,7 @@ def prefix_filter_stats(
         .agg(F.count(F.lit(1)).alias("n_naive_pairs"))
     )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_ver = _verified_pairs_from_ranked(ranked, threshold).agg(
+    n_ver = _verified_pairs_from_ranked(ranked, threshold, cand=cand).agg(
         F.count(F.lit(1)).alias("n_verified")
     )
     return (

@@ -173,6 +173,22 @@ class LakeUpsertSink:
                     f"pk={tuple(self.primary_key)} — a layout change "
                     "requires a rewrite, not a reopen"
                 )
+            # version_column drives the last-writer-wins recency guard;
+            # reopening with a different one silently changes which row
+            # survives a PK collision over already-stored data — the same
+            # class of divergence the meta file exists to prevent. Meta
+            # files written before this key existed are upgraded in place.
+            if "version_column" not in meta:
+                meta["version_column"] = self.version_column
+                with open(path, "w") as f:
+                    json.dump(meta, f)
+            elif meta["version_column"] != self.version_column:
+                raise ValueError(
+                    f"sink at {self.root!r} was written with "
+                    f"version_column={meta['version_column']!r}; reopened "
+                    f"with {self.version_column!r} — a recency-guard "
+                    "change requires a rewrite, not a reopen"
+                )
         else:
             os.makedirs(self.root, exist_ok=True)
             with open(path, "w") as f:
@@ -180,6 +196,7 @@ class LakeUpsertSink:
                     {
                         "n_buckets": self.n_buckets,
                         "primary_key": list(self.primary_key),
+                        "version_column": self.version_column,
                     },
                     f,
                 )

@@ -332,15 +332,23 @@ class ImportPipeline:
                         f"window {window_start} not published after {max_wait}s"
                     )
                 return None
-            # before the ETA: sleep straight to it (no point probing a
+            # before the ETA: one sleep straight to it (no point probing a
             # window that cannot exist yet); after: poll at max(1, dur/10)
             # — the previous min()-form collapsed to a fixed 1 s poll the
             # moment now >= eta (min(poll, 0) or 1), hammering the object
-            # store with dur/10-fold more HEAD probes than documented
-            if now < eta:
-                sleep_fn(eta - now)
+            # store with dur/10-fold more HEAD probes than documented.
+            # Naps are capped at the deadline, and with a shutdown Event +
+            # the default wall-clock sleep we wait ON the event (it wakes
+            # instantly when set) so W9 fencing stays responsive during
+            # the potentially hours-long pre-ETA wait — the reference
+            # sleeps via SHUTDOWN_EVENT.wait too (main.py:461-501).
+            # An injected sleep_fn (tests' fake clocks) is still honored.
+            nap = (eta - now) if now < eta else max(1.0, dur / 10.0)
+            nap = min(nap, max(0.0, deadline - now))
+            if shutdown is not None and sleep_fn is time.sleep:
+                shutdown.wait(nap)
             else:
-                sleep_fn(max(1.0, dur / 10.0))
+                sleep_fn(nap)
 
     def run_streaming(self, checkpoint_dir: str, available_now: bool = True):
         """Structured Streaming leg: file source over the window directory,

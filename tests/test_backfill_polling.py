@@ -119,3 +119,27 @@ def test_wait_for_window_polling_cadence(spark, tmp_path):
     assert got is not None
     assert sleeps[0] == 3601.0          # straight to the ETA
     assert sleeps[1:] == [360.0] * 3    # dur/10 polls, not 1 s spins
+
+
+def test_wait_for_window_shutdown_interrupts_pre_eta_sleep(poll_pipe):
+    """W9 fencing must stay responsive DURING the pre-ETA wait, not just
+    between naps: with the default wall-clock sleep, the wait parks on
+    shutdown.wait(...) (reference sleeps via SHUTDOWN_EVENT.wait,
+    main.py:461-501), so a shutdown requested mid-sleep wakes it
+    immediately instead of after up to a full window duration."""
+    import time as _time
+
+    pipe, src = poll_pipe
+    pipe.duration = 3600  # hour-long window: pre-ETA nap would be ~3601 s
+    ev = threading.Event()
+    t = threading.Timer(0.2, ev.set)
+    t.start()
+    start = _time.monotonic()
+    try:
+        with pytest.raises(InterruptedError):
+            # now() far before the window ETA -> first nap is the pre-ETA
+            # sleep; the timer fires 0.2 s in
+            pipe.wait_for_window(int(_time.time()), shutdown=ev)
+    finally:
+        t.cancel()
+    assert _time.monotonic() - start < 30.0  # woke on the event, not the ETA

@@ -105,3 +105,25 @@ def test_nonconvergence_raises_not_silent(spark):
     ) == set(k5)
     with pytest.raises(ValueError):
         kcr.kcore_edges(_edges(spark, k5), k=0)
+
+
+def test_kcore_duplicate_edge_rows_match_canonical(spark):
+    """Non-canonical input with duplicate (a, b) rows: both the
+    distributed peel and the local tail-finish must compute the
+    simple-graph core (duplicates must not inflate degrees), and the
+    two paths must agree with each other."""
+    # triangle 1-2-3 plus a pendant 3-4 duplicated 3x: with duplicate
+    # counting, node 4 would fake degree 3 and survive k=2
+    base = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    rows = base + [(3, 4), (3, 4)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    expect = {(1, 2), (1, 3), (2, 3)}
+    got_local = {
+        (r.a, r.b) for r in kcr.kcore_edges(edges, 2, local_below=10**6).collect()
+    }
+    got_dist = {
+        (r.a, r.b) for r in kcr.kcore_edges(edges, 2, local_below=0).collect()
+    }
+    assert got_local == expect
+    assert got_dist == expect
+    assert kcr.kcore_replay(set(rows), 2) == expect

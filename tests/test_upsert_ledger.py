@@ -386,3 +386,36 @@ def test_reopen_with_different_n_buckets_raises(spark, tmp_path):
     LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=16).upsert(
         _df(spark, [(1, "b", _ts(2))]), epoch=3
     )
+
+
+def test_reopen_with_different_version_column_raises(spark, tmp_path):
+    """The recency guard's version column is layout, same as n_buckets:
+    reopening with a different one silently changes which row survives a
+    PK collision over existing data, so the meta file pins it."""
+    root = str(tmp_path / "tbl")
+    sink = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=8)
+    sink.upsert(_df(spark, [(1, "a", _ts(1))]), epoch=1)
+    reopened = LakeUpsertSink(spark, root, ("id",), "id", n_buckets=8)
+    with pytest.raises(ValueError, match="version_column='updated_at'"):
+        reopened.upsert(_df(spark, [(1, "b", _ts(2))]), epoch=2)
+
+
+def test_meta_missing_version_column_upgrades_in_place(spark, tmp_path):
+    """Meta files written before version_column existed upgrade on the
+    next open instead of bricking the sink."""
+    import json
+    import os
+
+    root = str(tmp_path / "tbl")
+    sink = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=8)
+    sink.upsert(_df(spark, [(1, "a", _ts(1))]), epoch=1)
+    meta_path = os.path.join(root, "_sink_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["version_column"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    reopened = LakeUpsertSink(spark, root, ("id",), "updated_at", n_buckets=8)
+    reopened.upsert(_df(spark, [(1, "b", _ts(2))]), epoch=2)
+    with open(meta_path) as f:
+        assert json.load(f)["version_column"] == "updated_at"
