@@ -209,7 +209,6 @@ def passjoin_pairs(
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")
     tau = max_distance
-    k = tau + 1
     blocks = list(block_cols or [])
 
     l = left.select(
@@ -224,6 +223,32 @@ def passjoin_pairs(
         F.col(right_text).alias("_rtxt"),
         F.length(right_text).alias("_rlen"),
     )
+    cand = _passjoin_candidates(l, r, tau, blocks)
+
+    # ---- exact verification on candidates ------------------------------
+    verified = (
+        cand.join(l.select(*blocks, "_lid", "_ltxt"), [*blocks, "_lid"])
+        .join(r.select(*blocks, "_rid", "_rtxt"), [*blocks, "_rid"])
+        .withColumn("distance", F.levenshtein("_ltxt", "_rtxt", tau))
+        .filter(F.col("distance") >= 0)
+    )
+    return verified.select(
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        F.col("distance").cast("int").alias("distance"),
+    ).dropDuplicates([left_id, right_id])
+
+
+def _passjoin_candidates(
+    l: DataFrame, r: DataFrame, tau: int, blocks: list[str]
+) -> DataFrame:
+    """PassJoin candidate generation over pre-projected frames
+    (``l``: blocks + _lid/_ltxt/_llen, ``r``: blocks + _rid/_rtxt/_rlen)
+    — distinct (blocks, _lid, _rid) candidates. Factored out so the
+    dispatch estimator (:func:`decide_pairs_strategy`) can count
+    candidates on hash samples through the IDENTICAL plan the real join
+    runs."""
+    k = tau + 1
 
     # ---- index side: tau+1 segments per right record (len >= k) -------
     # one literal plan per possible (n, i): segment bounds depend only on
@@ -308,17 +333,142 @@ def passjoin_pairs(
     short_cand = short_cand.filter(
         F.abs(F.col("_llen") - F.col("_rlen")) <= tau
     ).select(*blocks, "_lid", "_rid")
-    cand = cand.unionByName(short_cand).distinct()
+    return cand.unionByName(short_cand).distinct()
 
-    # ---- exact verification on candidates ------------------------------
-    verified = (
-        cand.join(l.select(*blocks, "_lid", "_ltxt"), [*blocks, "_lid"])
-        .join(r.select(*blocks, "_rid", "_rtxt"), [*blocks, "_rid"])
-        .withColumn("distance", F.levenshtein("_ltxt", "_rtxt", tau))
-        .filter(F.col("distance") >= 0)
+
+# ---------------------------------------------------------------------------
+# Measured dispatch: blocked cross-product vs PassJoin segment filtering
+# ---------------------------------------------------------------------------
+
+def blocked_pair_budget(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    max_block: int | None = None,
+) -> int:
+    """EXACT candidate-pair count of the blocked cross-product:
+    ``sum over blocks of |block_L| * |block_R|`` (after the same
+    left-side ``max_block`` drop :func:`blocked_pairs` applies). Two
+    small aggregates + one block-key join — the cheap side of the
+    dispatch statistic."""
+    lb = left.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_ln"))
+    if max_block is not None:
+        lb = lb.filter(F.col("_ln") <= max_block)
+    rb = right.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_rn"))
+    # no blocking key: one global "block" — the full cross-product
+    joined = lb.crossJoin(rb) if not block_cols else lb.join(rb, block_cols)
+    row = joined.agg(
+        F.coalesce(F.sum(F.col("_ln") * F.col("_rn")), F.lit(0))
+    ).first()
+    return int(row[0])
+
+
+def decide_pairs_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    max_block: int | None = None,
+    sample_target: int = 2000,
+    passjoin_overhead: float = 2.0,
+) -> dict:
+    """The bounded measured dispatch between :func:`blocked_pairs` and
+    :func:`passjoin_pairs` — the same discipline as the ANN family's
+    ``exact_below`` / k-core's ``local_below``: decide from a cheap
+    statistic in the shared cost currency (candidate pairs), never from
+    a heuristic about the data.
+
+    - blocked side: the EXACT pair budget (:func:`blocked_pair_budget`,
+      two aggregates + a block-key join);
+    - PassJoin side: candidate count measured on deterministic hash
+      samples of both inputs (``pmod(xxhash64(id), d) == 0`` with d
+      sized for ~``sample_target`` rows per side) through the IDENTICAL
+      candidate plan the real join runs, scaled by ``d_l * d_r`` — the
+      unbiased estimator of an equi-join size under independent
+      Bernoulli sampling. Segment selectivity is exactly what this
+      measures: low-entropy keys (zero-padded names) collide corpus-wide
+      and the estimate approaches the cross-product; high-entropy keys
+      (text prefixes) stay near the true-match count.
+    - rule: PassJoin wins iff ``est_candidates * passjoin_overhead <
+      blocked_budget``. The overhead constant is measured, not assumed:
+      at sf0.1 on comparable candidate volumes PassJoin's extra join
+      machinery (two explodes, distinct, verification re-joins) costs
+      ~2x per candidate vs the block join's banded Levenshtein
+      (13 s vs 7 s on the low-entropy corpus — module doc).
+    """
+    budget = blocked_pair_budget(left, right, block_cols, max_block)
+    n_l = left.count()
+    n_r = right.count()
+    d_l = max(1, n_l // sample_target)
+    d_r = max(1, n_r // sample_target)
+    blocks = list(block_cols or [])
+    l_s = left.filter(
+        F.pmod(F.xxhash64(F.col(left_id)), F.lit(d_l)) == 0
+    ).select(
+        *blocks,
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltxt"),
+        F.length(left_text).alias("_llen"),
     )
-    return verified.select(
-        F.col("_lid").alias(left_id),
-        F.col("_rid").alias(right_id),
-        F.col("distance").cast("int").alias("distance"),
-    ).dropDuplicates([left_id, right_id])
+    r_s = right.filter(
+        F.pmod(F.xxhash64(F.col(right_id)), F.lit(d_r)) == 0
+    ).select(
+        *blocks,
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+        F.length(right_text).alias("_rlen"),
+    )
+    sampled = _passjoin_candidates(l_s, r_s, max_distance, blocks).count()
+    est = float(sampled) * d_l * d_r
+    use_passjoin = est * passjoin_overhead < budget
+    return {
+        "strategy": "passjoin" if use_passjoin else "blocked",
+        "blocked_budget": budget,
+        "passjoin_est_candidates": est,
+        "sampled_candidates": int(sampled),
+        "sample_denominators": [int(d_l), int(d_r)],
+        "passjoin_overhead": passjoin_overhead,
+        "n_left": int(n_l),
+        "n_right": int(n_r),
+    }
+
+
+def auto_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    max_block: int | None = None,
+    sample_target: int = 2000,
+    passjoin_overhead: float = 2.0,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Auto-dispatched exact edit-distance join: run
+    :func:`decide_pairs_strategy`, then the winning operator — same
+    output contract as both (``left_id, right_id, distance``, distance
+    <= max_distance, exact). Pass ``decision_out={}`` to receive the
+    measured statistics that drove the choice."""
+    decision = decide_pairs_strategy(
+        left, right, block_cols, left_id, right_id, left_text,
+        right_text, max_distance, max_block=max_block,
+        sample_target=sample_target, passjoin_overhead=passjoin_overhead,
+    )
+    if decision_out is not None:
+        decision_out.update(decision)
+    if decision["strategy"] == "passjoin":
+        return passjoin_pairs(
+            left, right, left_id, right_id, left_text, right_text,
+            max_distance, block_cols=block_cols,
+        )
+    return blocked_pairs(
+        left, right, block_cols, left_id, right_id, left_text,
+        right_text, max_distance, max_block=max_block,
+    )

@@ -1021,6 +1021,7 @@ def pq_topk(
     n_sub: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): the
     query-to-centroid distance table (n_sub x n_centroids floats) is
@@ -1029,7 +1030,17 @@ def pq_topk(
     at query time, which is the compressed-domain regime a 100 TB ANN
     corpus runs in. Unit-normalized L2 is monotone in cosine, so the
     score is reported as approx_cos = 1 - d/2. TakeOrderedAndProject as
-    everywhere else."""
+    everywhere else.
+
+    ``rerank=R`` layers the standard IVFADC refinement (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", §IV-E): the
+    compressed scan shortlists the top R >= k codes, then ONLY those R
+    rows' float vectors are read back and scored exactly, and the exact
+    order picks the final k. Quantization error then only hurts when a
+    true neighbor falls outside the whole shortlist, so recall climbs
+    with R while the float-domain cost stays R rows (broadcast semi-join
+    against the shortlist) — the dial :func:`tune_topk_index` turns.
+    Output gains an ``exact_cos`` column next to ``approx_cos``."""
     import json
 
     if codebooks is None:
@@ -1052,11 +1063,24 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    scored = coded.select(
+        F.col(id_col), F.round(1.0 - dist / 2.0, 6).alias("approx_cos")
+    )
+    if rerank is None:
+        return scored.orderBy(F.desc("approx_cos"), F.col(id_col)).limit(k)
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    shortlist = scored.orderBy(F.desc("approx_cos"), F.col(id_col)).limit(
+        rerank
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = df.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)
+    num = _dot(F.col(vec_col).cast("array<double>"), q)
+    den = _norm(F.col(vec_col).cast("array<double>")) * _norm(q)
+    ecos = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     return (
-        coded.select(
-            F.col(id_col), F.round(1.0 - dist / 2.0, 6).alias("approx_cos")
-        )
-        .orderBy(F.desc("approx_cos"), F.col(id_col))
+        cand.select(id_col, "approx_cos", F.round(ecos, 6).alias("exact_cos"))
+        .orderBy(F.desc("exact_cos"), F.col(id_col))
         .limit(k)
     )
 
@@ -1152,10 +1176,10 @@ def sq8_topk(
     params: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    rerank: bool = True,
+    rerank: bool | int = True,
 ) -> DataFrame:
     """Approximate top-k by cosine over SQ8 reconstructions, with an
-    optional exact rerank of JUST the k winners.
+    optional exact rerank.
 
     ``query_df`` is a one-row broadcast frame with column ``q`` (the
     no-collect convention of the cosine family). The scan scores every
@@ -1165,7 +1189,18 @@ def sq8_topk(
     output exposes both ``sq_cos_raw`` and ``exact_cos_raw`` and the
     quantization error is visible per hit. At 100 TB the scan touches
     only the 1-byte codes + the one-row params broadcast; the float
-    corpus is read for k rows."""
+    corpus is read for k rows.
+
+    ``rerank=R`` (an int >= k) widens the shortlist to the top R codes
+    and returns the top k of those by EXACT score — the same refinement
+    dial as :func:`pq_topk`'s ``rerank``, tunable via
+    :func:`tune_topk_index` when quantization error alone costs recall."""
+    if isinstance(rerank, bool):
+        shortlist_n = k
+    else:
+        shortlist_n = int(rerank)
+        if shortlist_n < k:
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     deq = sq8_dequantized(df, params=params, vec_col=vec_col)
     scored = deq.crossJoin(query_df)
     num = _dot(F.col("sq_deq"), F.col("q"))
@@ -1174,9 +1209,9 @@ def sq8_topk(
     top = (
         scored.select(F.col(id_col), sq_cos.alias("sq_cos_raw"))
         .orderBy(F.desc("sq_cos_raw"), F.col(id_col))
-        .limit(k)
+        .limit(shortlist_n)
     )
-    if not rerank:
+    if rerank is False:
         return top
     exact = df.select(id_col, vec_col).join(
         F.broadcast(top), id_col
@@ -1184,6 +1219,172 @@ def sq8_topk(
     enum = _dot(F.col(vec_col), F.col("q"))
     eden = _norm(F.col(vec_col)) * _norm(F.col("q"))
     ecos = F.when(eden > 0, enum / eden).otherwise(F.lit(0.0))
-    return exact.select(
+    out = exact.select(
         id_col, "sq_cos_raw", ecos.alias("exact_cos_raw")
     )
+    if shortlist_n == k:
+        return out  # historical shape: the k ADC winners, exact-scored
+    return (
+        out.orderBy(F.desc("exact_cos_raw"), F.col(id_col)).limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Recall-targeted auto-tuning — pick the cheapest knob that hits a target
+# --------------------------------------------------------------------------
+
+def _lsh_ball_frac(n_planes: int, radius: int) -> float:
+    import math as _m
+
+    ball = sum(_m.comb(n_planes, i) for i in range(min(radius, n_planes) + 1))
+    return ball / float(1 << n_planes)
+
+
+def tune_topk_index(
+    df: DataFrame,
+    index: str,
+    k: int = 10,
+    target_recall: float = 0.8,
+    n_val_queries: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    centroids: Sequence[Sequence[float]] | None = None,
+    codebooks: Sequence[Sequence[Sequence[float]]] | None = None,
+    ladder: Sequence[int] | None = None,
+) -> dict:
+    """THE TUNING RULE for the approximate top-k family: measure, then
+    pick the cheapest knob value whose validation recall@k meets
+    ``target_recall``.
+
+    Closed forms (``planes_for_corpus``, ``_tables_for_recall``) work for
+    the PAIR design point because collision probability at a fixed cosine
+    is corpus-independent. Single-query top-k recall is NOT corpus-
+    independent — it depends on where the corpus's k-th neighbor sits
+    relative to the index's partitioning (uniform corpora: recall tracks
+    scanned fraction, no sublinear index can help; clustered corpora —
+    the real embedding regime — a small probe set covers the true
+    neighbors). So the top-k rule is empirical by necessity:
+
+    1. hold out ``n_val_queries`` validation queries, deterministically
+       spread over the corpus (hash order, so no cluster is favored);
+    2. one exact :func:`knn_join` gives ground truth for all of them in
+       a single distributed pass;
+    3. walk the index's knob ladder cheapest-first — LSH: multiprobe
+       radius (scan ~ Hamming-ball/2^planes), IVF: nprobe (scan ~
+       nprobe/n_centroids), PQ/SQ8: exact-rerank shortlist R (float
+       reads ~ R rows) — and stop at the first rung whose mean recall@k
+       >= target.
+
+    Cost: the validation queries are a few dozen small jobs against the
+    index; at 100 TB this runs once per (corpus, index) build, exactly
+    like an index-build hyperparameter sweep, and the chosen knob is
+    then pinned for the query workload. Returns the full measured ladder
+    (``met=False`` with the best rung if even the widest setting misses,
+    e.g. a structureless corpus where the honest answer is brute force).
+    """
+    if index not in ("lsh", "ivf", "pq", "sq8"):
+        raise ValueError(f"unknown index {index!r}")
+    n_rows = df.count()
+    val = (
+        df.orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_val_queries)
+        .select(F.col(id_col).alias("query_id"), vec_col)
+    )
+    truth: dict[int, set[int]] = {}
+    for r in knn_join(df, val, k=k, vec_col=vec_col, id_col=id_col).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qvecs = {r["query_id"]: list(r[vec_col]) for r in val.collect()}
+
+    if index == "ivf" and centroids is None:
+        centroids = ivf_centroids(
+            df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
+        )
+    if index == "pq" and codebooks is None:
+        codebooks = pq_codebooks(
+            df, n_sub=n_sub, vec_col=vec_col, id_col=id_col
+        )
+    sq_par = sq8_params(df, vec_col) if index == "sq8" else None
+
+    if ladder is None:
+        if index == "lsh":
+            ladder = list(range(0, n_planes + 1))
+        elif index == "ivf":
+            ladder = [p for p in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+                      if p <= n_centroids]
+            if ladder[-1] != n_centroids:
+                ladder.append(n_centroids)
+        else:  # pq / sq8 exact-rerank shortlist
+            ladder = [k, 4 * k, 16 * k, 64 * k, 256 * k]
+            ladder = sorted({min(r, n_rows) for r in ladder})
+
+    def run_one(knob: int, qid: int) -> set[int]:
+        qv = qvecs[qid]
+        if index == "lsh":
+            got = lsh_bucketed_topk(
+                df, qv, k=k, n_planes=n_planes, vec_col=vec_col,
+                id_col=id_col, multiprobe_hamming=knob,
+            )
+        elif index == "ivf":
+            got = ivf_topk(
+                df, qv, k=k, centroids=centroids, nprobe=knob,
+                vec_col=vec_col, id_col=id_col,
+            )
+        elif index == "pq":
+            got = pq_topk(
+                df, qv, k=k, codebooks=codebooks, vec_col=vec_col,
+                id_col=id_col, rerank=max(knob, k),
+            )
+        else:
+            qdf = df.filter(F.col(id_col) == qid).select(
+                F.col(vec_col).cast("array<double>").alias("q")
+            )
+            got = sq8_topk(
+                df, qdf, k=k, params=sq_par, vec_col=vec_col,
+                id_col=id_col, rerank=max(knob, k),
+            )
+        return {r[0] for r in got.select(id_col).collect()}
+
+    def scan_frac(knob: int) -> float:
+        if index == "lsh":
+            return _lsh_ball_frac(n_planes, knob)
+        if index == "ivf":
+            return knob / float(n_centroids)
+        return min(1.0, knob / float(max(n_rows, 1)))
+
+    knob_name = {
+        "lsh": "multiprobe_hamming", "ivf": "nprobe",
+        "pq": "rerank", "sq8": "rerank",
+    }[index]
+    rungs = []
+    chosen = None
+    for knob in ladder:
+        recalls = [
+            len(run_one(knob, q) & truth[q]) / float(k) for q in qvecs
+        ]
+        rec = sum(recalls) / len(recalls)
+        rungs.append({
+            "value": int(knob),
+            "recall": round(rec, 4),
+            "scan_frac": round(scan_frac(knob), 5),
+        })
+        if rec >= target_recall:
+            chosen = rungs[-1]
+            break
+    if chosen is None:
+        chosen = max(rungs, key=lambda r: r["recall"])
+    return {
+        "index": index,
+        "knob": knob_name,
+        "k": k,
+        "n_val_queries": len(qvecs),
+        "target": target_recall,
+        "ladder": rungs,
+        "chosen": chosen["value"],
+        "recall": chosen["recall"],
+        "scan_frac": chosen["scan_frac"],
+        "met": bool(chosen["recall"] >= target_recall),
+        "n_rows": int(n_rows),
+    }

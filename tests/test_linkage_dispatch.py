@@ -1,0 +1,146 @@
+"""Measured dispatch between blocked_pairs and passjoin_pairs
+(linkage.auto_pairs / decide_pairs_strategy) — r6 verdict task #4.
+
+The two regimes from the module doc's measured crossover:
+
+- LOW-ENTROPY keys + selective blocking (zero-padded digit suffixes,
+  nation-style blocks): PassJoin segments collide corpus-wide, its
+  candidate estimate approaches the block cross-product, and the plain
+  block join wins.
+- HIGH-ENTROPY keys, no usable blocking key (random text prefixes):
+  the blocked "budget" is the full cross-product while segment
+  candidates track true near-matches — PassJoin wins.
+
+Both choices are pinned on the executed plan, and auto_pairs' output is
+set-equal to both underlying operators (they are exact joins, so the
+dispatch can never change results — only cost)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from neynar_parquet_importer_spark.operators import linkage as lk
+
+
+def _low_entropy(spark, n=400, n_blocks=4, seed=5):
+    """Zero-padded numeric suffixes in a few blocks; dirty side = one
+    substituted digit."""
+    rng = random.Random(seed)
+    clean, dirty = [], []
+    for i in range(n):
+        name = f"{i:09d}"
+        blk = i % n_blocks
+        clean.append((i, blk, name))
+        d = list(name)
+        pos = rng.randrange(9)
+        d[pos] = str((int(d[pos]) + 1 + rng.randrange(8)) % 10)
+        dirty.append((i, blk, "".join(d)))
+    c = spark.createDataFrame(clean, "cid long, blk int, cname string")
+    d = spark.createDataFrame(dirty, "did long, blk int, dname string")
+    return d, c
+
+
+def _high_entropy(spark, n=400, seed=11):
+    """Random 24-char alphanumeric keys, no blocking key; dirty side =
+    one substituted char."""
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    clean, dirty = [], []
+    for i in range(n):
+        s = "".join(rng.choice(alpha) for _ in range(24))
+        clean.append((i, s))
+        d = list(s)
+        d[rng.randrange(24)] = rng.choice(alpha)
+        dirty.append((i, "".join(d)))
+    c = spark.createDataFrame(clean, "cid long, cname string")
+    d = spark.createDataFrame(dirty, "did long, dname string")
+    return d, c
+
+
+def test_low_entropy_blocked_wins_and_plan_pinned(spark):
+    d, c = _low_entropy(spark)
+    decision: dict = {}
+    out = lk.auto_pairs(
+        d, c, ["blk"], "did", "cid", "dname", "cname", 2,
+        sample_target=200, decision_out=decision,
+    )
+    assert decision["strategy"] == "blocked"
+    # segments of zero-padded digits collide corpus-wide: the sampled
+    # estimate must be within 2x-overhead reach of the block budget
+    assert (
+        decision["passjoin_est_candidates"] * decision["passjoin_overhead"]
+        >= decision["blocked_budget"]
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_piece" not in plan          # no segment machinery
+    assert "levenshtein" in plan.lower()
+    # exactness: dispatch never changes results
+    ref = lk.blocked_pairs(d, c, ["blk"], "did", "cid", "dname", "cname", 2)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
+
+
+def test_high_entropy_passjoin_wins_and_plan_pinned(spark):
+    d, c = _high_entropy(spark)
+    decision: dict = {}
+    out = lk.auto_pairs(
+        d, c, [], "did", "cid", "dname", "cname", 2,
+        sample_target=200, decision_out=decision,
+    )
+    assert decision["strategy"] == "passjoin"
+    assert decision["blocked_budget"] == 400 * 400  # no blocks: n*n
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_piece" in plan              # segment equi-join ran
+    # the candidate join is a hash/merge equi-join keyed on the piece;
+    # the only nested-loop allowed is the degenerate short-string leg
+    # (bounded by the count of near-empty strings — zero here)
+    piece_join_lines = [
+        ln for ln in plan.splitlines()
+        if "_piece" in ln and "Join" in ln
+    ]
+    assert piece_join_lines
+    assert all(
+        "BroadcastHashJoin" in ln or "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln
+        for ln in piece_join_lines
+    )
+    ref = lk.passjoin_pairs(d, c, "did", "cid", "dname", "cname", 2)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
+
+
+def test_blocked_budget_respects_max_block(spark):
+    d, c = _low_entropy(spark, n=400, n_blocks=4)
+    full = lk.blocked_pair_budget(d, c, ["blk"])
+    assert full == 4 * 100 * 100
+    capped = lk.blocked_pair_budget(d, c, ["blk"], max_block=50)
+    assert capped == 0  # every left block has 100 rows > 50 -> dropped
+
+
+def test_estimator_is_scale_consistent(spark):
+    """The sampled estimate must be the exact candidate count when the
+    sample IS the corpus (denominators 1)."""
+    d, c = _high_entropy(spark, n=300)
+    decision = lk.decide_pairs_strategy(
+        d, c, [], "did", "cid", "dname", "cname", 2, sample_target=300
+    )
+    assert decision["sample_denominators"] == [1, 1]
+    l = d.select(
+        F.col("did").alias("_lid"),
+        F.col("dname").alias("_ltxt"),
+        F.length("dname").alias("_llen"),
+    )
+    r = c.select(
+        F.col("cid").alias("_rid"),
+        F.col("cname").alias("_rtxt"),
+        F.length("cname").alias("_rlen"),
+    )
+    exact = lk._passjoin_candidates(l, r, 2, []).count()
+    assert decision["passjoin_est_candidates"] == exact
