@@ -163,17 +163,21 @@ RELATIONAL_QUERIES = [
     "event_transition_matrix",
     "copurchase_part_pairs",
     "kcore_supplier_stats",
-    # round-6 fifth pass. The linkage pair queries are deliberately NOT
-    # here: the sf1 relational replicas keep original names, so every
-    # nation block holds 10 identical name sets and the nation-blocked
-    # pair population grows 100x — the quadratic regime the operator's
-    # max_block cap + finer-key guidance exists for (linkage.py module
-    # doc); a timed row would measure that design decision, not a scan.
+    # round-6 fifth pass
     "events_daily_resampled",
     "user_scd2_type_history",
     "orders_quality_audit",
     "khop_supplier_reach",
     "event_value_quantile_hist",
+    # round-7: the linkage pair queries, previously excluded on a cost
+    # ARGUMENT (nation is a fixed-cardinality blocking key, so 10x rows
+    # per block means ~100x in-block pairs — quadratic by design). The
+    # r6 verdict asked for the measurement instead of the argument:
+    # expect exponents near 2 (measured probe: 6.7 s -> ~490 s, 1.87),
+    # the recorded evidence for the max_block cap + finer-key guidance
+    # and for auto_pairs' dispatch (see checks.linkage_ab_sf1).
+    "fuzzy_customer_linkage",
+    "linkage_self_match_rate",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
@@ -399,6 +403,121 @@ def clustered_recall_checks(spark, clustered_dir: str) -> dict:
         out[fam] = sim.tune_topk_index(
             emb, fam, k=20, target_recall=0.8, n_val_queries=10
         )
+    return out
+
+
+def linkage_ab_checks(spark, sf1_dir: str) -> dict:
+    """PassJoin-vs-blocked A/B at sf1 on both key regimes (r6 verdict
+    #2/#4) — the measured row behind linkage.py's crossover doc and
+    behind auto_pairs' dispatch rule.
+
+    - LOW-ENTROPY regime: the registered linkage corpus (150k dirty
+      customer-name suffixes vs 150k clean, nation-blocked, tau=2 —
+      zero-padded digits, segments collide corpus-wide).
+    - HIGH-ENTROPY regime: the registered passjoin corpus (50k
+      perturbed 24-char doc prefixes vs 50k clean, NO blocking key,
+      tau=2 — text segments near-unique).
+
+    Each strategy runs ONCE per regime (single pass: the blocked legs
+    are hundreds of seconds; loadavg is stamped so the reader can judge
+    noise), result sets are count-compared (both joins are exact, so
+    the counts must agree), and decide_pairs_strategy's verdict +
+    statistics are recorded so the dispatch choice can be checked
+    against the measured faster side."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.operators import linkage as lk
+    from neynar_parquet_importer_spark.plans.queries import (
+        _PASSJOIN_DIRTY_EXPR,
+        _dirty_customers,
+        _t,
+    )
+
+    out: dict = {}
+
+    def timed(fn):
+        t0 = time.time()
+        n = fn().count()
+        return n, round(time.time() - t0, 1), round(_load1(), 1)
+
+    # ---- low-entropy: customers, nation-blocked ------------------------
+    clean_c = _t(spark, sf1_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr("substr(c_name, 10)").alias("c_suffix"),
+    )
+    dirty_c = _dirty_customers(spark, sf1_dir).select(
+        "d_key", "c_nationkey",
+        F.expr("substr(d_name, 10)").alias("d_suffix"),
+    )
+    args_low = dict(
+        block_cols=["c_nationkey"], left_id="d_key", right_id="c_custkey",
+        left_text="d_suffix", right_text="c_suffix", max_distance=2,
+    )
+    dec_low = lk.decide_pairs_strategy(dirty_c, clean_c, **args_low)
+    nb, tb, lb = timed(lambda: lk.blocked_pairs(dirty_c, clean_c, **args_low))
+    np_, tp, lp = timed(lambda: lk.passjoin_pairs(
+        dirty_c, clean_c, "d_key", "c_custkey", "d_suffix", "c_suffix", 2,
+        block_cols=["c_nationkey"],
+    ))
+    out["low_entropy_customers"] = {
+        "blocked": {"pairs": nb, "sec": tb, "loadavg_1m": lb},
+        "passjoin": {"pairs": np_, "sec": tp, "loadavg_1m": lp},
+        "pairs_agree": nb == np_,
+        "decision": dec_low,
+        "decision_matches_faster": (
+            (dec_low["strategy"] == "blocked") == (tb <= tp)
+        ),
+    }
+
+    # ---- high-entropy: doc prefixes, unblocked -------------------------
+    docs = _t(spark, sf1_dir, "documents")
+    clean_d = docs.select(
+        F.col("doc_id").alias("c_id"),
+        F.expr("substr(lower(text), 1, 24)").alias("c_prefix"),
+    )
+    dirty_d = docs.select(
+        F.col("doc_id").alias("d_id"),
+        F.expr(_PASSJOIN_DIRTY_EXPR).alias("d_prefix"),
+    )
+    args_high = dict(
+        block_cols=[], left_id="d_id", right_id="c_id",
+        left_text="d_prefix", right_text="c_prefix", max_distance=2,
+    )
+    dec_high = lk.decide_pairs_strategy(dirty_d, clean_d, **args_high)
+    np2, tp2, lp2 = timed(lambda: lk.passjoin_pairs(
+        dirty_d, clean_d, "d_id", "c_id", "d_prefix", "c_prefix", 2
+    ))
+    # the blocked leg here is the raw cross-product (2.5e9 banded
+    # Levenshteins at 50k x 50k) — measured on a deterministic 1/5
+    # slice of each side (1e8 pairs) and projected linearly in the pair
+    # count, which is exact for a pairwise metric with no per-block
+    # amortization
+    frac = 5
+    d_slice = dirty_d.filter(F.pmod(F.xxhash64("d_id"), F.lit(frac)) == 0)
+    c_slice = clean_d.filter(F.pmod(F.xxhash64("c_id"), F.lit(frac)) == 0)
+    n_ds, n_cs = d_slice.count(), c_slice.count()
+    nb2, tb2, lb2 = timed(
+        lambda: d_slice.crossJoin(c_slice)
+        .filter(F.abs(F.length("d_prefix") - F.length("c_prefix")) <= 2)
+        .withColumn("distance", F.levenshtein("d_prefix", "c_prefix", 2))
+        .filter(F.col("distance") >= 0)
+    )
+    full_pairs = dec_high["blocked_budget"]
+    slice_pairs = n_ds * n_cs
+    out["high_entropy_doc_prefixes"] = {
+        "passjoin": {"pairs": np2, "sec": tp2, "loadavg_1m": lp2},
+        "blocked_slice": {
+            "pairs_found": nb2, "sec": tb2, "loadavg_1m": lb2,
+            "slice_pair_budget": slice_pairs,
+            "full_pair_budget": full_pairs,
+        },
+        "blocked_projected_sec": round(tb2 * full_pairs / slice_pairs, 1),
+        "decision": dec_high,
+        "decision_matches_faster": (
+            (dec_high["strategy"] == "passjoin")
+            == (tp2 <= tb2 * full_pairs / slice_pairs)
+        ),
+    }
     return out
 
 
@@ -857,6 +976,34 @@ if __name__ == "__main__":
         checks = payload.setdefault("checks", {})
         checks["ann_recall_sf1"] = block
         checks["ann_recall_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
+    elif sys.argv[1:2] == ["--linkage-ab"]:
+        # incremental checks run: the PassJoin-vs-blocked A/B at sf1 on
+        # both key regimes, merged into the existing artifact
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit("--linkage-ab needs an existing BENCH_SCALING.json")
+        if not os.path.exists(os.path.join(SF1_DIR, "customer.parquet")):
+            print("generating sf1 relational tables ...", flush=True)
+            generate_sf1_relational(SF1_DIR)
+        if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+            print("generating sf1 corpus ...", flush=True)
+            generate_sf1(SF1_DIR)
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-linkage-ab",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = linkage_ab_checks(spark, SF1_DIR)
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["linkage_ab_sf1"] = block
+        checks["linkage_ab_run_at"] = time.strftime("%Y%m%dT%H%M%S")
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))
