@@ -135,3 +135,138 @@ def zorder_profile(
         )
         .orderBy("bucket")
     )
+
+
+def zorder_bucket(
+    x: Column, y: Column, *, bits: int = 16, n_buckets: int = 64
+) -> Column:
+    """Equal-width z-range bucket id: the top log2(n_buckets) bits of
+    the Morton value — the SAME split rule :func:`zorder_profile`
+    audits, shared by the profile and the writer so the audit describes
+    exactly the files the writer cuts. Deterministic closed-form
+    arithmetic (unlike ``repartitionByRange``, whose sampled boundaries
+    are not replayable by an oracle)."""
+    if (
+        n_buckets < 1
+        or n_buckets > (1 << (2 * bits))
+        or n_buckets & (n_buckets - 1)
+    ):
+        raise ValueError(
+            f"n_buckets must be a power of two in [1, 2^{2 * bits}],"
+            f" got {n_buckets}"
+        )
+    shift = 2 * bits - n_buckets.bit_length() + 1
+    return F.shiftright(morton_z(x, y, bits), shift).alias("zbucket")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """THE WRITE PATH for the z-order layout (the profile's claims made
+    physical): quantize both dims onto the full bit budget from their
+    global min/max (two scalar aggregates, broadcast), Morton-
+    interleave, cut equal-width z-range buckets, and write one
+    ``zbucket=<i>/`` partition directory per bucket with rows z-sorted
+    inside.
+
+    Layout properties a reader gets for free:
+
+    - directory-level pruning: ``zbucket`` is a physical partition
+      column, so a predicate rewritten to z-ranges prunes at the
+      LISTING level before any footer is opened;
+    - footer-level pruning on the DATA columns: each bucket is a
+      bounded rectangle in (x, y), so parquet min/max row-group stats
+      are tight in BOTH dims — a filter on either column skips most
+      row groups (measured: scale_study --zorder-skip);
+    - within-file z-sort keeps row groups inside a bucket tight too
+      (row-group stats are per ~128 MB chunk, not per file).
+
+    One shuffle (hash repartition on the bucket id — every bucket's
+    rows into one task so each directory holds one file per write),
+    then a per-partition sort; both scale linearly. At 100 TB pick
+    n_buckets so a bucket ~ a few row groups (the same sizing rule as
+    the lake sink's hash buckets)."""
+    base = df.select(
+        "*",
+        F.col(x_col).cast("long").alias("__zx"),
+        F.col(y_col).cast("long").alias("__zy"),
+    )
+    rng = base.agg(
+        F.min("__zx").alias("__xmin"),
+        F.max("__zx").alias("__xmax"),
+        F.min("__zy").alias("__ymin"),
+        F.max("__zy").alias("__ymax"),
+    )
+    q = base.crossJoin(F.broadcast(rng))
+    qx = quantize_dim(F.col("__zx"), F.col("__xmin"), F.col("__xmax"), bits)
+    qy = quantize_dim(F.col("__zy"), F.col("__ymin"), F.col("__ymax"), bits)
+    z = morton_z(qx, qy, bits)
+    bucketed = (
+        q.withColumn("zbucket", zorder_bucket(qx, qy, bits=bits, n_buckets=n_buckets))
+        .withColumn("__z", z)
+        .drop("__zx", "__zy", "__xmin", "__xmax", "__ymin", "__ymax")
+    )
+    (
+        bucketed.repartition(F.col("zbucket"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+
+
+def parquet_rowgroup_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-row-group min/max footer statistics for ``cols`` across every
+    parquet file under ``path`` (recursive) — METADATA-ONLY reads, the
+    exact information a scan's predicate pushdown consults. Driver-side
+    by design: footers are KBs per file; at warehouse scale this is the
+    table-format manifest read, not a data scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, name)
+            meta = pq.ParquetFile(fp).metadata
+            idx = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                row: dict = {"file": fp, "row_group": g, "n_rows": rg.num_rows}
+                for c in cols:
+                    st = rg.column(idx[c]).statistics
+                    row[f"{c}_min"] = None if st is None else st.min
+                    row[f"{c}_max"] = None if st is None else st.max
+                out.append(row)
+    return out
+
+
+def skip_fraction(
+    stats: list[dict], col: str, lo, hi
+) -> float:
+    """Fraction of row groups a range predicate ``lo <= col <= hi`` can
+    SKIP on footer stats alone (a group is touched iff its [min, max]
+    intersects [lo, hi]; missing stats are conservatively touched) —
+    the pruning arithmetic every parquet reader runs."""
+    if not stats:
+        return 0.0
+    touched = 0
+    for row in stats:
+        mn, mx = row[f"{col}_min"], row[f"{col}_max"]
+        if mn is None or mx is None or (mx >= lo and mn <= hi):
+            touched += 1
+    return 1.0 - touched / len(stats)

@@ -3236,6 +3236,46 @@ def zorder_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lay.zorder_profile(q, "qx", "qy", bits=16, n_buckets=64)
 
 
+def zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order WRITE path end-to-end (``layout.write_zordered``):
+    events (user_id, event time) are quantized, Morton-interleaved, cut
+    into 64 equal-width z-range buckets, and physically written as one
+    ``zbucket=<i>/`` partition directory each with rows z-sorted inside;
+    the audit then READS THE FILES BACK and reports per-bucket row
+    counts, raw-dimension bounding boxes, and an id-sum checksum. The
+    oracle replays the identical quantize->interleave->bucket arithmetic
+    as static SQL over the raw table — so a pass proves the files on
+    disk realize exactly the layout the profile promises (bucket
+    membership, counts, and boxes all value-checked through the
+    write+read round trip). Equal-width z-buckets (not sampled range
+    boundaries) are what make the writer oracle-replayable at all."""
+    import hashlib
+
+    ev = _t(spark, sf_dir, "events")
+    secs = _ntz_epoch_seconds("ts")
+    base = ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("user_id").cast("long").alias("uid"),
+        secs.alias("secs"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_zorder_audit_{tag}"
+    lay.write_zordered(base, path, "uid", "secs", bits=16, n_buckets=64)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("zbucket").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("uid").alias("u_min"),
+            F.max("uid").alias("u_max"),
+            F.min("secs").alias("s_min"),
+            F.max("secs").alias("s_max"),
+            F.sum("eid").alias("id_checksum"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 def kcore_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core backbone of the co-supplier graph (``graph/kcore`` module
     doc): simultaneous degree peeling to the unique fixpoint, one
@@ -3774,6 +3814,7 @@ QUERIES = {
     "lpa_supplier_communities": lpa_supplier_communities,
     "kcore_supplier_stats": kcore_supplier_stats,
     "zorder_events_profile": zorder_events_profile,
+    "zorder_write_audit": zorder_write_audit,
     "embedding_sq8_topk": embedding_sq8_topk,
     "quality_classifier_scores": quality_classifier_scores,
     "heavy_hitters_cms": heavy_hitters_cms,
@@ -6341,6 +6382,33 @@ ORACLE_SQL["zorder_events_profile"] = f"""
            min(y) AS y_min, max(y) AS y_max,
            max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
     FROM zb GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLE_SQL["zorder_write_audit"] = f"""
+    WITH base AS (
+        SELECT CAST(event_id AS BIGINT) AS eid,
+               CAST(user_id AS BIGINT) AS uid,
+               CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        FROM events
+    ), rng AS (
+        SELECT min(uid) AS umin, max(uid) AS umax,
+               min(secs) AS smin, max(secs) AS smax
+        FROM base
+    ), q AS (
+        SELECT eid, uid, secs,
+               ((uid - umin) * 65535) // greatest(umax - umin, 1) AS qx,
+               ((secs - smin) * 65535) // greatest(smax - smin, 1) AS qy
+        FROM base, rng
+    ), zb AS (
+        SELECT ({lay.morton_z_sql("qx", "qy", 16)}) >> 26 AS zbucket,
+               eid, uid, secs
+        FROM q
+    )
+    SELECT zbucket, count(*) AS n_rows,
+           min(uid) AS u_min, max(uid) AS u_max,
+           min(secs) AS s_min, max(secs) AS s_max,
+           sum(eid)::BIGINT AS id_checksum
+    FROM zb GROUP BY zbucket ORDER BY zbucket
 """
 
 ORACLE_SQL["snapshot_diff_orders"] = """

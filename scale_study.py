@@ -455,17 +455,44 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
     )
     dec_low = lk.decide_pairs_strategy(dirty_c, clean_c, **args_low)
     nb, tb, lb = timed(lambda: lk.blocked_pairs(dirty_c, clean_c, **args_low))
+    # the PassJoin leg in this regime is its documented failure mode:
+    # zero-padded digit segments collide corpus-wide, so candidates
+    # approach the in-block cross-product (~9e8 at sf1) — a full run
+    # OOMs the default-8g local JVM in the candidate distinct (measured
+    # this round). Measure on deterministic 1/5 hash slices of both
+    # sides and project linearly in the ESTIMATED candidate count (the
+    # same sampled estimator the dispatch uses, evaluated at both
+    # sizes), which is the cost driver of every stage past the piece
+    # join.
+    frac_low = 5
+    d_sl = dirty_c.filter(F.pmod(F.xxhash64("d_key"), F.lit(frac_low)) == 0)
+    c_sl = clean_c.filter(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(frac_low)) == 0
+    )
+    dec_low_slice = lk.decide_pairs_strategy(d_sl, c_sl, **args_low)
     np_, tp, lp = timed(lambda: lk.passjoin_pairs(
-        dirty_c, clean_c, "d_key", "c_custkey", "d_suffix", "c_suffix", 2,
+        d_sl, c_sl, "d_key", "c_custkey", "d_suffix", "c_suffix", 2,
         block_cols=["c_nationkey"],
     ))
+    cand_ratio = (
+        dec_low["passjoin_est_candidates"]
+        / max(dec_low_slice["passjoin_est_candidates"], 1.0)
+    )
+    tp_proj = round(tp * cand_ratio, 1)
     out["low_entropy_customers"] = {
         "blocked": {"pairs": nb, "sec": tb, "loadavg_1m": lb},
-        "passjoin": {"pairs": np_, "sec": tp, "loadavg_1m": lp},
-        "pairs_agree": nb == np_,
+        "passjoin_slice": {
+            "pairs": np_, "sec": tp, "loadavg_1m": lp,
+            "slice_denominators": [frac_low, frac_low],
+            "est_candidates_slice": dec_low_slice["passjoin_est_candidates"],
+            "est_candidates_full": dec_low["passjoin_est_candidates"],
+        },
+        "passjoin_projected_sec": tp_proj,
+        "passjoin_full_run": "OOM at 8g driver heap (candidate distinct"
+                             " ~9e8 rows) — the regime boundary itself",
         "decision": dec_low,
         "decision_matches_faster": (
-            (dec_low["strategy"] == "blocked") == (tb <= tp)
+            (dec_low["strategy"] == "blocked") == (tb <= tp_proj)
         ),
     }
 
@@ -518,6 +545,69 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
             == (tp2 <= tb2 * full_pairs / slice_pairs)
         ),
     }
+    return out
+
+
+def zorder_skip_checks(spark, sf1_dir: str) -> dict:
+    """Measured row-group skip ratios of the z-order WRITE path at sf1
+    (r6 verdict #6): the 1M-row events table written three ways —
+    layout.write_zordered on (user_id, event seconds), a single-column
+    range sort on seconds, and an unsorted hash repartition — then the
+    mean footer-stats skip fraction over eight evenly-spaced 5%-of-
+    domain range probes per dimension. The z-order claim in numbers:
+    both dims prune (~1 - 1/sqrt(files) each), where the single-column
+    sort prunes only its own dimension and the unsorted layout prunes
+    neither."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.operators import layout as lay
+    from neynar_parquet_importer_spark.plans.queries import (
+        _ntz_epoch_seconds,
+        _t,
+    )
+
+    ev = _t(spark, sf1_dir, "events")
+    base = ev.select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("user_id").cast("long").alias("uid"),
+        _ntz_epoch_seconds("ts").alias("secs"),
+    )
+    zdir, sdir, udir = "/tmp/zskip_z", "/tmp/zskip_secs", "/tmp/zskip_none"
+    lay.write_zordered(base, zdir, "uid", "secs", bits=16, n_buckets=64)
+    (
+        base.repartitionByRange(64, "secs").sortWithinPartitions("secs")
+        .write.mode("overwrite").parquet(sdir)
+    )
+    base.repartition(64).write.mode("overwrite").parquet(udir)
+
+    lo = base.agg(
+        F.min("uid"), F.max("uid"), F.min("secs"), F.max("secs")
+    ).first()
+    umin, umax, smin, smax = (int(x) for x in lo)
+    n_rows = base.count()
+
+    def probes(mn, mx, n=8, frac=0.05):
+        span = mx - mn
+        w = max(1, int(span * frac))
+        step = max(1, (span - w) // (n - 1))
+        return [(mn + i * step, mn + i * step + w) for i in range(n)]
+
+    out: dict = {
+        "n_rows": n_rows,
+        "probe": "8 evenly spaced 5%-of-domain ranges per dim",
+    }
+    for name, path in (("zorder", zdir), ("secs_sorted", sdir),
+                       ("unsorted", udir)):
+        stats = lay.parquet_rowgroup_stats(path, ["uid", "secs"])
+        u = [lay.skip_fraction(stats, "uid", a, b)
+             for a, b in probes(umin, umax)]
+        s = [lay.skip_fraction(stats, "secs", a, b)
+             for a, b in probes(smin, smax)]
+        out[name] = {
+            "row_groups": len(stats),
+            "skip_uid_mean": round(sum(u) / len(u), 4),
+            "skip_secs_mean": round(sum(s) / len(s), 4),
+        }
     return out
 
 
@@ -976,6 +1066,30 @@ if __name__ == "__main__":
         checks = payload.setdefault("checks", {})
         checks["ann_recall_sf1"] = block
         checks["ann_recall_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
+    elif sys.argv[1:2] == ["--zorder-skip"]:
+        # incremental checks run: z-order write-path skip ratios at sf1
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit("--zorder-skip needs an existing BENCH_SCALING.json")
+        if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+            print("generating sf1 relational tables ...", flush=True)
+            generate_sf1_relational(SF1_DIR)
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-zorder-skip",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = zorder_skip_checks(spark, SF1_DIR)
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["zorder_skip_sf1"] = block
+        checks["zorder_skip_run_at"] = time.strftime("%Y%m%dT%H%M%S")
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))

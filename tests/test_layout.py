@@ -135,3 +135,79 @@ def test_morton_int_input_does_not_wrap_negative(spark):
         lay.morton_z(F.col("x"), F.col("y"), 16).alias("z")
     ).collect()[0].z
     assert z == (1 << 32) - 1
+
+
+def test_write_zordered_layout_and_roundtrip(spark, tmp_path):
+    """The write path: one file per z-bucket directory, row multiset
+    preserved through the round trip, and every bucket a bounded
+    rectangle whose bucket id matches the closed-form arithmetic."""
+    import os
+
+    rows = [(i, i % 97, (i * 31) % 89) for i in range(4000)]
+    df = spark.createDataFrame(rows, "eid long, x long, y long")
+    path = str(tmp_path / "z")
+    lay.write_zordered(df, path, "x", "y", bits=16, n_buckets=16)
+
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("zbucket=")
+    )
+    assert 1 <= len(dirs) <= 16
+    for d in dirs:
+        files = [
+            f for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1  # one file per bucket per write
+
+    back = spark.read.parquet(path)
+    assert sorted(
+        (r.eid, r.x, r.y) for r in back.collect()
+    ) == sorted(rows)
+
+    # bucket membership matches the closed-form quantize+morton path
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    xmin, xmax, ymin, ymax = min(xs), max(xs), min(ys), max(ys)
+
+    def bucket_of(x, y):
+        qx = ((x - xmin) * 65535) // max(xmax - xmin, 1)
+        qy = ((y - ymin) * 65535) // max(ymax - ymin, 1)
+        z = 0
+        for i in range(16):
+            z |= ((qx >> i) & 1) << (2 * i)
+            z |= ((qy >> i) & 1) << (2 * i + 1)
+        return z >> 28  # 32 z-bits, 16 buckets
+    got = {
+        (r.eid): r.zbucket for r in back.select("eid", "zbucket").collect()
+    }
+    for eid, x, y in rows:
+        assert got[eid] == bucket_of(x, y), (eid, x, y)
+
+
+def test_rowgroup_stats_and_skip_fraction(spark, tmp_path):
+    """Footer stats drive real pruning: a z-ordered layout skips most
+    row groups on a narrow range over EITHER dimension, while a
+    single-dimension sort only prunes its own column."""
+    rows = [(i, i % 199, (i * 57) % 211) for i in range(20000)]
+    df = spark.createDataFrame(rows, "eid long, x long, y long")
+    zpath = str(tmp_path / "z")
+    lay.write_zordered(df, zpath, "x", "y", bits=16, n_buckets=16)
+    xpath = str(tmp_path / "xsort")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        xpath
+    )
+
+    zstats = lay.parquet_rowgroup_stats(zpath, ["x", "y"])
+    xstats = lay.parquet_rowgroup_stats(xpath, ["x", "y"])
+    assert sum(r["n_rows"] for r in zstats) == 20000
+    # a ~10%-of-domain range on each dim
+    zx = lay.skip_fraction(zstats, "x", 10, 29)
+    zy = lay.skip_fraction(zstats, "y", 10, 30)
+    xx = lay.skip_fraction(xstats, "x", 10, 29)
+    xy = lay.skip_fraction(xstats, "y", 10, 30)
+    assert xx > 0.5          # the sorted dim prunes
+    assert xy == 0.0         # the unsorted dim cannot
+    assert zx > 0.4 and zy > 0.4  # z-order prunes BOTH dims
+    # conservative touch when stats are missing
+    broken = [dict(r, x_min=None) for r in zstats]
+    assert lay.skip_fraction(broken, "x", 10, 29) == 0.0
