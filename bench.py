@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "dedup_containment_pairs",
     "passjoin_doc_prefix_pairs",
+    # round-7: measured dispatch + the z-order write path
+    "fuzzy_linkage_auto_dispatch",
+    "zorder_write_audit",
 ]
 
 

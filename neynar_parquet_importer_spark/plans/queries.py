@@ -3624,6 +3624,48 @@ def fuzzy_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_linkage_auto_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURED blocked-vs-PassJoin dispatch as a first-class query
+    (``linkage.auto_pairs``): decide_pairs_strategy compares the exact
+    block-pair budget against a sampled estimate of PassJoin candidates
+    (both in the shared candidate-pair currency), runs the cheaper
+    side, and — because both operators are EXACT edit-distance joins —
+    the result is strategy-independent: the oracle is the same
+    all-pairs twin as fuzzy_customer_linkage, so the gate value-checks
+    that dispatch can never change answers, only cost. On this
+    zero-padded low-entropy corpus the blocked side wins (segments
+    collide corpus-wide; plan-pinned in tests/test_linkage_dispatch)."""
+    clean = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("substr(c_name, 10)").alias("c_suffix"),
+    )
+    dirty = _dirty_customers(spark, sf_dir).select(
+        "d_key",
+        "c_nationkey",
+        F.expr("substr(d_name, 10)").alias("d_suffix"),
+    )
+    pairs = lk.auto_pairs(
+        dirty,
+        clean,
+        block_cols=["c_nationkey"],
+        left_id="d_key",
+        right_id="c_custkey",
+        left_text="d_suffix",
+        right_text="c_suffix",
+        max_distance=2,
+    )
+    return (
+        pairs.groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("d_key").alias("dirty_checksum"),
+            F.sum("c_custkey").alias("clean_checksum"),
+        )
+        .orderBy("distance")
+    )
+
+
 def linkage_self_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linkage resolution quality: per dirty record keep the best match
     (min distance, then min clean key — deterministic), then measure how
@@ -3808,6 +3850,7 @@ QUERIES = {
     "user_scd2_type_history": user_scd2_type_history,
     "orders_quality_audit": orders_quality_audit,
     "fuzzy_customer_linkage": fuzzy_customer_linkage,
+    "fuzzy_linkage_auto_dispatch": fuzzy_linkage_auto_dispatch,
     "linkage_self_match_rate": linkage_self_match_rate,
     "khop_supplier_reach": khop_supplier_reach,
     "event_value_quantile_hist": event_value_quantile_hist,
@@ -6568,6 +6611,8 @@ ORACLE_SQL["fuzzy_customer_linkage"] = _LINKAGE_CTE + """
            sum(c_custkey) AS clean_checksum
     FROM pairs GROUP BY 1 ORDER BY 1
 """
+
+ORACLE_SQL["fuzzy_linkage_auto_dispatch"] = ORACLE_SQL["fuzzy_customer_linkage"]
 
 ORACLE_SQL["linkage_self_match_rate"] = _LINKAGE_CTE + """
     , best AS (
