@@ -184,9 +184,10 @@ BENCH_QUERIES = [
     "hybrid_rrf_topk",
     "dedup_containment_pairs",
     "passjoin_doc_prefix_pairs",
-    # round-7: measured dispatch + the z-order write path
+    # round-7: measured dispatch, the z-order write path, batch ANN
     "fuzzy_linkage_auto_dispatch",
     "zorder_write_audit",
+    "embedding_ivf_knn_join",
 ]
 
 

@@ -3236,6 +3236,27 @@ def zorder_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lay.zorder_profile(q, "qx", "qy", bits=16, n_buckets=64)
 
 
+def embedding_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN retrieval (``similarity.ivf_knn_join``): top-10 corpus
+    neighbors for each of eight query vectors, searching only each
+    query's nprobe=4 of 16 IVF cells — the index-accelerated form of
+    embedding_knn_join (hard-negative mining / retrieval eval at 100 TB
+    runs THIS shape: candidates are |Q| * n * nprobe/n_centroids
+    instead of |Q| * n). Centroids are a deterministic function of the
+    corpus sample, so the whole pipeline — assignment ties to the
+    higher cell, probe selection, pruned cosine, (cos desc, neighbor
+    asc) ranking — replays as generated DuckDB SQL with the centroid
+    literals embedded (build_artifact_oracles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sim.ivf_centroids(emb, n_centroids=16)
+    return sim.ivf_knn_join(
+        emb, queries, k=10, centroids=cents, nprobe=4
+    )
+
+
 def zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order WRITE path end-to-end (``layout.write_zordered``):
     events (user_id, event time) are quantized, Morton-interleaved, cut
@@ -3819,6 +3840,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "embedding_ivf_knn_join": embedding_ivf_knn_join,
     "embedding_pq_topk": embedding_pq_topk,
     "embedding_semdedup": embedding_semdedup,
     "embedding_knn_join": embedding_knn_join,
@@ -6924,6 +6946,66 @@ def _kmeans_profile_oracle_sql(sf_dir: str) -> str:
 _ARTIFACT_ORACLE_CACHE: dict[tuple, dict[str, str]] = {}
 
 
+def _ivf_knn_join_oracle_sql(sf_dir: str) -> str:
+    """Generated oracle for embedding_ivf_knn_join: centroids embed as
+    DOUBLE[] literals (spherical_kmeans_core — the identical numpy
+    trainer), then DuckDB replays per-query probe selection (dot DESC,
+    cid DESC, nprobe=4), corpus assignment (argmax dot, ties to the
+    higher cid), the pruned cosine, and the per-query (cos desc,
+    neighbor asc) top-10 — a full value-check of the batch ANN join."""
+    cents = sim.spherical_kmeans_core(_oracle_embeddings(sf_dir, limit=2048), 16)
+    values = ",\n            ".join(
+        f"({i}, {cents[i]!r}::DOUBLE[])" for i in range(len(cents))
+    )
+    return f"""
+        WITH cents(cid, c) AS (VALUES
+            {values}
+        ), e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+        ), probe AS (
+            SELECT query_id, cid, qv FROM (
+                SELECT q.query_id, cents.cid, q.qv,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(cents.c, q.qv) DESC,
+                                    cents.cid DESC) AS rn
+                FROM q CROSS JOIN cents
+            ) WHERE rn <= 4
+        ), assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, cents.c) DESC,
+                                    cents.cid DESC) AS rn
+                FROM e CROSS JOIN cents
+            ) WHERE rn = 1
+        ), cand AS (
+            SELECT probe.query_id, e.vec_id AS neighbor_id,
+                   CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(probe.qv, probe.qv)) > 0
+                        THEN list_dot_product(e.v, probe.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(probe.qv, probe.qv)))
+                        ELSE 0.0 END AS cos_raw
+            FROM e
+            JOIN assigned USING (vec_id)
+            JOIN probe ON assigned.cid = probe.cid
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_raw DESC, neighbor_id) AS rnk
+            FROM cand
+        ) WHERE rnk <= 10
+        ORDER BY query_id, rnk
+    """
+
+
 def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
     """Oracle SQL for the four index-probe queries whose twins embed
     corpus-derived artifacts (hyperplane tables, IVF centroids, PQ
@@ -6946,6 +7028,7 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
         _ARTIFACT_ORACLE_CACHE[key] = {
             "embedding_lsh_topk": _lsh_topk_oracle_sql(sf_dir),
             "embedding_ivf_topk": _ivf_topk_oracle_sql(sf_dir),
+            "embedding_ivf_knn_join": _ivf_knn_join_oracle_sql(sf_dir),
             "embedding_pq_topk": _pq_topk_oracle_sql(sf_dir),
             "embedding_near_dup_lsh": _lsh_pairs_oracle_sql(sf_dir),
             "kmeans_corpus_clusters": _kmeans_oracle_sql(sf_dir),

@@ -89,6 +89,7 @@ FAMILY_QUERIES = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_pq_topk",
+    "embedding_ivf_knn_join",
     # corpus analysis family
     "doc_novelty",
     "passage_dedup_docs",

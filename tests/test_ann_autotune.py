@@ -117,3 +117,45 @@ def test_sq8_int_rerank_shortlist(clustered):
     )
     with pytest.raises(ValueError, match="rerank"):
         sim.sq8_topk(clustered, qdf, k=10, rerank=3)
+
+
+def test_ivf_knn_join_matches_exact_on_clustered(clustered):
+    """Batch IVF retrieval on the clustered corpus: with enough probes
+    the result IS the exact knn_join; with few probes recall stays high
+    because neighborhoods live inside one cell."""
+    queries = clustered.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sim.ivf_centroids(clustered, n_centroids=12)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_join(clustered, queries, k=10).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_knn_join(
+            clustered, queries, k=10, centroids=cents, nprobe=12
+        ).collect()
+    }
+    assert full == exact  # all cells probed -> exact
+    few = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_knn_join(
+            clustered, queries, k=10, centroids=cents, nprobe=2
+        ).collect()
+    }
+    assert len(few & exact) / len(exact) >= 0.8
+
+
+def test_ivf_knn_join_plan_probes_broadcast(clustered):
+    """The probe frame (|Q| * nprobe rows) must broadcast into the cell
+    join — the corpus side never shuffles on the join key."""
+    queries = clustered.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sim.ivf_centroids(clustered, n_centroids=12)
+    df = sim.ivf_knn_join(clustered, queries, k=5, centroids=cents, nprobe=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
