@@ -406,8 +406,15 @@ def decide_pairs_strategy(
     d_l = max(1, n_l // sample_target)
     d_r = max(1, n_r // sample_target)
     blocks = list(block_cols or [])
+    # SALTED sampler hash: callers (the sf1 A/B, any pre-sliced corpus)
+    # may themselves select rows by pmod(xxhash64(id), k) — composing a
+    # second unsalted xxhash64 with that is CORRELATED, not independent
+    # (P(h%15==0 | h%5==0) = 1/3, not 1/15), which inflated a sliced
+    # estimate 25x before the salt. xxhash64 over (salt, id) is
+    # independent of xxhash64 over (id) for sampling purposes.
     l_s = left.filter(
-        F.pmod(F.xxhash64(F.col(left_id)), F.lit(d_l)) == 0
+        F.pmod(F.xxhash64(F.lit("dps-sample"), F.col(left_id)), F.lit(d_l))
+        == 0
     ).select(
         *blocks,
         F.col(left_id).alias("_lid"),
@@ -415,7 +422,8 @@ def decide_pairs_strategy(
         F.length(left_text).alias("_llen"),
     )
     r_s = right.filter(
-        F.pmod(F.xxhash64(F.col(right_id)), F.lit(d_r)) == 0
+        F.pmod(F.xxhash64(F.lit("dps-sample"), F.col(right_id)), F.lit(d_r))
+        == 0
     ).select(
         *blocks,
         F.col(right_id).alias("_rid"),

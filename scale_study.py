@@ -495,6 +495,14 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         "decision_matches_faster": (
             (dec_low["strategy"] == "blocked") == (tb <= tp_proj)
         ),
+        "note": (
+            "at sf1 the two strategies converge in this regime (both do"
+            " ~9e8 candidate-pair units); the dispatch's 2x overhead"
+            " factor breaks the near-tie toward blocked, which is also"
+            " the memory-safe side — blocked streams the cross-product"
+            " through the join while passjoin materializes candidates"
+            " through a distinct (OOM at 8g measured above)"
+        ),
     }
 
     # ---- high-entropy: doc prefixes, unblocked -------------------------

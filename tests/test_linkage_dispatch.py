@@ -144,3 +144,37 @@ def test_estimator_is_scale_consistent(spark):
     )
     exact = lk._passjoin_candidates(l, r, 2, []).count()
     assert decision["passjoin_est_candidates"] == exact
+
+
+def test_estimator_unbiased_on_presliced_corpus(spark):
+    """Regression (round 7): the dispatch sampler must stay unbiased
+    when the INPUT was itself selected by an unsalted xxhash64 slice —
+    before the sampler hash was salted, pmod(xxhash64(id), d) composed
+    with an outer pmod(xxhash64(id), k) slice was correlated
+    (P(h%d==0 | h%k==0) = k/d, not 1/d) and a sliced estimate came out
+    25x high. With the salt, the estimate on a 1/3 slice must land
+    within a small factor of the slice's exact candidate count."""
+    d, c = _high_entropy(spark, n=900, seed=23)
+    d_sl = d.filter(F.pmod(F.xxhash64("did"), F.lit(3)) == 0)
+    c_sl = c.filter(F.pmod(F.xxhash64("cid"), F.lit(3)) == 0)
+    n_dsl, n_csl = d_sl.count(), c_sl.count()
+    decision = lk.decide_pairs_strategy(
+        d_sl, c_sl, [], "did", "cid", "dname", "cname", 2,
+        sample_target=max(n_dsl, n_csl) // 3,
+    )
+    l = d_sl.select(
+        F.col("did").alias("_lid"),
+        F.col("dname").alias("_ltxt"),
+        F.length("dname").alias("_llen"),
+    )
+    r = c_sl.select(
+        F.col("cid").alias("_rid"),
+        F.col("cname").alias("_rtxt"),
+        F.length("cname").alias("_rlen"),
+    )
+    exact = lk._passjoin_candidates(l, r, 2, []).count()
+    est = decision["passjoin_est_candidates"]
+    # a 3x3 sub-sample of ~100 true matches is noisy, but nowhere near
+    # the 9x systematic inflation the correlated hash produced
+    assert est <= exact * 4, (est, exact)
+    assert est >= exact / 4, (est, exact)
