@@ -1422,7 +1422,12 @@ def ivf_knn_join(
 
     Recall follows the single-query IVF story (tune nprobe via
     :func:`tune_topk_index` — on clustered corpora small nprobe
-    suffices; on structureless ones no sublinear index helps)."""
+    suffices; on structureless ones no sublinear index helps).
+
+    Unlike :func:`knn_join` (which must collect the query matrix and
+    therefore raises on an empty query frame), this join never moves
+    queries to the driver — an empty query frame yields an empty
+    result, the natural semantics of a fully plan-side operator."""
     import json
 
     if centroids is None:

@@ -48,6 +48,17 @@ Round 6 additions (r5 verdict tasks #6/#7):
   cos>=0.9 vs the exact blocked scan — the empirical row for the
   auto-plane/auto-table rule's >=0.98-recall design point.
 
+Round 7 additions (r6 verdict tasks #1/#2/#4/#6):
+
+- **--clustered-recall**: recall-targeted auto-tuning of all four ANN
+  index families on a generated clustered corpus (the regime where the
+  indexes earn their keep) — checks.ann_recall_clustered;
+- **--linkage-ab**: PassJoin-vs-blocked A/B at sf1 on both key regimes
+  with dispatch verdicts — checks.linkage_ab_sf1;
+- **--zorder-skip**: row-group skip ratios of the z-order write path vs
+  single-column-sorted and unsorted layouts — checks.zorder_skip_sf1;
+- the linkage pair queries join the measured sf0.1->sf1 exponent list.
+
 Writes BENCH_SCALING.json at the repo root (tracked — this is the
 recorded evidence) and a copy of the generated corpus under
 $SPARK_GRAFT_SF1_DIR (default /tmp/sf1, scratch).
