@@ -1484,3 +1484,72 @@ def ivf_knn_join(
             "rnk",
         )
     )
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the ANN corpus partitioned by its IVF cell — the
+    at-rest layout every probe-style function in this module keeps
+    promising ("write the corpus partitioned by the bucket and probes
+    become partition pruning"), made physical. One ``ivf_cell=<i>/``
+    directory per cell (the write shuffles once on the cell id so each
+    directory is one file per write), float vectors stored inside.
+
+    At 100 TB this is the difference between an index and a scan: a
+    query's nprobe cells are a LISTING-level filter — files for the
+    other n_centroids - nprobe cells are never opened (see
+    :func:`ivf_topk_partitioned`, plan-pinned in tests). Pair with
+    :func:`tune_topk_index` to size nprobe for a recall target, and
+    retrain/rewrite when the corpus drifts (centroids are layout, like
+    the lake sink's n_buckets)."""
+    (
+        df.withColumn("ivf_cell", ivf_assign(vec_col, centroids))
+        .repartition(F.col("ivf_cell"))
+        .write.mode(mode)
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    centroids: Sequence[Sequence[float]] | None = None,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_ivf_partitioned` corpus:
+    the nprobe nearest cells are computed driver-side (n_centroids dot
+    products on one vector) and applied as an ``isin`` filter on the
+    PARTITION column, so pruning happens at file listing — the scan
+    never opens the other cells' files (``PartitionFilters`` in the
+    plan, pinned by test). Same probe selection and tie rules as
+    :func:`ivf_topk`; results are identical on the same corpus and
+    centroids."""
+    import math as _math
+
+    if centroids is None:
+        raise ValueError(
+            "centroids are layout for a partitioned corpus — pass the "
+            "same list write_ivf_partitioned used"
+        )
+    qn = _math.sqrt(sum(float(v) ** 2 for v in query_vec)) or 1.0
+    scored = sorted(
+        (
+            sum(float(a) * float(b) for a, b in zip(query_vec, c)) / qn,
+            i,
+        )
+        for i, c in enumerate(centroids)
+    )
+    probe = [i for _, i in scored[-nprobe:]]
+    pruned = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probe))
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
