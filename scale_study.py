@@ -418,6 +418,31 @@ def clustered_recall_checks(spark, clustered_dir: str) -> dict:
     return out
 
 
+def ann_recall_tuned_checks(spark, sf1_dir: str) -> dict:
+    """tune_topk_index on the UNIFORM sf1 corpus — the worst-case
+    counterpart of the clustered block, separating the two failure
+    modes the raw ann_recall_sf1 rows conflate:
+
+    - PQ/SQ8 lose recall to QUANTIZATION error while scanning every
+      code — the exact-rerank dial recovers it even here (recall -> 1
+      as R grows, float reads stay R rows);
+    - LSH/IVF lose recall to PRUNING — on structureless vectors the
+      true top-k spreads uniformly over cells, so no probe set short of
+      a large scan fraction can meet the target, and the tuner must
+      report that honestly (met only at a large scan_frac, or not at
+      all) rather than fake a pass."""
+    from neynar_parquet_importer_spark.operators import similarity as sim
+    from neynar_parquet_importer_spark.plans.queries import _t
+
+    emb = _t(spark, sf1_dir, "embeddings")
+    out: dict = {"corpus": "uniform sf1 embeddings (worst case)"}
+    for fam in ("pq", "sq8", "lsh", "ivf"):
+        out[fam] = sim.tune_topk_index(
+            emb, fam, k=20, target_recall=0.8, n_val_queries=10
+        )
+    return out
+
+
 def linkage_ab_checks(spark, sf1_dir: str) -> dict:
     """PassJoin-vs-blocked A/B at sf1 on both key regimes (r6 verdict
     #2/#4) — the measured row behind linkage.py's crossover doc and
@@ -1086,6 +1111,27 @@ if __name__ == "__main__":
         checks = payload.setdefault("checks", {})
         checks["ann_recall_sf1"] = block
         checks["ann_recall_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
+    elif sys.argv[1:2] == ["--ann-recall-tuned"]:
+        # incremental checks run: the tuner on the uniform worst case
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit("--ann-recall-tuned needs an existing BENCH_SCALING.json")
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-ann-recall-tuned",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = ann_recall_tuned_checks(spark, SF1_DIR)
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["ann_recall_sf1_tuned"] = block
+        checks["ann_recall_sf1_tuned_run_at"] = time.strftime("%Y%m%dT%H%M%S")
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))

@@ -38,6 +38,7 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
     assert missing == {
         "embedding_lsh_topk",
         "embedding_ivf_topk",
+        "embedding_ivf_knn_join",
         "embedding_pq_topk",
         "embedding_near_dup_lsh",
         "kmeans_corpus_clusters",
