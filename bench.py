@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "stratified_sample_by_lang",
     "domain_capped_sample",
     "contamination_vs_benchmark",
+    "kmv_distinct_buyers_per_segment",
+    "kmv_returnflag_part_overlap",
     "top_trigrams",
     "tfidf_top_terms",
     "token_count_histogram",

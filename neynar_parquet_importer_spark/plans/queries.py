@@ -7430,3 +7430,163 @@ ORACLE_SQL["passjoin_doc_prefix_pairs"] = f"""
            sum(c_id) AS clean_checksum
     FROM pairs GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches: distinct estimates + set overlap
+# ---------------------------------------------------------------------------
+
+def kmv_distinct_buyers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-buyer estimate per market segment next to the exact
+    count — the bounded-shuffle path (``n_groups x k`` rows) a 100 TB
+    pipeline uses when the exact distinct is too wide, with the exact
+    count retained here as the in-query quality evidence. Sketch
+    membership and ranks are md5-integer-exact; the lone float is the
+    reported estimate (operators/kmv.py)."""
+    from ..operators import kmv as kv
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    buyers = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("segment", "o_custkey")
+    sk = kv.kmv_sketch(buyers, "o_custkey", ["segment"], k=64, seed="kmvq")
+    est = kv.kmv_estimate(sk, ["segment"], k=64)
+    exact = buyers.groupBy("segment").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        est.join(exact, "segment")
+        .select(
+            "segment",
+            "n_sketch",
+            F.round("est", 4).alias("est"),
+            "n_exact",
+        )
+        .orderBy("segment")
+    )
+
+
+def kmv_returnflag_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard / union / intersection estimates between the
+    distinct-part sets of every return-flag pair, computed from per-flag
+    KMV sketches ALONE — the sketch-only answer to "how much do these
+    segments' vocabularies overlap" that drives corpus-mixture dedup
+    budgeting without a second pass over the data (operators/kmv.py)."""
+    from ..operators import kmv as kv
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_partkey"
+    )
+    sk = kv.kmv_sketch(li, "l_partkey", ["flag"], k=64, seed="kmvp")
+    ov = kv.kmv_pair_overlap(sk, "flag", k=64)
+    return ov.select(
+        "g1",
+        "g2",
+        "n_union_sketch",
+        "n_both",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("union_est", 4).alias("union_est"),
+        F.round("intersection_est", 4).alias("intersection_est"),
+    ).orderBy("g1", "g2")
+
+
+QUERIES["kmv_distinct_buyers_per_segment"] = kmv_distinct_buyers_per_segment
+QUERIES["kmv_returnflag_part_overlap"] = kmv_returnflag_part_overlap
+
+
+def _kmv_hash_sql(key_expr: str, seed: str) -> str:
+    from ..operators.kmv import kmv_hash_sql
+
+    return kmv_hash_sql(key_expr, seed)
+
+
+ORACLE_SQL["kmv_distinct_buyers_per_segment"] = f"""
+    -- full KMV replay: distinct (segment, custkey), signed-64 md5 order,
+    -- k=64 smallest per segment, (k-1)/F_k estimate, exact count twin
+    WITH buyers AS (
+        SELECT DISTINCT c.c_mktsegment AS segment, o.o_custkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), hashed AS (
+        SELECT DISTINCT segment,
+               {_kmv_hash_sql('o_custkey', 'kmvq')} AS hv
+        FROM buyers
+    ), ranked AS (
+        SELECT segment, hv,
+               row_number() OVER (PARTITION BY segment ORDER BY hv) AS rn
+        FROM hashed
+    ), sk AS (
+        SELECT * FROM ranked WHERE rn <= 64
+    ), est AS (
+        SELECT segment,
+               count(*) AS n_sketch,
+               max(CASE WHEN rn = 64 THEN
+                   (CAST(hv AS DOUBLE) + 9223372036854775808.0)
+                   / 18446744073709551616.0 END) AS fk
+        FROM sk GROUP BY segment
+    ), exact AS (
+        SELECT segment, count(DISTINCT o_custkey) AS n_exact
+        FROM buyers GROUP BY segment
+    )
+    SELECT e.segment,
+           e.n_sketch,
+           round(CASE WHEN e.n_sketch < 64 THEN CAST(e.n_sketch AS DOUBLE)
+                      ELSE 63.0 / e.fk END, 4) AS est,
+           x.n_exact
+    FROM est e JOIN exact x ON e.segment = x.segment
+    ORDER BY e.segment
+"""
+
+ORACLE_SQL["kmv_returnflag_part_overlap"] = f"""
+    -- full KMV overlap replay: per-mode k=64 sketches, pairwise union
+    -- re-rank, presence flags from the retained sketches, Beyer et al.
+    -- jaccard/union/intersection estimators
+    WITH hashed AS (
+        SELECT DISTINCT l_returnflag AS mode,
+               {_kmv_hash_sql('l_partkey', 'kmvp')} AS hv
+        FROM lineitem
+    ), ranked AS (
+        SELECT mode, hv,
+               row_number() OVER (PARTITION BY mode ORDER BY hv) AS rn
+        FROM hashed
+    ), sk AS (
+        SELECT * FROM ranked WHERE rn <= 64
+    ), modes AS (
+        SELECT DISTINCT mode FROM sk
+    ), expanded AS (
+        SELECT s.mode AS g1, m.mode AS g2, s.hv,
+               1 AS in_a, 0 AS in_b
+        FROM sk s JOIN modes m ON s.mode < m.mode
+        UNION ALL
+        SELECT m.mode AS g1, s.mode AS g2, s.hv,
+               0 AS in_a, 1 AS in_b
+        FROM sk s JOIN modes m ON s.mode > m.mode
+    ), merged AS (
+        SELECT g1, g2, hv, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM expanded GROUP BY g1, g2, hv
+    ), union_sk AS (
+        SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS urn
+        FROM merged
+    ), agg AS (
+        SELECT g1, g2,
+               count(*) AS n_union_sketch,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both,
+               max(CASE WHEN urn = 64 THEN
+                   (CAST(hv AS DOUBLE) + 9223372036854775808.0)
+                   / 18446744073709551616.0 END) AS fk
+        FROM union_sk WHERE urn <= 64
+        GROUP BY g1, g2
+    )
+    SELECT g1, g2, n_union_sketch, n_both,
+           round(CAST(n_both AS DOUBLE) / n_union_sketch, 6) AS jaccard_est,
+           round(CASE WHEN n_union_sketch < 64
+                      THEN CAST(n_union_sketch AS DOUBLE)
+                      ELSE 63.0 / fk END, 4) AS union_est,
+           round((CAST(n_both AS DOUBLE) / n_union_sketch)
+                 * (CASE WHEN n_union_sketch < 64
+                         THEN CAST(n_union_sketch AS DOUBLE)
+                         ELSE 63.0 / fk END), 4) AS intersection_est
+    FROM agg ORDER BY g1, g2
+"""
