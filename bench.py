@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "contamination_vs_benchmark",
     "kmv_distinct_buyers_per_segment",
     "kmv_returnflag_part_overlap",
+    "lm_surprising_docs",
+    "lm_source_perplexity",
     "top_trigrams",
     "tfidf_top_terms",
     "token_count_histogram",
@@ -211,6 +213,7 @@ _FAMILY_PREFIXES = [
     ("quality_classifier_", "text"),
     ("text_", "text"),
     ("lang_", "lang"),
+    ("lm_", "text"),
     ("contrastive_", "contrastive"),
     ("pretrain_", "pretrain"),
     ("graph_", "graph"),

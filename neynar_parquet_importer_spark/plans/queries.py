@@ -7590,3 +7590,89 @@ ORACLE_SQL["kmv_returnflag_part_overlap"] = f"""
                          ELSE 63.0 / fk END), 4) AS intersection_est
     FROM agg ORDER BY g1, g2
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM scoring (CCNet-style perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+def lm_surprising_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The high-perplexity tail a CCNet-style curation pass cuts: top 15
+    documents by average negative log-probability under the
+    corpus-trained add-k bigram model (operators/lm.py). Ranking uses
+    the 6-decimal ROUNDED score with doc_id as the tiebreak, so the
+    selection boundary is engine-stable (a raw-float order could flip
+    on sub-ulp ln/mean differences; the rounded order can't unless the
+    rounding itself straddles a boundary — the accepted twin risk)."""
+    from ..operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm.doc_nll(docs, "text", "doc_id", k_smooth=0.5)
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            F.round("nll", 6).alias("nll"),
+        )
+        .orderBy(F.col("nll").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+def lm_source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model perplexity per source — the per-domain quality
+    signal a mixture scheduler weighs against size: documents scored by
+    the shared bigram model, averaged within source, exponentiated to
+    perplexity (operators/lm.py)."""
+    from ..operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm.doc_nll(docs, "text", "doc_id", k_smooth=0.5)
+    joined = scored.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["lm_surprising_docs"] = lm_surprising_docs
+QUERIES["lm_source_perplexity"] = lm_source_perplexity
+
+
+def _lm_ctes() -> str:
+    from ..operators.lm import bigram_nll_sql
+
+    return bigram_nll_sql("documents", "text", "doc_id", k_smooth=0.5)
+
+
+ORACLE_SQL["lm_surprising_docs"] = (
+    _lm_ctes()
+    + """
+    SELECT id AS doc_id, n_bigrams, round(nll, 6) AS nll
+    FROM scored
+    ORDER BY round(nll, 6) DESC, id
+    LIMIT 15
+"""
+)
+
+ORACLE_SQL["lm_source_perplexity"] = (
+    _lm_ctes()
+    + """
+    SELECT d.source,
+           count(*) AS n_docs,
+           sum(s.n_bigrams) AS n_bigrams,
+           round(avg(s.nll), 6) AS avg_nll,
+           round(exp(avg(s.nll)), 4) AS perplexity
+    FROM scored s JOIN documents d ON s.id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+)
