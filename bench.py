@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "kmv_returnflag_part_overlap",
     "lm_surprising_docs",
     "lm_source_perplexity",
+    "pca_label_compression",
+    "pca_component_variance",
     "top_trigrams",
     "tfidf_top_terms",
     "token_count_histogram",
@@ -200,6 +202,7 @@ _TPCH_RE = re.compile(r"^q\d+_")
 _FAMILY_PREFIXES = [
     ("embedding_", "embedding"),
     ("kmeans_", "embedding"),
+    ("pca_", "embedding"),
     ("dedup_", "dedup"),
     # the two round-6 cluster ops only: split_leakage_pairs predates the
     # family map and stays 'relational' so cross-round subtotal diffs of

@@ -7033,6 +7033,8 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             "embedding_near_dup_lsh": _lsh_pairs_oracle_sql(sf_dir),
             "kmeans_corpus_clusters": _kmeans_oracle_sql(sf_dir),
             "kmeans_domain_profile": _kmeans_profile_oracle_sql(sf_dir),
+            "pca_label_compression": _pca_label_oracle_sql(sf_dir),
+            "pca_component_variance": _pca_variance_oracle_sql(sf_dir),
         }
         # the PageRank replay reads the relational tables, which planted
         # test corpora (embeddings-only dirs) don't carry — per-file gate
@@ -7676,3 +7678,163 @@ ORACLE_SQL["lm_source_perplexity"] = (
     ORDER BY d.source
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# PCA embedding compression (trained-artifact family, like IVF/PQ/kmeans)
+# ---------------------------------------------------------------------------
+
+_PCA_MODEL_CACHE: dict[tuple, tuple] = {}
+_PCA_M = 4
+_PCA_SAMPLE = 2048
+
+
+def _pca_model_cached(emb: DataFrame, sf_dir: str):
+    from ..operators import pca as pc
+
+    key = _emb_cache_key(sf_dir)
+    if key not in _PCA_MODEL_CACHE:
+        _PCA_MODEL_CACHE[key] = pc.pca_fit(
+            emb, _PCA_M, sample_size=_PCA_SAMPLE
+        )
+    return _PCA_MODEL_CACHE[key]
+
+
+def pca_label_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-rank compression quality per label: squared reconstruction
+    error of the 4-component PCA basis, averaged within each embedding
+    label — the per-domain signal that says which corpus slices a
+    compressed index represents faithfully. Basis trained driver-side on
+    the deterministic id-ordered sample (the IVF-artifact discipline);
+    the scan-side error uses the orthonormal identity
+    ``||x-mean||^2 - sum p_i^2`` as pure Column folds
+    (operators/pca.py)."""
+    from ..operators import pca as pc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _eigs, _evr = _pca_model_cached(emb, sf_dir)
+    scored = pc.reconstruction_error(emb, mean, comps)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("err"), 6).alias("avg_err"),
+        )
+        .orderBy("label")
+    )
+
+
+def pca_component_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized variance along each trained component over the FULL
+    corpus next to the sample eigenvalue and explained-variance ratio —
+    the drift check between the persisted basis and the data it now
+    serves (sample == corpus at gate scale, so realized ≈ eigenvalue;
+    at 100 TB the gap is the retrain signal)."""
+    from ..operators import pca as pc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, eigs, evr = _pca_model_cached(emb, sf_dir)
+    pr = pc.project(emb, mean, comps)
+    agg = pr.agg(
+        *[
+            F.avg(F.col(f"p{i}") * F.col(f"p{i}")).alias(f"v{i}")
+            for i in range(len(comps))
+        ]
+    )
+    stacked = agg.selectExpr(
+        "stack({n}, {args}) as (component, realized_var)".format(
+            n=len(comps),
+            args=", ".join(f"{i}, v{i}" for i in range(len(comps))),
+        )
+    )
+    model = F.create_map(
+        *[
+            x
+            for i in range(len(comps))
+            for x in (F.lit(i), F.array(F.lit(eigs[i]), F.lit(evr[i])))
+        ]
+    )
+    return (
+        stacked.select(
+            "component",
+            F.round("realized_var", 6).alias("realized_var"),
+            F.round(model[F.col("component")][0], 6).alias("eigenvalue"),
+            F.round(model[F.col("component")][1], 6).alias("evr"),
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES["pca_label_compression"] = pca_label_compression
+QUERIES["pca_component_variance"] = pca_component_variance
+
+
+def _pca_model_for_oracle(sf_dir: str):
+    from ..operators.pca import pca_core
+
+    return pca_core(_oracle_embeddings(sf_dir, limit=_PCA_SAMPLE), _PCA_M)
+
+
+def _pca_err_expr(mean, comps) -> str:
+    """The exact Spark-side error expression in DuckDB list arithmetic:
+    same literals, same association order."""
+    import numpy as _np
+
+    from ..operators.pca import comp_sql, mean_sql
+
+    mm = float(_np.dot(_np.asarray(mean), _np.asarray(mean)))
+    p_terms = []
+    for c in comps:
+        md = float(_np.dot(_np.asarray(mean), _np.asarray(c)))
+        p_terms.append(
+            f"(list_dot_product(d, {comp_sql(c)}) - ({md!r}))"
+        )
+    proj2 = " + ".join(f"{p} * {p}" for p in p_terms)
+    return (
+        f"list_dot_product(d, d) - 2.0 * list_dot_product(d, {mean_sql(mean)})"
+        f" + ({mm!r}) - ({proj2})"
+    )
+
+
+def _pca_label_oracle_sql(sf_dir: str) -> str:
+    mean, comps, _eigs, _evr = _pca_model_for_oracle(sf_dir)
+    return f"""
+        WITH e AS (
+            SELECT label, embedding::DOUBLE[] AS d FROM embeddings
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg({_pca_err_expr(mean, comps)}), 6) AS avg_err
+        FROM e GROUP BY label ORDER BY label
+    """
+
+
+def _pca_variance_oracle_sql(sf_dir: str) -> str:
+    import numpy as _np
+
+    from ..operators.pca import comp_sql
+
+    mean, comps, eigs, evr = _pca_model_for_oracle(sf_dir)
+    rows = []
+    for i, c in enumerate(comps):
+        md = float(_np.dot(_np.asarray(mean), _np.asarray(c)))
+        rows.append(
+            f"({i}, {comp_sql(c)}, {md!r}, {eigs[i]!r}, {evr[i]!r})"
+        )
+    values = ",\n            ".join(rows)
+    return f"""
+        WITH model(i, c, mdotc, eig, evr) AS (VALUES
+            {values}
+        ), proj AS (
+            SELECT m.i,
+                   (list_dot_product(e.embedding::DOUBLE[], m.c) - m.mdotc)
+                     AS p
+            FROM embeddings e CROSS JOIN model m
+        )
+        SELECT CAST(p.i AS INTEGER) AS component,
+               round(avg(p.p * p.p), 6) AS realized_var,
+               round(any_value(m.eig), 6) AS eigenvalue,
+               round(any_value(m.evr), 6) AS evr
+        FROM proj p JOIN model m ON p.i = m.i
+        GROUP BY p.i ORDER BY component
+    """

@@ -43,6 +43,8 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "embedding_near_dup_lsh",
         "kmeans_corpus_clusters",
         "kmeans_domain_profile",
+        "pca_label_compression",
+        "pca_component_variance",
         "pagerank_supplier_rank",
         "lpa_supplier_communities",
         "kcore_supplier_stats",
