@@ -449,3 +449,53 @@ def test_near_dup_fold_through_readstream(spark, tmp_path):
         )
     )
     assert gb == wb
+
+
+def test_kmv_fold_through_readstream(spark, tmp_path):
+    from neynar_parquet_importer_spark.streaming.kmv_distinct import (
+        kmv_fold_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("k", T.LongType()),
+    ])
+    batches = [
+        [("a", i) for i in range(50)] + [("b", i) for i in range(10)],
+        [("a", i) for i in range(25, 80)],
+        [("b", i) for i in range(5, 40)] + [("a", 0)],
+    ]
+    tables = [
+        pa.table({"g": [g for g, _ in b], "k": [k for _, k in b]})
+        for b in batches
+    ]
+    sink = LakeUpsertSink(
+        spark, str(tmp_path / "state"), ("g", "rn"), n_buckets=4
+    )
+    returned: list = []
+
+    def fold(batch_df, batch_id):
+        returned.append(
+            kmv_fold_batch(sink, batch_df, batch_id, "k", ["g"], k=32)
+            .collect()
+        )
+
+    _run_replay_scenario(spark, tmp_path, schema, tables, fold)
+    assert len(returned) == 4  # 3 batches + 1 replay, all consumed
+
+    ref = LakeUpsertSink(
+        spark, str(tmp_path / "ref"), ("g", "rn"), n_buckets=4
+    )
+    for epoch, b in enumerate(batches):
+        kmv_fold_batch(
+            ref, spark.createDataFrame(b, schema), epoch, "k", ["g"], k=32
+        )
+    got = sorted(
+        (r.g, r.rn, r.hv)
+        for r in sink.read().select("g", "rn", "hv").collect()
+    )
+    want = sorted(
+        (r.g, r.rn, r.hv)
+        for r in ref.read().select("g", "rn", "hv").collect()
+    )
+    assert got == want
