@@ -78,19 +78,25 @@ def kmv_sketch(
     group_cols: list[str] | None = None,
     k: int = 128,
     seed: str = "kmv",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """(group_cols..., hv, rn) — the k smallest distinct key hashes per
-    group, rank-numbered 1..k by (hv, then hv is already distinct).
+    group, rank-numbered 1..k by hv (hashes are distinct by build).
 
     Build shape: distinct on (group, key) — the only full-width shuffle,
-    already needed by any distinct-count — then hash and one window
-    ``row_number`` per group. Partial aggregation bounds what survives:
-    after the filter at most ``n_groups x k`` rows flow anywhere.
+    already needed by any distinct-count — then a SALTED two-phase
+    top-k: rank within (group, hv mod S) first and keep k per salt, so
+    no single task ever sorts a whole group's distinct set (a
+    ``Window.partitionBy(group)`` alone serializes each group through
+    one task — the thing that breaks at 100 TB with few groups); the
+    final per-group rank then runs over at most ``S x k`` survivors.
+    Exact: the global k smallest are each the k-or-better smallest of
+    their own salt bucket. After the filter at most ``n_groups x k``
+    rows flow anywhere.
     """
     group_cols = group_cols or []
     hv = kmv_hash(key_col, seed).alias("hv")
-    w = Window.partitionBy(*group_cols).orderBy("hv")
-    return (
+    hashed = (
         df.filter(F.col(key_col).isNotNull())
         .select(*group_cols, F.col(key_col))
         .distinct()
@@ -98,6 +104,14 @@ def kmv_sketch(
         # distinct keys can still collide to one hv (2^-64 per pair);
         # collapse so ranks are over distinct hashes, like the oracle
         .distinct()
+    )
+    w_salt = Window.partitionBy(*group_cols, "_salt").orderBy("hv")
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hashed.withColumn("_salt", F.pmod(F.col("hv"), F.lit(salt_buckets)))
+        .withColumn("_srn", F.row_number().over(w_salt))
+        .filter(F.col("_srn") <= k)
+        .drop("_salt", "_srn")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
