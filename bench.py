@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "lm_source_perplexity",
     "pca_label_compression",
     "pca_component_variance",
+    "bpe_learned_merges",
+    "bpe_token_compression",
     "top_trigrams",
     "tfidf_top_terms",
     "token_count_histogram",
@@ -217,6 +219,7 @@ _FAMILY_PREFIXES = [
     ("text_", "text"),
     ("lang_", "lang"),
     ("lm_", "text"),
+    ("bpe_", "text"),
     ("contrastive_", "contrastive"),
     ("pretrain_", "pretrain"),
     ("graph_", "graph"),

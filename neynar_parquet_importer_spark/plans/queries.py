@@ -7035,6 +7035,8 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             "kmeans_domain_profile": _kmeans_profile_oracle_sql(sf_dir),
             "pca_label_compression": _pca_label_oracle_sql(sf_dir),
             "pca_component_variance": _pca_variance_oracle_sql(sf_dir),
+            "bpe_learned_merges": _bpe_merges_oracle_sql(sf_dir),
+            "bpe_token_compression": _bpe_compression_oracle_sql(sf_dir),
         }
         # the PageRank replay reads the relational tables, which planted
         # test corpora (embeddings-only dirs) don't carry — per-file gate
@@ -7837,4 +7839,136 @@ def _pca_variance_oracle_sql(sf_dir: str) -> str:
                round(any_value(m.evr), 6) AS evr
         FROM proj p JOIN model m ON p.i = m.i
         GROUP BY p.i ORDER BY component
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (trained-artifact family; integer-exact replay)
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 12
+_BPE_SAMPLE = 1024
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_sample(docs: DataFrame) -> DataFrame:
+    return docs.orderBy("doc_id").limit(_BPE_SAMPLE)
+
+
+def _bpe_merges_cached(docs: DataFrame, sf_dir: str) -> list:
+    from ..operators import bpe
+
+    key = _emb_cache_key(sf_dir)
+    if key not in _BPE_MERGE_CACHE:
+        merges, final = bpe.bpe_learn(
+            _bpe_sample(docs), "text", _BPE_N_MERGES
+        )
+        try:
+            final._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+        _BPE_MERGE_CACHE[key] = merges
+    return _BPE_MERGE_CACHE[key]
+
+
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself — distributed BPE training
+    (iterated pair-count aggregations + Arrow-batched merge rewrites,
+    operators/bpe.py) on the deterministic id-ordered sample. Every
+    value is an exact integer or a string and the tie rule is total
+    (count desc, pair lexicographic), so the oracle is an INDEPENDENT
+    single-process replay of training (bpe_learn_py) — the
+    kmeans-twin discipline, a stronger check than sharing artifacts."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(docs, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, w1 string, w2 string, cnt long",
+    )
+
+
+def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide compression under the learned table: tokenize EVERY
+    document with the sample-trained merges (one Arrow pass regardless
+    of table length) and report sequence/symbol/vocab totals — the
+    number a tokenizer build is accepted on. Integer-exact."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(docs, sf_dir)
+    tok = bpe.apply_merges(docs, "text", merges)
+    return bpe.token_length_stats(tok)
+
+
+QUERIES["bpe_learned_merges"] = bpe_learned_merges
+QUERIES["bpe_token_compression"] = bpe_token_compression
+
+
+def _oracle_documents(sf_dir: str, limit: int | None = None) -> list[str]:
+    """Document texts OUTSIDE Spark in the trainers' sample order."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = (
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    )
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return [r[0] for r in rows]
+
+
+def _bpe_oracle_merges(sf_dir: str) -> list:
+    from ..operators.bpe import bpe_learn_py
+
+    return bpe_learn_py(
+        _oracle_documents(sf_dir, limit=_BPE_SAMPLE), _BPE_N_MERGES
+    )
+
+
+def _sql_str(x: str) -> str:
+    """SQL string literal with quote doubling (repr would emit Python
+    escapes DuckDB can't parse)."""
+    return "'" + x.replace("'", "''") + "'"
+
+
+def _bpe_merges_oracle_sql(sf_dir: str) -> str:
+    merges = _bpe_oracle_merges(sf_dir)
+    if not merges:
+        return "SELECT 1 AS merge_rank, '' AS w1, '' AS w2, 1 AS cnt WHERE 1=0"
+    values = ",\n            ".join(
+        f"({i + 1}, {_sql_str(a)}, {_sql_str(b)}, {c})"
+        for i, (a, b, c) in enumerate(merges)
+    )
+    return f"""
+        -- independent single-process replay of BPE training (same
+        -- tokenizer, counts, tie rule, early stop) embedded as literals
+        SELECT CAST(merge_rank AS INTEGER) AS merge_rank, w1, w2,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM (VALUES
+            {values}
+        ) t(merge_rank, w1, w2, cnt)
+    """
+
+
+def _bpe_compression_oracle_sql(sf_dir: str) -> str:
+    from ..operators.bpe import MERGE_JOIN, _merge_seq, _tok_py
+
+    merges = _bpe_oracle_merges(sf_dir)
+    texts = _oracle_documents(sf_dir)
+    n_seqs, total, vocab = 0, 0, set()
+    for t in texts:
+        seq = _tok_py(t)
+        for a, b, _c in merges:
+            seq = _merge_seq(seq, a, b, a + MERGE_JOIN + b)
+        n_seqs += 1
+        total += len(seq)
+        vocab.update(seq)
+    return f"""
+        -- full-corpus replay of tokenization under the learned table
+        SELECT CAST({n_seqs} AS BIGINT) AS n_seqs,
+               CAST({total} AS BIGINT) AS total_symbols,
+               CAST({len(vocab)} AS BIGINT) AS distinct_symbols
     """

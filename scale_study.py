@@ -137,6 +137,11 @@ FAMILY_QUERIES = [
     "hybrid_rrf_topk",
     "dedup_containment_pairs",
     "passjoin_doc_prefix_pairs",
+    # round-7: LM scoring + PCA compression + KMV sketches
+    "lm_surprising_docs",
+    "lm_source_perplexity",
+    "pca_label_compression",
+    "pca_component_variance",
 ]
 
 
@@ -168,6 +173,8 @@ RELATIONAL_QUERIES = [
     "q20_excess_shippers",
     "q21_late_shippers",
     "event_funnel_steps",
+    "kmv_distinct_buyers_per_segment",
+    "kmv_returnflag_part_overlap",
     "snapshot_diff_orders",
     "cosupplier_triangle_stats",
     "lpa_supplier_communities",

@@ -45,6 +45,8 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "kmeans_domain_profile",
         "pca_label_compression",
         "pca_component_variance",
+        "bpe_learned_merges",
+        "bpe_token_compression",
         "pagerank_supplier_rank",
         "lpa_supplier_communities",
         "kcore_supplier_stats",
