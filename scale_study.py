@@ -142,6 +142,8 @@ FAMILY_QUERIES = [
     "lm_source_perplexity",
     "pca_label_compression",
     "pca_component_variance",
+    "bpe_learned_merges",
+    "bpe_token_compression",
 ]
 
 
