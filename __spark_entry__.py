@@ -54,13 +54,11 @@ def oracle_sql() -> dict[str, str]:
     else:
         # the only expected degradation: the artifact twins need the gate
         # corpus on disk to replay training
+        degraded = sorted(set(QUERIES) - set(out))
         warnings.warn(
             "artifact-oracle corpus missing at "
-            f"{sf_dir!r}; embedding_lsh_topk / embedding_ivf_topk"
-            " / embedding_pq_topk / embedding_near_dup_lsh /"
-            " kmeans_corpus_clusters / kmeans_domain_profile /"
-            " pagerank_supplier_rank / lpa_supplier_communities /"
-            " kcore_supplier_stats degrade to rows-only checks",
+            f"{sf_dir!r}; {' / '.join(degraded)} degrade to "
+            "rows-only checks",
             stacklevel=2,
         )
     return out

@@ -40,11 +40,18 @@ from pyspark.sql import types as T
 MERGE_JOIN = "▁"  # visible joiner so merged symbols stay unambiguous
 
 
+# Java regex \s is ASCII-only: [ \t\n\x0b\f\r]. Python's \s (Unicode)
+# and str.strip() (all Unicode whitespace) are NOT twins of the Spark
+# expression — a NBSP or trailing newline would tokenize differently.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
 def _tok_py(text: str) -> list[str]:
     """Python twin of the Spark tokenizer ``split(trim(lower(t)),
-    '\\s+')`` — including the [''] result on empty text that a bare
-    ``str.split()`` would drop."""
-    return re.split(r"\s+", text.lower().strip())
+    '\\s+')``: Java-\\s splitting, SPACE-only trim (Spark ``trim``
+    strips spaces, not all whitespace), and the [''] result on empty
+    text that a bare ``str.split()`` would drop."""
+    return _JAVA_WS.split(text.lower().strip(" "))
 
 
 def _merge_seq(seq: list, a: str, b: str, joined: str) -> list:
@@ -64,7 +71,9 @@ def _merge_seq(seq: list, a: str, b: str, joined: str) -> list:
 def _apply_merge_udf(a: str, b: str, joined: str):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def apply(col: pd.Series) -> pd.Series:
-        return col.map(lambda s: _merge_seq(list(s), a, b, joined))
+        return col.map(
+            lambda s: None if s is None else _merge_seq(list(s), a, b, joined)
+        )
 
     return apply
 
@@ -112,9 +121,15 @@ def bpe_learn(
     the tokenized corpus under the learned vocabulary. Stops early when
     the best remaining pair falls below ``min_count`` (merging singleton
     pairs is noise)."""
-    cur = df.select(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("syms")
-    ).localCheckpoint(eager=True)
+    cur = (
+        # NULL text has no symbol sequence: dropped, matching the other
+        # text operators and the single-process replay
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("syms")
+        )
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = top_pair(pair_counts(cur))
@@ -142,7 +157,7 @@ def bpe_learn_py(
     """Single-process reference replay (no Spark): the independent
     oracle for the learned merge table — same tokenizer, same counts,
     same tie rule, same early stop."""
-    seqs = [_tok_py(t) for t in texts]
+    seqs = [_tok_py(t) for t in texts if t is not None]
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -178,6 +193,8 @@ def apply_merges(
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tok(col: pd.Series) -> pd.Series:
         def run(text):
+            if text is None:
+                return None
             seq = _tok_py(text)
             for a, b, joined in rules:
                 seq = _merge_seq(seq, a, b, joined)
@@ -185,7 +202,9 @@ def apply_merges(
 
         return col.map(run)
 
-    return df.select(tok(F.col(text_col)).alias(out_col))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        tok(F.col(text_col)).alias(out_col)
+    )
 
 
 def token_length_stats(

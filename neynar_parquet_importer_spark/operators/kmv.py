@@ -209,6 +209,9 @@ def kmv_pair_overlap(
         ).alias("n_both"),
         F.max(F.when(F.col("urn") == k, _fraction(F.col("hv")))).alias("fk"),
     )
+    # single definition of each estimator; intersection derives from the
+    # aliased columns in a second select (an inline repeat would let the
+    # two copies drift under a future edit)
     return agg.select(
         "g1",
         "g2",
@@ -220,11 +223,6 @@ def kmv_pair_overlap(
         )
         .otherwise(F.lit(float(k - 1)) / F.col("fk"))
         .alias("union_est"),
-        (
-            (F.col("n_both") / F.col("n_union_sketch"))
-            * F.when(
-                F.col("n_union_sketch") < k,
-                F.col("n_union_sketch").cast("double"),
-            ).otherwise(F.lit(float(k - 1)) / F.col("fk"))
-        ).alias("intersection_est"),
+    ).withColumn(
+        "intersection_est", F.col("jaccard_est") * F.col("union_est")
     )

@@ -100,7 +100,9 @@ def doc_nll(
     of a 1-row frame (a broadcast, not a driver collect)."""
     big = bigram_stream(df, text_col, id_col)
     uni = unigram_counts(df, text_col)
-    bc = bigram_counts(df, text_col, id_col)
+    # counts from the SAME stream frame — a bigram_counts(df, ...) call
+    # would carry a second full tokenize/zip/explode subtree in the plan
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     v = uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
         big.join(bc, ["w1", "w2"])

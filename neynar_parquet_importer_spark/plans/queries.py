@@ -1007,6 +1007,8 @@ def reset_corpus_caches() -> None:
     _HOT_SHINGLE_CACHE.clear()
     _ARTIFACT_ORACLE_CACHE.clear()
     _KMEANS_CENT_CACHE.clear()
+    _PCA_MODEL_CACHE.clear()
+    _BPE_MERGE_CACHE.clear()
 
 
 def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
@@ -7035,8 +7037,6 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             "kmeans_domain_profile": _kmeans_profile_oracle_sql(sf_dir),
             "pca_label_compression": _pca_label_oracle_sql(sf_dir),
             "pca_component_variance": _pca_variance_oracle_sql(sf_dir),
-            "bpe_learned_merges": _bpe_merges_oracle_sql(sf_dir),
-            "bpe_token_compression": _bpe_compression_oracle_sql(sf_dir),
         }
         # the PageRank replay reads the relational tables, which planted
         # test corpora (embeddings-only dirs) don't carry — per-file gate
@@ -7049,6 +7049,15 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             )
             _ARTIFACT_ORACLE_CACHE[key]["kcore_supplier_stats"] = (
                 _kcore_oracle_sql(sf_dir)
+            )
+        # the BPE replay reads documents.parquet, which embeddings-only
+        # planted corpora don't carry — same per-file gate
+        if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            _ARTIFACT_ORACLE_CACHE[key]["bpe_learned_merges"] = (
+                _bpe_merges_oracle_sql(sf_dir)
+            )
+            _ARTIFACT_ORACLE_CACHE[key]["bpe_token_compression"] = (
+                _bpe_compression_oracle_sql(sf_dir)
             )
     return _ARTIFACT_ORACLE_CACHE[key]
 
@@ -7855,10 +7864,22 @@ def _bpe_sample(docs: DataFrame) -> DataFrame:
     return docs.orderBy("doc_id").limit(_BPE_SAMPLE)
 
 
+def _docs_cache_key(sf_dir: str) -> tuple:
+    """(path, 'documents', mtime) key for documents-derived artifacts —
+    the embeddings-mtime key can't see a rewritten documents.parquet."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        return (sf_dir, "documents", _os.path.getmtime(path))
+    except OSError:
+        return (sf_dir, "documents", None)
+
+
 def _bpe_merges_cached(docs: DataFrame, sf_dir: str) -> list:
     from ..operators import bpe
 
-    key = _emb_cache_key(sf_dir)
+    key = _docs_cache_key(sf_dir)
     if key not in _BPE_MERGE_CACHE:
         merges, final = bpe.bpe_learn(
             _bpe_sample(docs), "text", _BPE_N_MERGES
@@ -7960,6 +7981,8 @@ def _bpe_compression_oracle_sql(sf_dir: str) -> str:
     texts = _oracle_documents(sf_dir)
     n_seqs, total, vocab = 0, 0, set()
     for t in texts:
+        if t is None:
+            continue
         seq = _tok_py(t)
         for a, b, _c in merges:
             seq = _merge_seq(seq, a, b, a + MERGE_JOIN + b)
