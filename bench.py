@@ -239,7 +239,22 @@ def _family(name: str) -> str:
     return "relational"
 
 
+def _n_passes() -> int:
+    """Parse+validate SPARK_GRAFT_BENCH_PASSES — called at startup so a
+    bad value fails BEFORE the multi-minute warmup, not at min([])
+    after it."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")
+    try:
+        n = int(raw)
+    except ValueError:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_PASSES must be an int, got {raw!r}")
+    if n < 1:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_PASSES must be >= 1, got {n}")
+    return n
+
+
 def main() -> None:
+    _n_passes()  # fail fast on a bad pass count before Spark startup
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # optional subset (comma-separated names): scaling studies time one
@@ -286,7 +301,7 @@ def main() -> None:
     # query comparison drifted +11% on unchanged code with per-query
     # loadavg 4-16 recorded during both runs — two passes were not
     # enough to dodge sustained background load on this shared host.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    n_passes = _n_passes()
     passes: dict[str, list[float]] = {name: [] for name in bench_queries}
     # host 1-min load average sampled at each query start, one sample per
     # timed measurement: contention (the measured 4x noise source on a

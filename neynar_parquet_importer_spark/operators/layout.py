@@ -98,20 +98,10 @@ def zorder_profile(
     ``n_buckets`` must be a power of two <= 2^(2*bits); the bucket is
     the top log2(n_buckets) bits of the z-value — exactly the split
     points of an equal-width z-range partitioning."""
-    if (
-        n_buckets < 1
-        or n_buckets > (1 << (2 * bits))
-        or n_buckets & (n_buckets - 1)
-    ):
-        raise ValueError(
-            f"n_buckets must be a power of two in [1, 2^{2 * bits}],"
-            f" got {n_buckets}"
-        )
-    shift = 2 * bits - n_buckets.bit_length() + 1
     z = morton_z(F.col(x_col), F.col(y_col), bits)
     return (
         df.select(
-            F.shiftright(z, shift).alias("bucket"),
+            zbucket_of(z, bits=bits, n_buckets=n_buckets).alias("bucket"),
             F.col(x_col).alias("x"),
             F.col(y_col).alias("y"),
         )
@@ -137,15 +127,10 @@ def zorder_profile(
     )
 
 
-def zorder_bucket(
-    x: Column, y: Column, *, bits: int = 16, n_buckets: int = 64
-) -> Column:
-    """Equal-width z-range bucket id: the top log2(n_buckets) bits of
-    the Morton value — the SAME split rule :func:`zorder_profile`
-    audits, shared by the profile and the writer so the audit describes
-    exactly the files the writer cuts. Deterministic closed-form
-    arithmetic (unlike ``repartitionByRange``, whose sampled boundaries
-    are not replayable by an oracle)."""
+def _zbucket_shift(bits: int, n_buckets: int) -> int:
+    """Validate and return the top-bits shift — THE single definition of
+    the equal-width z-range split rule (profile, writer, and any oracle
+    replay all route through here)."""
     if (
         n_buckets < 1
         or n_buckets > (1 << (2 * bits))
@@ -155,8 +140,28 @@ def zorder_bucket(
             f"n_buckets must be a power of two in [1, 2^{2 * bits}],"
             f" got {n_buckets}"
         )
-    shift = 2 * bits - n_buckets.bit_length() + 1
-    return F.shiftright(morton_z(x, y, bits), shift).alias("zbucket")
+    return 2 * bits - n_buckets.bit_length() + 1
+
+
+def zbucket_of(z: Column, *, bits: int = 16, n_buckets: int = 64) -> Column:
+    """Bucket id from an ALREADY-COMPUTED Morton value — lets callers
+    that also need ``z`` avoid building the 64-term interleave
+    expression twice."""
+    return F.shiftright(z, _zbucket_shift(bits, n_buckets))
+
+
+def zorder_bucket(
+    x: Column, y: Column, *, bits: int = 16, n_buckets: int = 64
+) -> Column:
+    """Equal-width z-range bucket id: the top log2(n_buckets) bits of
+    the Morton value — the SAME split rule :func:`zorder_profile`
+    audits, shared by the profile and the writer so the audit describes
+    exactly the files the writer cuts. Deterministic closed-form
+    arithmetic (unlike ``repartitionByRange``, whose sampled boundaries
+    are not replayable by an oracle)."""
+    return zbucket_of(
+        morton_z(x, y, bits), bits=bits, n_buckets=n_buckets
+    ).alias("zbucket")
 
 
 def write_zordered(
@@ -207,10 +212,15 @@ def write_zordered(
     q = base.crossJoin(F.broadcast(rng))
     qx = quantize_dim(F.col("__zx"), F.col("__xmin"), F.col("__xmax"), bits)
     qy = quantize_dim(F.col("__zy"), F.col("__ymin"), F.col("__ymax"), bits)
-    z = morton_z(qx, qy, bits)
+    # one Morton tree: __z is computed once and the bucket derives from
+    # it by a shift (the interleave is ~64 bitwise terms over decimal
+    # quantize subexpressions — building it twice doubled the plan)
     bucketed = (
-        q.withColumn("zbucket", zorder_bucket(qx, qy, bits=bits, n_buckets=n_buckets))
-        .withColumn("__z", z)
+        q.withColumn("__z", morton_z(qx, qy, bits))
+        .withColumn(
+            "zbucket",
+            zbucket_of(F.col("__z"), bits=bits, n_buckets=n_buckets),
+        )
         .drop("__zx", "__zy", "__xmin", "__xmax", "__ymin", "__ymax")
     )
     (
@@ -240,6 +250,10 @@ def parquet_rowgroup_stats(path: str, cols: list[str]) -> list[dict]:
                 continue
             fp = os.path.join(root, name)
             meta = pq.ParquetFile(fp).metadata
+            if meta.num_row_groups == 0:
+                # schema-only part file (empty DataFrame / partition
+                # write): nothing to profile, nothing to skip
+                continue
             idx = {
                 meta.row_group(0).column(i).path_in_schema: i
                 for i in range(meta.num_columns)
@@ -248,7 +262,11 @@ def parquet_rowgroup_stats(path: str, cols: list[str]) -> list[dict]:
                 rg = meta.row_group(g)
                 row: dict = {"file": fp, "row_group": g, "n_rows": rg.num_rows}
                 for c in cols:
-                    st = rg.column(idx[c]).statistics
+                    ci = idx.get(c)
+                    st = None if ci is None else rg.column(ci).statistics
+                    # a column absent from this file profiles as
+                    # stats-missing — skip_fraction already treats that
+                    # as conservatively touched
                     row[f"{c}_min"] = None if st is None else st.min
                     row[f"{c}_max"] = None if st is None else st.max
                 out.append(row)

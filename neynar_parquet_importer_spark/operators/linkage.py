@@ -472,6 +472,18 @@ def auto_pairs(
     if decision_out is not None:
         decision_out.update(decision)
     if decision["strategy"] == "passjoin":
+        # the "dispatch never changes answers" contract: blocked_pairs
+        # drops blocks whose LEFT size exceeds max_block, so the
+        # passjoin branch must apply the SAME drop before joining —
+        # otherwise which rows appear would depend on the cost model
+        if max_block is not None and block_cols:
+            sizes = (
+                left.groupBy(*block_cols)
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") <= max_block)
+                .drop("_bn")
+            )
+            left = left.join(F.broadcast(sizes), block_cols, "left_semi")
         return passjoin_pairs(
             left, right, left_id, right_id, left_text, right_text,
             max_distance, block_cols=block_cols,

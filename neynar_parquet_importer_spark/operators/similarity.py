@@ -1302,6 +1302,11 @@ def tune_topk_index(
         centroids = ivf_centroids(
             df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
         )
+    if index == "ivf":
+        # precomputed centroids may not match the n_centroids default —
+        # the ladder ceiling and every recorded scan_frac derive from
+        # the ACTUAL cell count, not the parameter
+        n_centroids = len(centroids)
     if index == "pq" and codebooks is None:
         codebooks = pq_codebooks(
             df, n_sub=n_sub, vec_col=vec_col, id_col=id_col

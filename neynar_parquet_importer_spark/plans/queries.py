@@ -3281,8 +3281,11 @@ def zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("uid"),
         secs.alias("secs"),
     )
+    # per-process scratch path: keyed by corpus AND pid so two
+    # concurrent runs (gate test + bench, xdist workers) can't race
+    # overwrite-vs-read on the same directory
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_zorder_audit_{tag}"
+    path = f"/tmp/spark_graft_zorder_audit_{tag}_{os.getpid()}"
     lay.write_zordered(base, path, "uid", "secs", bits=16, n_buckets=64)
     back = spark.read.parquet(path)
     return (
@@ -3600,12 +3603,18 @@ def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # every customer name carries the literal 'Customer#' prefix and the
-    # perturbations only touch the digit region, so both sides strip the
-    # constant prefix before the quadratic metric — standard Levenshtein
-    # preprocessing (identical common prefixes never contribute edits);
-    # measured ~2x on the pair scan. The oracle strips identically.
+def _linkage_corpus(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """THE (dirty, clean) linkage corpus — single definition shared by
+    the blocked query, the auto-dispatch query, and (via import) the
+    scale study's A/B, so the preprocessing can't silently diverge from
+    the oracle twin. Every customer name carries the literal 'Customer#'
+    prefix and the perturbations only touch the digit region, so both
+    sides strip the constant prefix before the quadratic metric —
+    standard Levenshtein preprocessing (identical common prefixes never
+    contribute edits); measured ~2x on the pair scan. The oracle strips
+    identically."""
     clean = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -3616,6 +3625,11 @@ def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.expr("substr(d_name, 10)").alias("d_suffix"),
     )
+    return dirty, clean
+
+
+def _linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty, clean = _linkage_corpus(spark, sf_dir)
     return lk.blocked_pairs(
         dirty,
         clean,
@@ -3658,16 +3672,7 @@ def fuzzy_linkage_auto_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     that dispatch can never change answers, only cost. On this
     zero-padded low-entropy corpus the blocked side wins (segments
     collide corpus-wide; plan-pinned in tests/test_linkage_dispatch)."""
-    clean = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_nationkey",
-        F.expr("substr(c_name, 10)").alias("c_suffix"),
-    )
-    dirty = _dirty_customers(spark, sf_dir).select(
-        "d_key",
-        "c_nationkey",
-        F.expr("substr(d_name, 10)").alias("d_suffix"),
-    )
+    dirty, clean = _linkage_corpus(spark, sf_dir)
     pairs = lk.auto_pairs(
         dirty,
         clean,

@@ -487,14 +487,11 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         return n, round(time.time() - t0, 1), round(_load1(), 1)
 
     # ---- low-entropy: customers, nation-blocked ------------------------
-    clean_c = _t(spark, sf1_dir, "customer").select(
-        "c_custkey", "c_nationkey",
-        F.expr("substr(c_name, 10)").alias("c_suffix"),
-    )
-    dirty_c = _dirty_customers(spark, sf1_dir).select(
-        "d_key", "c_nationkey",
-        F.expr("substr(d_name, 10)").alias("d_suffix"),
-    )
+    # the SHARED corpus definition (queries._linkage_corpus) so this A/B
+    # measures exactly the corpus the gate value-checks
+    from neynar_parquet_importer_spark.plans.queries import _linkage_corpus
+
+    dirty_c, clean_c = _linkage_corpus(spark, sf1_dir)
     args_low = dict(
         block_cols=["c_nationkey"], left_id="d_key", right_id="c_custkey",
         left_text="d_suffix", right_text="c_suffix", max_distance=2,

@@ -90,3 +90,20 @@ def test_bench_covers_every_registered_query():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     assert sorted(bench.BENCH_QUERIES) == sorted(QUERIES)
+
+
+def test_bench_pass_count_validated_upfront(monkeypatch):
+    """A bad SPARK_GRAFT_BENCH_PASSES must fail at startup, not at
+    min([]) after a multi-minute warmup."""
+    import bench
+
+    import pytest as _pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "0")
+    with _pytest.raises(SystemExit, match=">= 1"):
+        bench._n_passes()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "two")
+    with _pytest.raises(SystemExit, match="int"):
+        bench._n_passes()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "2")
+    assert bench._n_passes() == 2

@@ -211,3 +211,19 @@ def test_rowgroup_stats_and_skip_fraction(spark, tmp_path):
     # conservative touch when stats are missing
     broken = [dict(r, x_min=None) for r in zstats]
     assert lay.skip_fraction(broken, "x", 10, 29) == 0.0
+
+
+def test_rowgroup_stats_tolerates_empty_files_and_missing_cols(spark, tmp_path):
+    """A schema-only part file (zero row groups) is skipped, and a
+    column absent from a file profiles as stats-missing — conservatively
+    touched by skip_fraction, never a crash."""
+    p = str(tmp_path / "mixed")
+    spark.range(0).selectExpr("id AS a", "id AS b").write.parquet(p)
+    spark.range(10).selectExpr("id AS a", "id AS b").write.mode(
+        "append"
+    ).parquet(p)
+    stats = lay.parquet_rowgroup_stats(p, ["a", "b", "absent"])
+    assert stats, "non-empty file must still be profiled"
+    assert all(r["absent_min"] is None for r in stats)
+    # missing stats => conservatively touched => skip fraction 0
+    assert lay.skip_fraction(stats, "absent", 0, 1) == 0.0

@@ -178,3 +178,46 @@ def test_estimator_unbiased_on_presliced_corpus(spark):
     # the 9x systematic inflation the correlated hash produced
     assert est <= exact * 4, (est, exact)
     assert est >= exact / 4, (est, exact)
+
+
+def test_max_block_parity_across_strategies(spark):
+    """With max_block set, the passjoin branch must apply the SAME
+    over-cap block drop blocked_pairs applies — the dispatch can change
+    cost, never answers. Forced check: run BOTH underlying operators
+    with the cap semantics and compare to auto_pairs on a corpus with
+    one over-cap block, regardless of which side the dispatch picks."""
+    d, c = _low_entropy(spark, n=200, n_blocks=4)
+    # make block 0 over-cap on the left (dirty) side
+    extra = spark.createDataFrame(
+        [(10_000 + i, 0, f"{i:09d}") for i in range(120)],
+        "did long, blk int, dname string",
+    )
+    d_all = d.unionByName(extra)
+    cap = 100
+    args = dict(
+        block_cols=["blk"], left_id="did", right_id="cid",
+        left_text="dname", right_text="cname", max_distance=2,
+    )
+    want = sorted(
+        map(tuple, lk.blocked_pairs(d_all, c, max_block=cap, **args).collect())
+    )
+    got_auto = sorted(
+        map(tuple, lk.auto_pairs(d_all, c, max_block=cap, **args).collect())
+    )
+    assert got_auto == want
+    # and the passjoin side itself, under the same pre-drop, agrees
+    sizes = (
+        d_all.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= cap).drop("n")
+    )
+    d_capped = d_all.join(sizes, "blk", "left_semi")
+    got_pj = sorted(
+        map(
+            tuple,
+            lk.passjoin_pairs(
+                d_capped, c, "did", "cid", "dname", "cname", 2,
+                block_cols=["blk"],
+            ).collect(),
+        )
+    )
+    assert got_pj == want
