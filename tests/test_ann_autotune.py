@@ -159,3 +159,20 @@ def test_ivf_knn_join_plan_probes_broadcast(clustered):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_ladder_tracks_precomputed_centroid_count(clustered):
+    """Precomputed centroids with a count different from the
+    n_centroids default: the ladder ceiling and every recorded
+    scan_frac must derive from the ACTUAL cell count (len(centroids)),
+    not the parameter — otherwise the evidence artifact overstates the
+    scanned fraction and the tuner can stop below a full probe."""
+    cents = sim.ivf_centroids(clustered, n_centroids=4)
+    out = sim.tune_topk_index(
+        clustered, "ivf", k=10, target_recall=1.01,  # unreachable: walk all
+        n_val_queries=3, centroids=cents,
+    )
+    values = [r["value"] for r in out["ladder"]]
+    assert max(values) == 4  # ceiling == len(centroids)
+    for r in out["ladder"]:
+        assert r["scan_frac"] == pytest.approx(r["value"] / 4)
