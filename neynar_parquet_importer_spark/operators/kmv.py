@@ -83,26 +83,25 @@ def kmv_sketch(
     """(group_cols..., hv, rn) — the k smallest distinct key hashes per
     group, rank-numbered 1..k by hv (hashes are distinct by build).
 
-    Build shape: distinct on (group, key) — the only full-width shuffle,
-    already needed by any distinct-count — then a SALTED two-phase
-    top-k: rank within (group, hv mod S) first and keep k per salt, so
-    no single task ever sorts a whole group's distinct set (a
-    ``Window.partitionBy(group)`` alone serializes each group through
-    one task — the thing that breaks at 100 TB with few groups); the
-    final per-group rank then runs over at most ``S x k`` survivors.
-    Exact: the global k smallest are each the k-or-better smallest of
-    their own salt bucket. After the filter at most ``n_groups x k``
-    rows flow anywhere.
+    Build shape: ONE distinct over (group, hv) — hashing before the
+    distinct means dedup-by-hash subsumes dedup-by-key (same key, same
+    hv; distinct keys colliding to one hv is the sketch's 2^-64 error
+    term, collapsed exactly like the oracle's ``SELECT DISTINCT group,
+    hash(key)``), so the build pays one full-width shuffle, same as any
+    distinct-count — then a SALTED two-phase top-k: rank within
+    (group, hv mod S) first and keep k per salt, so no single task ever
+    sorts a whole group's distinct set (a ``Window.partitionBy(group)``
+    alone serializes each group through one task — the thing that
+    breaks at 100 TB with few groups); the final per-group rank then
+    runs over at most ``S x k`` survivors. Exact: the global k smallest
+    are each the k-or-better smallest of their own salt bucket. After
+    the filter at most ``n_groups x k`` rows flow anywhere.
     """
     group_cols = group_cols or []
     hv = kmv_hash(key_col, seed).alias("hv")
     hashed = (
         df.filter(F.col(key_col).isNotNull())
-        .select(*group_cols, F.col(key_col))
-        .distinct()
         .select(*group_cols, hv)
-        # distinct keys can still collide to one hv (2^-64 per pair);
-        # collapse so ranks are over distinct hashes, like the oracle
         .distinct()
     )
     w_salt = Window.partitionBy(*group_cols, "_salt").orderBy("hv")
