@@ -51,12 +51,14 @@ def oracle_sql() -> dict[str, str]:
         # downgraded four value checks to rows-only while the docstring
         # still claimed 111/111 (ADVICE r5, medium)
         out.update(build_artifact_oracles(sf_dir))
-    else:
-        # the only expected degradation: the artifact twins need the gate
-        # corpus on disk to replay training
-        degraded = sorted(set(QUERIES) - set(out))
+    # the only expected degradation: artifact twins whose corpus file is
+    # absent (the whole dir, or a per-file gate inside the builder —
+    # e.g. embeddings-only planted corpora carry no documents.parquet
+    # for the BPE replay). NEVER silent: name every degraded query.
+    degraded = sorted(set(QUERIES) - set(out))
+    if degraded:
         warnings.warn(
-            "artifact-oracle corpus missing at "
+            "artifact-oracle corpus (partially) missing at "
             f"{sf_dir!r}; {' / '.join(degraded)} degrade to "
             "rows-only checks",
             stacklevel=2,

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import _ckpt, _release_ckpt
+
 MERGE_JOIN = "▁"  # visible joiner so merged symbols stay unambiguous
 
 
@@ -121,14 +123,12 @@ def bpe_learn(
     the tokenized corpus under the learned vocabulary. Stops early when
     the best remaining pair falls below ``min_count`` (merging singleton
     pairs is noise)."""
-    cur = (
+    cur = _ckpt(
         # NULL text has no symbol sequence: dropped, matching the other
         # text operators and the single-process replay
-        df.filter(F.col(text_col).isNotNull())
-        .select(
+        df.filter(F.col(text_col).isNotNull()).select(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("syms")
         )
-        .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -138,15 +138,14 @@ def bpe_learn(
         a, b, cnt = best
         merges.append((a, b, cnt))
         joined = a + MERGE_JOIN + b
-        nxt = cur.select(
-            _apply_merge_udf(a, b, joined)(F.col("syms")).alias("syms")
-        ).localCheckpoint(eager=True)
-        # free the superseded iteration's blocks now (best-effort; the
-        # context cleaner reclaims on GC otherwise — dedup._release_ckpt)
-        try:
-            cur._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+        nxt = _ckpt(
+            cur.select(
+                _apply_merge_udf(a, b, joined)(F.col("syms")).alias("syms")
+            )
+        )
+        # free the superseded iteration's blocks through the shared
+        # registry (visible to release_cached(), one unpersist idiom)
+        _release_ckpt(cur)
         cur = nxt
     return merges, cur
 

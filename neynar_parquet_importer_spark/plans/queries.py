@@ -3283,8 +3283,24 @@ def zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-process scratch path: keyed by corpus AND pid so two
     # concurrent runs (gate test + bench, xdist workers) can't race
-    # overwrite-vs-read on the same directory
+    # overwrite-vs-read on the same directory. Dead processes' leftovers
+    # are reaped here (pid-liveness probe) so /tmp stays bounded at one
+    # copy per LIVE process instead of growing per run.
+    import glob
+    import shutil
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/spark_graft_zorder_audit_{tag}_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            if pid != os.getpid():
+                os.kill(pid, 0)  # raises if the owner is gone
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            # owner is gone — safe to reap (PermissionError would mean a
+            # LIVE process under another uid: leave its files alone)
+            shutil.rmtree(stale, ignore_errors=True)
     path = f"/tmp/spark_graft_zorder_audit_{tag}_{os.getpid()}"
     lay.write_zordered(base, path, "uid", "secs", bits=16, n_buckets=64)
     back = spark.read.parquet(path)
@@ -7030,7 +7046,11 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
     diverge. At the gate corpus (500-2000 vectors) the probability is
     ~1e-9 per run; the tie-break rules themselves (numpy argmin first
     index, array_max-over-structs last max) ARE replicated exactly."""
-    key = (_emb_cache_key(sf_dir),)
+    # BOTH mtimes key the cache: the BPE members replay documents.parquet
+    # (an embeddings-only key served stale BPE SQL after a documents
+    # rewrite, and permanently omitted the members when documents.parquet
+    # appeared after the first call)
+    key = (_emb_cache_key(sf_dir), _docs_cache_key(sf_dir))
     if key not in _ARTIFACT_ORACLE_CACHE:
         _ARTIFACT_ORACLE_CACHE[key] = {
             "embedding_lsh_topk": _lsh_topk_oracle_sql(sf_dir),
@@ -7883,16 +7903,14 @@ def _docs_cache_key(sf_dir: str) -> tuple:
 
 def _bpe_merges_cached(docs: DataFrame, sf_dir: str) -> list:
     from ..operators import bpe
+    from ..operators.dedup import _release_ckpt
 
     key = _docs_cache_key(sf_dir)
     if key not in _BPE_MERGE_CACHE:
         merges, final = bpe.bpe_learn(
             _bpe_sample(docs), "text", _BPE_N_MERGES
         )
-        try:
-            final._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+        _release_ckpt(final)
         _BPE_MERGE_CACHE[key] = merges
     return _BPE_MERGE_CACHE[key]
 
@@ -7963,7 +7981,12 @@ def _sql_str(x: str) -> str:
 def _bpe_merges_oracle_sql(sf_dir: str) -> str:
     merges = _bpe_oracle_merges(sf_dir)
     if not merges:
-        return "SELECT 1 AS merge_rank, '' AS w1, '' AS w2, 1 AS cnt WHERE 1=0"
+        # types must match the non-empty branch (and the Spark frame's
+        # int/long) even on the empty result, or the schema leg fails
+        return (
+            "SELECT CAST(1 AS INTEGER) AS merge_rank, '' AS w1, '' AS w2,"
+            " CAST(1 AS BIGINT) AS cnt WHERE 1=0"
+        )
     values = ",\n            ".join(
         f"({i + 1}, {_sql_str(a)}, {_sql_str(b)}, {c})"
         for i, (a, b, c) in enumerate(merges)
