@@ -206,17 +206,44 @@ def apply_merges(
     )
 
 
-def token_length_stats(
-    tokenized: DataFrame, sym_col: str = "syms"
+def token_occurrences(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str]] | Sequence[tuple[str, str, int]],
 ) -> DataFrame:
-    """One row (n_seqs, total_symbols, distinct_symbols) — the
-    compression evidence a merge table is judged by."""
-    totals = tokenized.agg(
-        F.count(F.lit(1)).alias("n_seqs"),
-        F.sum(F.size(sym_col)).alias("total_symbols"),
+    """(pos, s): one row per symbol occurrence under the learned table,
+    via ONE mapInPandas stage. This exists because `posexplode` over a
+    pandas-UDF column plans the UDF TWICE in the executed plan (measured
+    on this Spark: two stacked ArrowEvalPython both computing the
+    tokenizer) — generating the rows inside the Python stage guarantees
+    exactly one tokenization pass."""
+    rules = [(m[0], m[1], m[0] + MERGE_JOIN + m[1]) for m in merges]
+
+    def gen(batches):
+        for pdf in batches:
+            pos: list[int] = []
+            syms: list[str] = []
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                seq = _tok_py(text)
+                for a, b, joined in rules:
+                    seq = _merge_seq(seq, a, b, joined)
+                pos.extend(range(len(seq)))
+                syms.extend(seq)
+            yield pd.DataFrame({"pos": pos, "s": syms})
+
+    return df.select(text_col).mapInPandas(gen, "pos int, s string")
+
+
+def token_length_stats(occurrences: DataFrame) -> DataFrame:
+    """One row (n_seqs, total_symbols, distinct_symbols) from a
+    :func:`token_occurrences` stream — the compression evidence a merge
+    table is judged by: symbol total = row count, sequence count =
+    pos==0 rows (the tokenizer emits [''] for empty text, so every
+    sequence has one), vocabulary = distinct symbols."""
+    return occurrences.agg(
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_seqs"),
+        F.count(F.lit(1)).alias("total_symbols"),
+        F.countDistinct("s").alias("distinct_symbols"),
     )
-    vocab = (
-        tokenized.select(F.explode(sym_col).alias("s"))
-        .agg(F.countDistinct("s").alias("distinct_symbols"))
-    )
-    return totals.crossJoin(F.broadcast(vocab))

@@ -7940,8 +7940,9 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = _bpe_merges_cached(docs, sf_dir)
-    tok = bpe.apply_merges(docs, "text", merges)
-    return bpe.token_length_stats(tok)
+    return bpe.token_length_stats(
+        bpe.token_occurrences(docs, "text", merges)
+    )
 
 
 QUERIES["bpe_learned_merges"] = bpe_learned_merges

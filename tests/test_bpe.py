@@ -69,8 +69,8 @@ def test_apply_merges_order_matters(spark):
 
 
 def test_token_length_stats(spark, docs):
-    tok = bpe.apply_merges(docs, "text", [])
-    row = bpe.token_length_stats(tok).collect()[0]
+    occ = bpe.token_occurrences(docs, "text", [])
+    row = bpe.token_length_stats(occ).collect()[0]
     assert row["n_seqs"] == 3
     assert row["total_symbols"] == sum(len(t.split()) for t in CORPUS)
     assert row["distinct_symbols"] == len(

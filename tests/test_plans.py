@@ -571,3 +571,59 @@ def test_passjoin_is_equi_join_on_segments(spark):
     assert "isFinalPlan=true" in plan
     # the segment equi-join carries _piece in its key
     assert "_piece" in plan
+
+
+def test_lm_scoring_top15_is_take_ordered_no_python(spark):
+    """The perplexity tail query must rank via TakeOrderedAndProject
+    (bounded top-k, no global sort) and keep the whole model JVM-side —
+    training and scoring are aggregations + joins, never a UDF."""
+    plan = _plan(spark, "lm_surprising_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_overlap_has_no_cartesian_and_no_python(spark):
+    """The pair expansion joins each sketch row to the tiny group list —
+    a broadcast nested loop over n_groups rows is fine, a
+    CartesianProduct over data rows is not; everything stays JVM-side."""
+    plan = _plan(spark, "kmv_returnflag_part_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_sketch_is_single_distinct_exchange_chain(spark):
+    """The sketch build hashes BEFORE its one distinct (dedup-by-hash
+    subsumes dedup-by-key): exactly one full-width aggregate pair
+    (partial+final HashAggregate over (group, hv)) feeds the salted
+    windows — a second distinct would show as a third HashAggregate
+    pair."""
+    from neynar_parquet_importer_spark.catalog import load_table
+    from neynar_parquet_importer_spark.operators.kmv import kmv_sketch
+
+    ev = load_table(spark, SF, "events")
+    plan = (
+        kmv_sketch(ev, "user_id", ["event_type"], k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") == 2  # one partial+final pair
+    assert "BatchEvalPython" not in plan
+
+
+def test_pca_error_scan_is_single_pass_no_python(spark):
+    """Projection + reconstruction error are Column folds over ONE scan
+    of the embeddings — no Python stage, no join, no second scan."""
+    plan = _plan(spark, "pca_label_compression")
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_bpe_inference_is_one_arrow_stage(spark):
+    """Applying a whole learned merge table is ONE Arrow-batched pass:
+    exactly one MapInPandas stage over one scan, however many merges
+    (posexplode over a pandas-UDF column plans the UDF twice — the
+    occurrence stream exists to avoid that)."""
+    plan = _plan(spark, "bpe_token_compression")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
