@@ -7822,13 +7822,17 @@ def _pca_err_expr(mean, comps) -> str:
     p_terms = []
     for c in comps:
         md = float(_np.dot(_np.asarray(mean), _np.asarray(c)))
+        # ::DOUBLE: a bare decimal literal types as DECIMAL (see
+        # _pca_variance_oracle_sql) — promotion would still land on
+        # DOUBLE here, but typed literals make that not depend on
+        # DuckDB's promotion rules
         p_terms.append(
-            f"(list_dot_product(d, {comp_sql(c)}) - ({md!r}))"
+            f"(list_dot_product(d, {comp_sql(c)}) - ({md!r}::DOUBLE))"
         )
     proj2 = " + ".join(f"{p} * {p}" for p in p_terms)
     return (
         f"list_dot_product(d, d) - 2.0 * list_dot_product(d, {mean_sql(mean)})"
-        f" + ({mm!r}) - ({proj2})"
+        f" + ({mm!r}::DOUBLE) - ({proj2})"
     )
 
 
@@ -7854,8 +7858,13 @@ def _pca_variance_oracle_sql(sf_dir: str) -> str:
     rows = []
     for i, c in enumerate(comps):
         md = float(_np.dot(_np.asarray(mean), _np.asarray(c)))
+        # ::DOUBLE on every scalar literal: DuckDB types a bare decimal
+        # VALUES literal as DECIMAL, whose string form keeps trailing
+        # zeros ('0.021090') and hash-mismatches the float ('0.02109')
+        # — surfaced by the sf1 probe, latent at smaller sfs
         rows.append(
-            f"({i}, {comp_sql(c)}, {md!r}, {eigs[i]!r}, {evr[i]!r})"
+            f"({i}, {comp_sql(c)}, {md!r}::DOUBLE,"
+            f" {eigs[i]!r}::DOUBLE, {evr[i]!r}::DOUBLE)"
         )
     values = ",\n            ".join(rows)
     return f"""
