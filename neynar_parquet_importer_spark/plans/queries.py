@@ -6009,7 +6009,10 @@ def _pq_topk_oracle_sql(sf_dir: str) -> str:
         for c in range(len(books[s]))
     )
     dt_vals = ",\n            ".join(
-        f"({s}, {c}, {dtable[s][c]!r})"
+        # ::DOUBLE so the 8-lookup addition chain is double-stepped like
+        # the engine's (a bare literal types DECIMAL, whose sum is exact
+        # decimal — not "the same left-associated chain" at all)
+        f"({s}, {c}, {dtable[s][c]!r}::DOUBLE)"
         for s in range(n_sub)
         for c in range(len(dtable[s]))
     )
