@@ -243,7 +243,9 @@ def token_length_stats(occurrences: DataFrame) -> DataFrame:
     pos==0 rows (the tokenizer emits [''] for empty text, so every
     sequence has one), vocabulary = distinct symbols."""
     return occurrences.agg(
-        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_seqs"),
+        # count(when(...)) not sum(when(...)): sum over an EMPTY stream
+        # is NULL, while the replay oracle states literal 0
+        F.count(F.when(F.col("pos") == 0, 1)).alias("n_seqs"),
         F.count(F.lit(1)).alias("total_symbols"),
         F.countDistinct("s").alias("distinct_symbols"),
     )

@@ -1009,6 +1009,7 @@ def reset_corpus_caches() -> None:
     _KMEANS_CENT_CACHE.clear()
     _PCA_MODEL_CACHE.clear()
     _BPE_MERGE_CACHE.clear()
+    _BPE_ORACLE_MERGE_CACHE.clear()
 
 
 def _embedding_dim(emb: DataFrame, sf_dir: str) -> int:
@@ -3298,9 +3299,12 @@ def zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ValueError:
             continue
         except ProcessLookupError:
-            # owner is gone — safe to reap (PermissionError would mean a
-            # LIVE process under another uid: leave its files alone)
+            # owner is gone — safe to reap
             shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            # a LIVE process under another uid reused the pid: leave its
+            # files alone and keep going (not a failure of THIS audit)
+            continue
     path = f"/tmp/spark_graft_zorder_audit_{tag}_{os.getpid()}"
     lay.write_zordered(base, path, "uid", "secs", bits=16, n_buckets=64)
     back = spark.read.parquet(path)
@@ -7977,12 +7981,21 @@ def _oracle_documents(sf_dir: str, limit: int | None = None) -> list[str]:
     return [r[0] for r in rows]
 
 
+_BPE_ORACLE_MERGE_CACHE: dict[tuple, list] = {}
+
+
 def _bpe_oracle_merges(sf_dir: str) -> list:
+    """Single-process training replay, cached per documents mtime — the
+    merges and compression builders both need it, and each replay
+    re-reads the parquet and reruns the full n_merges training loop."""
     from ..operators.bpe import bpe_learn_py
 
-    return bpe_learn_py(
-        _oracle_documents(sf_dir, limit=_BPE_SAMPLE), _BPE_N_MERGES
-    )
+    key = _docs_cache_key(sf_dir)
+    if key not in _BPE_ORACLE_MERGE_CACHE:
+        _BPE_ORACLE_MERGE_CACHE[key] = bpe_learn_py(
+            _oracle_documents(sf_dir, limit=_BPE_SAMPLE), _BPE_N_MERGES
+        )
+    return _BPE_ORACLE_MERGE_CACHE[key]
 
 
 def _sql_str(x: str) -> str:

@@ -76,3 +76,15 @@ def test_token_length_stats(spark, docs):
     assert row["distinct_symbols"] == len(
         {w for t in CORPUS for w in t.split()}
     )
+
+
+def test_token_length_stats_empty_stream_is_zero(spark):
+    """sum(when(...)) over an empty stream would be NULL; the replay
+    oracle states literal 0 — count-based n_seqs keeps them equal."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = bpe.token_length_stats(
+        bpe.token_occurrences(df, "text", [])
+    ).collect()[0]
+    assert (row["n_seqs"], row["total_symbols"], row["distinct_symbols"]) == (
+        0, 0, 0,
+    )
