@@ -55,9 +55,14 @@ def kmv_hash(key: Column | str, seed: str = "kmv") -> Column:
     """Signed-64 md5 hash of ``seed:key`` — the uniform order both the
     Spark plan and a SQL oracle derive identically (NULL keys hash to
     NULL and are dropped by the sketch builder, matching countDistinct).
+
+    ``F.concat`` (not ``concat_ws``) so a NULL key propagates to a NULL
+    hash, matching the ``'seed' || ':' || key`` twin in
+    :func:`kmv_hash_sql` — ``concat_ws`` skips NULL args and would hash
+    a NULL key to ``md5('kmv:')`` on the Spark side only.
     """
     key = F.col(key) if isinstance(key, str) else key
-    return md5_signed64(F.concat_ws(":", F.lit(seed), key.cast("string")))
+    return md5_signed64(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
 
 
 def kmv_hash_sql(key_expr: str, seed: str = "kmv") -> str:

@@ -22,8 +22,9 @@ broadcast when the vocabulary fits).
 
 Model, chosen engine-portable and oracle-replayable:
 
-- tokens: ``split(trim(lower(text)), '\\s+')`` — the same tokenizer the
-  simhash/winnowing twins already pin across engines;
+- tokens: Spark ``split(trim(lower(text)), '\\s+')`` (Java ``\\s`` ==
+  ``[ \\t\\n\\x0b\\f\\r]``); the DuckDB twin spells the class out because
+  RE2 ``\\s`` lacks U+000B — the same pin every tokenizer twin uses;
 - bigram occurrences keep duplicates (counts are multiset counts);
 - add-k smoothing: ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V)`` with
   ``c(w1)`` the FULL unigram occurrence count and ``V`` the distinct
@@ -133,7 +134,7 @@ def bigram_nll_sql(
     return f"""
     WITH toks AS (
         SELECT {id_expr} AS id,
-               string_split_regex(trim(lower({text_expr})), '\\s+') AS l
+               string_split_regex(trim(lower({text_expr})), '[ \\t\\n\\x0b\\f\\r]+') AS l
         FROM {table}
     ), big AS (
         SELECT id, l[i] AS w1, l[i + 1] AS w2

@@ -117,6 +117,8 @@ def reconstruction_error(
 ) -> DataFrame:
     """Adds ``err`` = squared reconstruction error of the m-component
     compression, via the orthonormal-basis identity (module doc)."""
+    if not comps:
+        raise ValueError("comps must be non-empty (pca_core enforces m >= 1)")
     vec = F.col(vec_col)
     mean_arr = F.array(*[F.lit(float(t)) for t in mean])
     # ||x - mean||^2 expanded to x.x - 2 x.mean + mean.mean: two folds

@@ -35,7 +35,7 @@ a half-boundary of the 4th decimal).
 
 Tokenization is the corpus-wide convention shared with the winnowing
 family: lowercase, trim, split on whitespace runs (DuckDB twin:
-``string_split_regex(trim(lower(text)), '\\s+')``).
+``string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')``).
 """
 
 from __future__ import annotations
@@ -173,7 +173,7 @@ def bm25_oracle_sql(
     return f"""
         WITH toks AS (
             SELECT {id_col} AS doc_id,
-                   unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS term
+                   unnest(string_split_regex(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+')) AS term
             FROM {table}
         ), postings AS (
             SELECT doc_id, term, count(*) AS tf

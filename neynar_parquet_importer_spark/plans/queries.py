@@ -4462,7 +4462,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_token_count": """
         SELECT doc_id,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS INTEGER) AS n_tokens,
+                    ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS INTEGER) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
         FROM documents
     """,
@@ -4476,7 +4476,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM (
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS DOUBLE) AS n_tokens,
+                        ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) AS n_tokens,
                    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
                    CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
@@ -4501,14 +4501,14 @@ ORACLE_SQL: dict[str, str] = {
         )
     """,
     "text_fingerprint": """
-        SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
         FROM documents
     """,
     "text_repetition": """
         SELECT doc_id,
                round(CASE WHEN length(trim(text)) = 0 THEN 0.0
-                     ELSE 1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS DOUBLE)
-                              / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE)
+                     ELSE 1.0 - CAST(len(list_distinct(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))) AS DOUBLE)
+                              / CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS DOUBLE)
                      END, 6) AS repetition
         FROM documents
     """,
@@ -4533,7 +4533,7 @@ ORACLE_SQL: dict[str, str] = {
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                         ELSE [array_to_string(t, ' ')] END AS s
             FROM (SELECT doc_id,
-                         string_split_regex(trim(lower(text)), '\\s+') AS t
+                         string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
                   FROM documents)
         ), shx AS (
             SELECT doc_id, unnest(s) AS shingle FROM base
@@ -4567,7 +4567,7 @@ ORACLE_SQL: dict[str, str] = {
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                         ELSE [array_to_string(t, ' ')] END AS s
             FROM (SELECT doc_id,
-                         string_split_regex(trim(lower(text)), '\\s+') AS t
+                         string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
                   FROM documents)
         ), shx AS (
             SELECT doc_id, unnest(s) AS shingle FROM base
@@ -4597,7 +4597,7 @@ ORACLE_SQL: dict[str, str] = {
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                         ELSE [array_to_string(t, ' ')] END AS s
             FROM (SELECT doc_id,
-                         string_split_regex(trim(lower(text)), '\\s+') AS t
+                         string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
                   FROM documents)
         ), shx AS (
             SELECT doc_id, unnest(s) AS shingle FROM base
@@ -4720,7 +4720,7 @@ ORACLE_SQL: dict[str, str] = {
     # one whole-text shingle for documents shorter than 3 tokens
     "contamination_vs_benchmark": """
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents
+            SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents
         ), sh AS (
             SELECT doc_id,
                    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
@@ -4745,7 +4745,7 @@ ORACLE_SQL: dict[str, str] = {
     "tfidf_top_terms": """
         WITH terms AS (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                   unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
             FROM documents
         ), tf AS (
             SELECT doc_id, term, count(*) AS tf
@@ -4767,7 +4767,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_trigrams": """
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents
+            SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents
         ), sh AS (
             SELECT doc_id,
                    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
@@ -4791,7 +4791,7 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_docs
         FROM (
             SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
+                   ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens
             FROM documents
         )
         GROUP BY bucket
@@ -4822,7 +4822,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_gopher_repetition": """
         WITH words AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
             FROM documents
         ), bi AS (
             SELECT doc_id, unnest(s) AS g FROM (
@@ -4865,7 +4865,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH feats AS (
             SELECT length(trim(text)) > 0 AS nonempty,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS DOUBLE) AS n_tokens,
+                        ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) AS n_tokens,
                    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
                    CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct,
@@ -4932,12 +4932,12 @@ def _pretrain_curated_cte() -> str:
         WITH f0 AS (
             SELECT doc_id, lang, text,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS INTEGER) AS n_tokens,
+                        ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS INTEGER) AS n_tokens,
                    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS nonspace,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
                    CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct,
                    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b')) AS DOUBLE) AS sw,
-                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                   md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
             FROM documents
             WHERE doc_id % 20 <> 0
         ), feats AS (
@@ -4956,7 +4956,7 @@ def _pretrain_curated_cte() -> str:
             SELECT * FROM gated
             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         ), ctoks AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l FROM deduped
+            SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS l FROM deduped
         ), csh AS (
             SELECT doc_id,
                    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
@@ -4968,7 +4968,7 @@ def _pretrain_curated_cte() -> str:
             SELECT DISTINCT doc_id, shingle
             FROM (SELECT doc_id, unnest(shingles) AS shingle FROM csh)
         ), btoks AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+            SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS l
             FROM documents WHERE doc_id % 20 = 0
         ), bsh AS (
             SELECT doc_id,
@@ -5018,7 +5018,7 @@ ORACLE_SQL["pretrain_corpus_summary"] = (
 
 ORACLE_SQL["passage_dedup_docs"] = """
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
         FROM documents
     ),
     chunks AS (
@@ -5044,7 +5044,7 @@ ORACLE_SQL["passage_dedup_docs"] = """
 
 ORACLE_SQL["doc_novelty"] = """
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents
     ),
     d AS (
@@ -5169,7 +5169,7 @@ ORACLE_SQL["cohort_retention"] = """
 ORACLE_SQL["unigram_logprob_score"] = """
     WITH tok AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents
     ),
     freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
@@ -5231,7 +5231,7 @@ ORACLE_SQL["pack_training_sequences"] = """
     WITH toks AS (
         SELECT doc_id,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+                    ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) END
                     AS INTEGER) AS n_tokens
         FROM documents
     ),
@@ -5321,7 +5321,7 @@ ORACLE_SQL["contrastive_triplets"] = """
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS s
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
               FROM documents)
     ), shx AS (
         SELECT doc_id, unnest(s) AS shingle FROM base
@@ -5417,7 +5417,7 @@ _ORACLE_CAPPED_PAIRS_05 = """base AS (
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS s
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
               FROM documents)
     ), shx AS (
         SELECT doc_id, unnest(s) AS shingle FROM base
@@ -5468,7 +5468,7 @@ ORACLE_SQL["length_curriculum_buckets"] = """
     WITH toks AS (
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+                    ELSE len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
                END AS n_tokens
         FROM documents
     ), ranked AS (
@@ -5523,7 +5523,7 @@ ORACLE_SQL["soft_dedup_weights"] = f"""
 
 ORACLE_SQL["rag_passage_windows"] = """
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents
     ), starts AS (
         SELECT doc_id, t,
@@ -5543,11 +5543,11 @@ ORACLE_SQL["rag_passage_windows"] = """
 ORACLE_SQL["dsir_importance_weights"] = """
     WITH src AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents WHERE doc_id % 20 != 0
     ), tgt AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents WHERE doc_id % 20 = 0
     ), sc AS (
         SELECT tok, count(*) AS ns FROM src GROUP BY tok
@@ -5579,7 +5579,7 @@ ORACLE_SQL["text_substring_dup_stats"] = """
     -- both); a position is duplicated when its gram occurs > 1 time
     -- corpus-wide; runs decompose via the pos - row_number gap trick
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents
     ), pos AS (
         SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS g
@@ -5623,7 +5623,7 @@ ORACLE_SQL["dedup_simhash"] = """
     WITH toks AS (
         SELECT doc_id,
                unnest(list_distinct(
-                   string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+                   string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))) AS tok
         FROM documents
     ), h AS (
         SELECT doc_id,
@@ -5744,7 +5744,7 @@ ORACLE_SQL["sketch_order_stats"] = """
 
 ORACLE_SQL["boilerplate_chunk_removal"] = """
     WITH words AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
         FROM documents
     ),
     chunks AS (
@@ -5781,7 +5781,7 @@ ORACLE_SQL["epoch_shuffle_docs"] = f"""
 
 ORACLE_SQL["bigram_logprob_score"] = """
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
         FROM documents
     ),
     pairs AS (
@@ -5817,7 +5817,7 @@ ORACLE_SQL["dedup_minhash_lsh"] = """
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS s
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
               FROM documents)
     ), shx AS (
         SELECT doc_id, unnest(s) AS shingle FROM base
@@ -6167,7 +6167,7 @@ ORACLE_SQL["heavy_hitters_cms"] = """
 ORACLE_SQL["quality_classifier_scores"] = """
     WITH tok AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents
     ),
     tb AS (SELECT doc_id,
@@ -6272,7 +6272,7 @@ ORACLE_SQL["bloom_incremental_dedup"] = """
 
 _WINNOW_FPS_CTE = """
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents
     ), grams AS (
         SELECT doc_id, u.i - 1 AS pos,
@@ -6540,7 +6540,7 @@ ORACLE_SQL["cosupplier_triangle_nodes"] = _TRIANGLE_CTE + """
 ORACLE_SQL["bm25_term_stats"] = f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS term
         FROM documents
     ), postings AS (
         SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
@@ -7148,7 +7148,7 @@ ORACLE_SQL["dedup_prefix_filter_pairs"] = """
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS s
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
               FROM documents)
     ), shx AS (
         SELECT doc_id, unnest(s) AS shingle FROM base
@@ -7182,7 +7182,7 @@ ORACLE_SQL["prefix_filter_candidate_stats"] = """
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS s
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
               FROM documents)
     ), shx AS (
         SELECT DISTINCT doc_id, unnest(s) AS shingle FROM base
@@ -7366,7 +7366,7 @@ ORACLE_SQL["dedup_containment_pairs"] = """
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS s
         FROM (SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\\s+') AS t
+                     string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
               FROM documents)
     ), shx AS (
         SELECT doc_id, unnest(s) AS shingle FROM base

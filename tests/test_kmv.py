@@ -134,3 +134,16 @@ def test_sketch_is_bounded_after_filter(spark, events):
     sk = kmv.kmv_sketch(events, "user_id", ["event_type"], k=16)
     counts = sk.groupBy("event_type").count().collect()
     assert all(r["count"] <= 16 for r in counts)
+
+
+def test_null_key_hashes_to_null(spark):
+    """kmv_hash must propagate NULL keys to NULL hashes (matching the
+    '||'-built DuckDB twin), not silently hash the seed alone — the
+    round-7 advisor finding on concat_ws NULL-skipping."""
+    df = spark.createDataFrame([("a",), (None,)], ["key"])
+    rows = df.select(
+        F.col("key"), kmv.kmv_hash("key").alias("hv")
+    ).collect()
+    by_key = {r["key"]: r["hv"] for r in rows}
+    assert by_key["a"] == _py_hash("a")
+    assert by_key[None] is None

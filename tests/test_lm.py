@@ -87,3 +87,33 @@ def test_occurrences_preserved_through_joins(spark, docs):
 def test_no_python_udf_in_plan(spark, docs):
     plan = lm.doc_nll(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vertical_tab_tokenizes_identically_in_duckdb_twin(spark):
+    """U+000B is whitespace to Java ``\\s`` but NOT to RE2 ``\\s`` — the
+    DuckDB twin must spell the class out (round-7 advisor finding).
+    Replays bigram_nll_sql on a corpus containing a vertical tab and
+    compares against the Spark frame."""
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(1, "cat\x0bsat on"), (2, "cat sat mat"), (3, "on a\x0bmat")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_bigrams"], round(r["nll"], 9))
+        for r in lm.doc_nll(docs, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    sql = lm.bigram_nll_sql("documents", "text", "doc_id") + (
+        "SELECT id, n_bigrams, nll FROM scored"
+    )
+    want = {
+        int(i): (int(n), round(nll, 9)) for i, n, nll in con.execute(sql).fetchall()
+    }
+    # the \x0b inside doc 1 and 3 MUST split: doc 1 has bigrams
+    # (cat,sat),(sat,on) in both engines
+    assert got == want
+    assert got[1][0] == 2

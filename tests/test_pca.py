@@ -117,3 +117,11 @@ def test_m_bounds():
         pca.pca_core(x.tolist(), 0)
     with pytest.raises(ValueError):
         pca.pca_core(x.tolist(), 5)
+
+
+def test_reconstruction_error_rejects_empty_comps(spark):
+    """Direct misuse with comps=[] raises a clear ValueError instead of
+    the opaque Column-minus-None TypeError (round-7 advisor finding)."""
+    df = spark.createDataFrame([([1.0, 2.0],)], ["embedding"])
+    with pytest.raises(ValueError, match="comps"):
+        pca.reconstruction_error(df, [0.0, 0.0], [])
