@@ -20,8 +20,34 @@ import re
 import time
 
 from neynar_parquet_importer_spark.operators.dedup import release_cached
-from neynar_parquet_importer_spark.plans.queries import QUERIES
+from neynar_parquet_importer_spark.plans.queries import (
+    QUERIES,
+    reset_corpus_caches,
+)
 from neynar_parquet_importer_spark.session import get_spark
+
+# Queries whose cost is dominated by a TRAINED in-process artifact
+# (BPE merge table, k-means/IVF centroids, PQ codebooks, PCA basis, LSH
+# planes+dim probe) memoized across passes in plans.queries. Min-of-N
+# with the memo warm measures cache state, not code (r7 verdict #4), so
+# the bench times these twice per pass: a COLD run right after
+# reset_corpus_caches() (training included) and a WARM run with the memo
+# populated (the documented train-once/reuse production path). The
+# headline `queries`/`value` keep the warm figure — comparable with
+# r<=7, whose min-of-3 was warm — and the cold figure is emitted
+# alongside (full line + per-family in the tail line).
+ARTIFACT_TRAINED = {
+    "embedding_lsh_topk": "lsh",
+    "embedding_ivf_topk": "ivf",
+    "embedding_ivf_knn_join": "ivf",
+    "embedding_pq_topk": "pq",
+    "kmeans_corpus_clusters": "kmeans",
+    "kmeans_domain_profile": "kmeans",
+    "pca_label_compression": "pca",
+    "pca_component_variance": "pca",
+    "bpe_learned_merges": "bpe",
+    "bpe_token_compression": "bpe",
+}
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -316,20 +342,41 @@ def main() -> None:
         except OSError:
             return -1.0
 
+    cold_passes: dict[str, list[float]] = {
+        name: [] for name in bench_queries if name in ARTIFACT_TRAINED
+    }
+
+    def _quiesce():
+        release_cached()
+        spark.catalog.clearCache()  # queries are timed independently
+        # force the context cleaner between queries: dead shuffle /
+        # broadcast blocks from earlier queries otherwise accumulate
+        # until a driver GC happens to run, squeezing execution
+        # memory mid-sequence (measured 10x+ slowdowns)
+        spark.sparkContext._jvm.System.gc()
+
     for _ in range(n_passes):
         for name in bench_queries:
-            release_cached()
-            spark.catalog.clearCache()  # queries are timed independently
-            # force the context cleaner between queries: dead shuffle /
-            # broadcast blocks from earlier queries otherwise accumulate
-            # until a driver GC happens to run, squeezing execution
-            # memory mid-sequence (measured 10x+ slowdowns)
-            spark.sparkContext._jvm.System.gc()
+            _quiesce()
+            if name in ARTIFACT_TRAINED:
+                # COLD leg: drop the model memos so this pass pays
+                # training, then a WARM leg with the memo populated
+                reset_corpus_caches()
+                loads[name].append(_load1())
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                cold_passes[name].append(round(time.perf_counter() - t0, 3))
+                _quiesce()  # data caches only — the memo stays warm
             loads[name].append(_load1())
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             passes[name].append(round(time.perf_counter() - t0, 3))
     timings = {name: min(ts) for name, ts in passes.items()}
+    artifact_cold_warm = {
+        name: {"cold": min(cs), "warm": timings[name]}
+        for name, cs in cold_passes.items()
+        if cs
+    }
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -338,6 +385,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "artifact_cold_warm": artifact_cold_warm,
         "sf": sf_val,
     }
     # full per-query line first (humans + log scrapers), then a compact
@@ -360,12 +408,20 @@ def main() -> None:
     all_loads = sorted(
         x for ls in loads.values() for x in ls if x >= 0
     )
+    # per-family {train-included, memo-warm} seconds for the artifact-
+    # trained queries — the tail-line view of artifact_cold_warm
+    cw_fam: dict[str, list[float]] = {}
+    for n, cw in artifact_cold_warm.items():
+        fam = ARTIFACT_TRAINED[n]
+        c, w = cw_fam.get(fam, [0.0, 0.0])
+        cw_fam[fam] = [round(c + cw["cold"], 3), round(w + cw["warm"], 3)]
     final = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": tpch,
         "families": families,
+        "cold_warm": cw_fam,
         "n_queries": len(timings),
         "passes": n_passes,
         "loadavg_max": all_loads[-1] if all_loads else None,
@@ -391,6 +447,7 @@ def main() -> None:
             {
                 **payload,
                 "passes": passes,
+                "cold_passes": cold_passes,
                 "loadavg_1m": loads,
                 "run_at": ts,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),

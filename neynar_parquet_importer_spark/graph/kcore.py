@@ -216,3 +216,30 @@ def kcore_replay(edge_pairs, k: int) -> set[tuple[int, int]]:
         if nxt == cur:
             return cur
         cur = nxt
+
+
+def kcore_replay_np(a, b, k: int) -> set[tuple[int, int]]:
+    """Vectorized twin of :func:`kcore_replay` over UNIQUE canonical
+    (a, b) pairs (the oracle fetch is SELECT DISTINCT; the dict replay
+    sets-dedups internally). Each peel round is two bincounts and a
+    mask instead of dict loops; the fixpoint is unique so the surviving
+    edge set is identical (property-tested). Exists for the sf1 oracle
+    build (round-7 verdict #2)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = int(len(nodes))
+    ai, bi = codes[: len(a)], codes[len(a):]
+    alive = np.ones(len(a), dtype=bool)
+    while True:
+        deg = np.bincount(ai[alive], minlength=n) + np.bincount(
+            bi[alive], minlength=n
+        )
+        keep = alive & (deg[ai] >= k) & (deg[bi] >= k)
+        if bool((keep == alive).all()):
+            return {
+                (int(a[i]), int(b[i])) for i in np.flatnonzero(alive)
+            }
+        alive = keep

@@ -110,3 +110,42 @@ def community_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def lpa_replay_np(src, dst, n_iter: int = 4) -> dict[int, int]:
+    """Vectorized twin of :func:`lpa_replay` for SYMMETRIC edge input
+    (both directions present — the only shape the oracle builders pass;
+    the dict replay would KeyError on anything else). Per iteration:
+    one lexsort groups (src, neighbor-label) pairs, a run-length count
+    replaces the per-node Counter, and a second lexsort on
+    (src asc, count desc, label asc) picks each node's most-common/
+    smallest-label winner — the identical struct-max rule. Bit-equal to
+    the dict replay (property-tested); exists for the sf1 oracle build
+    (round-7 verdict #2)."""
+    import numpy as np
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = int(len(nodes))
+    if n == 0:
+        return {}
+    s, d = codes[: len(src)], codes[len(src):]
+    labels = nodes.copy()  # label VALUES are original node ids
+    for _ in range(n_iter):
+        lab = labels[d]
+        order = np.lexsort((lab, s))
+        s_o, l_o = s[order], lab[order]
+        new_grp = np.r_[True, (s_o[1:] != s_o[:-1]) | (l_o[1:] != l_o[:-1])]
+        starts = np.flatnonzero(new_grp)
+        g_src, g_lab = s_o[starts], l_o[starts]
+        g_cnt = np.diff(np.r_[starts, len(s_o)])
+        pick = np.lexsort((g_lab, -g_cnt, g_src))
+        gs = g_src[pick]
+        first = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        new_labels = labels.copy()
+        new_labels[gs[first]] = g_lab[pick][first]
+        labels = new_labels
+    is_src = np.zeros(n, dtype=bool)
+    is_src[s] = True
+    return {int(nodes[i]): int(labels[i]) for i in np.flatnonzero(is_src)}

@@ -161,3 +161,39 @@ def pagerank_replay(edge_pairs, n_iter: int = 5) -> dict[int, int]:
             for v in nodes
         }
     return mass
+
+
+def pagerank_replay_np(src, dst, n_iter: int = 5) -> dict[int, int]:
+    """Vectorized twin of :func:`pagerank_replay` — identical integer
+    recursion on int64 numpy arrays (floor division and sums of
+    non-negative int64 are exact and overflow-free per the module
+    overflow audit), so results are bit-equal to the dict replay
+    (property-tested in tests/test_pagerank.py). Exists because the
+    dict replay is the slow side of the sf1 oracle build (round-7
+    verdict #2): ~50M dict ops at sf1 vs a few vector passes here."""
+    import numpy as np
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = int(len(nodes))
+    if n == 0:
+        return {}
+    s, d = codes[: len(src)], codes[len(src):]
+    out_deg = np.bincount(s, minlength=n).astype(np.int64)
+    base = SCALE // n
+    teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
+    mass = np.full(n, base, dtype=np.int64)
+    # sort edges by dst once so each iteration's inflow gather is a
+    # contiguous segmented sum (add.reduceat), not a scatter
+    order = np.argsort(d, kind="stable")
+    s_o, d_o = s[order], d[order]
+    starts = np.flatnonzero(np.r_[True, d_o[1:] != d_o[:-1]])
+    dst_ids = d_o[starts]
+    for _ in range(n_iter):
+        contrib = mass[s_o] // out_deg[s_o]
+        inflow = np.zeros(n, dtype=np.int64)
+        if len(s_o):
+            inflow[dst_ids] = np.add.reduceat(contrib, starts)
+        mass = teleport + (DAMP_NUM * inflow) // DAMP_DEN
+    return {int(nodes[i]): int(mass[i]) for i in range(n)}

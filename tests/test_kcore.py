@@ -127,3 +127,31 @@ def test_kcore_duplicate_edge_rows_match_canonical(spark):
     assert got_local == expect
     assert got_dist == expect
     assert kcr.kcore_replay(set(rows), 2) == expect
+
+
+def test_replay_np_bitequal_to_dict_replay():
+    """Vectorized sf1 peel vs the dict spec: identical surviving edge
+    set (the fixpoint is unique) across random graphs and k values."""
+    import random
+
+    import numpy as np
+
+    from neynar_parquet_importer_spark.graph.kcore import (
+        kcore_replay,
+        kcore_replay_np,
+    )
+
+    for seed in range(5):
+        rng = random.Random(200 + seed)
+        n = rng.randint(3, 80)
+        m = rng.randint(1, 300)
+        pairs = {(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)}
+        pairs = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        if not pairs:
+            continue
+        k = rng.randint(1, 5)
+        want = kcore_replay(pairs, k=k)
+        a = np.array([e[0] for e in pairs])
+        b = np.array([e[1] for e in pairs])
+        got = kcore_replay_np(a, b, k=k)
+        assert got == want, f"seed {seed} k {k}"

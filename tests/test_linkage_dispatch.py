@@ -221,3 +221,36 @@ def test_max_block_parity_across_strategies(spark):
         )
     )
     assert got_pj == want
+
+
+def test_candidate_ceiling_rejects_infeasible_passjoin(spark):
+    """The memory-ceiling term (r7 verdict #3): on the high-entropy
+    corpus PassJoin wins on cost, but an explicit ceiling below its
+    candidate estimate must flip the dispatch to blocked — feasibility
+    overrides projected speed — and the statistics must say why."""
+    d, c = _high_entropy(spark)
+    free = lk.decide_pairs_strategy(
+        d, c, [], "did", "cid", "dname", "cname", 2, sample_target=200,
+    )
+    assert free["strategy"] == "passjoin"
+    assert free["passjoin_feasible"] is True
+    assert free["candidate_ceiling"] >= 1_000_000  # heap-derived default
+    capped: dict = {}
+    out = lk.auto_pairs(
+        d, c, [], "did", "cid", "dname", "cname", 2,
+        sample_target=200,
+        candidate_ceiling=max(1, int(free["passjoin_est_candidates"]) - 1),
+        decision_out=capped,
+    )
+    assert capped["strategy"] == "blocked"
+    assert capped["passjoin_feasible"] is False
+    # the dispatch-never-changes-answers contract holds across the flip
+    ref = lk.passjoin_pairs(d, c, "did", "cid", "dname", "cname", 2)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
+
+
+def test_default_ceiling_tracks_jvm_heap(spark):
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    assert lk.passjoin_candidate_ceiling(spark) == max(1_000_000, heap // 128)

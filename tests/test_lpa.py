@@ -71,3 +71,28 @@ def test_community_sizes_sum_to_nodes(spark):
     labels = lpa.label_propagation(_directed(spark, pairs), n_iter=2)
     sizes = lpa.community_sizes(labels)
     assert sizes.agg(F.sum("n_members")).collect()[0][0] == 10
+
+
+def test_replay_np_bitequal_to_dict_replay():
+    """Vectorized sf1 replay vs the dict spec on random SYMMETRIC graphs
+    (the oracle shape): same most-common/smallest-label fixpoint."""
+    import random
+
+    import numpy as np
+
+    from neynar_parquet_importer_spark.graph.lpa import lpa_replay, lpa_replay_np
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        n = rng.randint(2, 100)
+        m = rng.randint(1, 400)
+        base = {(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)}
+        base = {(a, b) for a, b in base if a != b}
+        directed = list(base) + [(b, a) for a, b in base]
+        if not directed:
+            continue
+        want = lpa_replay(directed, n_iter=4)
+        src = np.array([e[0] for e in directed])
+        dst = np.array([e[1] for e in directed])
+        got = lpa_replay_np(src, dst, n_iter=4)
+        assert got == want, f"seed {seed}"

@@ -73,3 +73,30 @@ def test_mass_is_conserved_up_to_floor_leakage(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], EDGE_SCHEMA)
     assert pagerank(df, n_iter=3).count() == 0
+
+
+def test_replay_np_bitequal_to_dict_replay():
+    """The vectorized sf1 replay must be bit-identical to the pure-dict
+    spec on random graphs (dangling nodes, multi-edges, skewed degree)."""
+    import random
+
+    import numpy as np
+
+    from neynar_parquet_importer_spark.graph.pagerank import (
+        pagerank_replay,
+        pagerank_replay_np,
+    )
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(2, 120)
+        m = rng.randint(1, 600)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        # include a dangling node (dst-only) explicitly
+        edges.append((rng.randint(0, n), n + 7))
+        want = pagerank_replay(edges, n_iter=5)
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        got = pagerank_replay_np(src, dst, n_iter=5)
+        assert got == want, f"seed {seed}"
+    assert pagerank_replay_np([], []) == {}

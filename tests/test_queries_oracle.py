@@ -38,10 +38,25 @@ def duck():
 
 
 def _canon(v):
+    """Order-insensitive value canonicalization. Floats round to 7
+    SIGNIFICANT digits, capped at 6 decimals — identical to the old
+    fixed 6-decimal grain for |v| < 10, strictly coarser above it, so
+    the relative grain stays ~1e-6 at every magnitude. The fixed grain
+    flaked at sf1 where group sums reach ~1e10 and double-summation
+    error (~1e-5 absolute = 1e-15 relative) exceeds 1e-6 absolute
+    (round-7 verdict #1)."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        av = abs(v)
+        d = 6 if av < 10 else 6 - int(math.floor(math.log10(av)))
+        r = round(v, d)
+        if r == 0:
+            return "0"
+        s = f"{r:.{max(d, 0)}f}"
+        return s.rstrip("0").rstrip(".") if "." in s else s
     if v is None:
         return "NULL"
     return str(v)
