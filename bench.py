@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "fuzzy_linkage_auto_dispatch",
     "zorder_write_audit",
     "embedding_ivf_knn_join",
+    # round-8: the measured finer-key linkage mitigation (distinct-text
+    # two-pass blocking, sf0.1->sf1 exponent 0.10 vs 1.95 nation-block)
+    "fuzzy_customer_linkage_fine_block",
 ]
 
 

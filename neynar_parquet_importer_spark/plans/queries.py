@@ -3714,6 +3714,88 @@ def fuzzy_linkage_auto_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_customer_linkage_fine_block(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The linkage module's documented mitigation for the quadratic
+    nation-block regime (``operators/linkage`` module doc: "a block
+    that big means the blocking key is underspecified, and the fix is a
+    finer key"), measured instead of asserted (round-7 verdict #5):
+    two-pass multi-pass blocking (Hernández & Stolfo sorted-
+    neighborhood discipline) on (nation, first-5 suffix chars) UNION
+    (nation, last-4 suffix chars), pair-distinct, then the same
+    distance profile as fuzzy_customer_linkage plus an ``n_true``
+    column making recall visible in the gate.
+
+    The two keys are chosen LOSSLESS for this corpus's perturbation
+    family (one edit at suffix position k in [0,7], or an append):
+    substitution/deletion at k <= 4 leaves the last 4 characters
+    counted from the END intact (a deletion before position 5 shifts
+    the tail left exactly one, so dirty[-4:] == clean[-4:]);
+    substitution/deletion at k >= 5 and the append leave the first 5
+    intact — so every true pair survives at least one pass, which the
+    oracle twin and test_linkage.py's recall check both pin. Cross-
+    block distance<=2 coincidences ARE dropped relative to the
+    all-pairs query — that is the documented trade; n_true is what the
+    fine key promises to keep.
+
+    The quadratic core runs on DISTINCT (nation, suffix) texts, then
+    expands matches back to rows through two equi-joins — exact (the
+    metric depends only on the texts) and the standard mitigation for
+    duplicate-heavy corpora: replicated names multiply only the LINEAR
+    expansion, never the pair scan. The pair set is identical to
+    blocking the raw rows, so the oracle twin replays raw-row blocking
+    and must agree."""
+    dirty, clean = _linkage_corpus(spark, sf_dir)
+    dd = (
+        dirty.select("c_nationkey", "d_suffix")
+        .distinct()
+        .withColumn("_b1", F.expr("substr(d_suffix, 1, 5)"))
+        .withColumn(
+            "_b2", F.expr("substr(d_suffix, length(d_suffix) - 3, 4)")
+        )
+    )
+    cc = (
+        clean.select("c_nationkey", "c_suffix")
+        .distinct()
+        .withColumn("_b1", F.expr("substr(c_suffix, 1, 5)"))
+        .withColumn(
+            "_b2", F.expr("substr(c_suffix, length(c_suffix) - 3, 4)")
+        )
+    )
+
+    def _pass(key: str) -> DataFrame:
+        j = dd.select("c_nationkey", "d_suffix", key).join(
+            cc.select("c_nationkey", "c_suffix", key),
+            ["c_nationkey", key],
+        )
+        return (
+            j.filter(
+                F.abs(F.length("d_suffix") - F.length("c_suffix")) <= 2
+            )
+            .withColumn("distance", F.levenshtein("d_suffix", "c_suffix", 2))
+            .filter(F.col("distance") >= 0)
+            .select("c_nationkey", "d_suffix", "c_suffix", "distance")
+        )
+
+    text_pairs = _pass("_b1").unionByName(_pass("_b2")).distinct()
+    pairs = text_pairs.join(
+        dirty, ["c_nationkey", "d_suffix"]
+    ).join(clean, ["c_nationkey", "c_suffix"])
+    return (
+        pairs.groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("d_key").alias("dirty_checksum"),
+            F.sum("c_custkey").alias("clean_checksum"),
+            F.sum(
+                (F.col("d_key") == F.col("c_custkey")).cast("bigint")
+            ).alias("n_true"),
+        )
+        .orderBy("distance")
+    )
+
+
 def linkage_self_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linkage resolution quality: per dirty record keep the best match
     (min distance, then min clean key — deterministic), then measure how
@@ -3899,6 +3981,7 @@ QUERIES = {
     "user_scd2_type_history": user_scd2_type_history,
     "orders_quality_audit": orders_quality_audit,
     "fuzzy_customer_linkage": fuzzy_customer_linkage,
+    "fuzzy_customer_linkage_fine_block": fuzzy_customer_linkage_fine_block,
     "fuzzy_linkage_auto_dispatch": fuzzy_linkage_auto_dispatch,
     "linkage_self_match_rate": linkage_self_match_rate,
     "khop_supplier_reach": khop_supplier_reach,
@@ -6665,6 +6748,46 @@ ORACLE_SQL["fuzzy_customer_linkage"] = _LINKAGE_CTE + """
 """
 
 ORACLE_SQL["fuzzy_linkage_auto_dispatch"] = ORACLE_SQL["fuzzy_customer_linkage"]
+
+# two-pass fine blocking replayed verbatim: same keys, UNION dedup,
+# same length prefilter + banded-metric acceptance as blocked_pairs
+ORACLE_SQL["fuzzy_customer_linkage_fine_block"] = f"""
+    WITH dirty AS (
+        SELECT c_custkey AS d_key, c_nationkey,
+               {_DIRTY_NAME_EXPR} AS d_name
+        FROM customer
+    ), d2 AS (
+        SELECT d_key, c_nationkey, substr(d_name, 10) AS d_suffix
+        FROM dirty
+    ), c2 AS (
+        SELECT c_custkey, c_nationkey, substr(c_name, 10) AS c_suffix
+        FROM customer
+    ), cand AS (
+        SELECT d.d_key, d.d_suffix, c.c_custkey, c.c_suffix
+        FROM d2 d JOIN c2 c
+          ON d.c_nationkey = c.c_nationkey
+         AND substr(d.d_suffix, 1, 5) = substr(c.c_suffix, 1, 5)
+        UNION
+        SELECT d.d_key, d.d_suffix, c.c_custkey, c.c_suffix
+        FROM d2 d JOIN c2 c
+          ON d.c_nationkey = c.c_nationkey
+         AND substr(d.d_suffix, length(d.d_suffix) - 3, 4)
+             = substr(c.c_suffix, length(c.c_suffix) - 3, 4)
+    ), pairs AS (
+        SELECT d_key, c_custkey,
+               levenshtein(d_suffix, c_suffix) AS distance
+        FROM cand
+        WHERE abs(length(d_suffix) - length(c_suffix)) <= 2
+          AND levenshtein(d_suffix, c_suffix) <= 2
+    )
+    SELECT CAST(distance AS INTEGER) AS distance,
+           count(*) AS n_pairs,
+           sum(d_key) AS dirty_checksum,
+           sum(c_custkey) AS clean_checksum,
+           sum(CASE WHEN d_key = c_custkey THEN 1 ELSE 0 END)::BIGINT
+               AS n_true
+    FROM pairs GROUP BY 1 ORDER BY 1
+"""
 
 ORACLE_SQL["linkage_self_match_rate"] = _LINKAGE_CTE + """
     , best AS (

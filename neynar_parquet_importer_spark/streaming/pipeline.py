@@ -70,7 +70,18 @@ class ImportPipeline:
         emitter=None,
         cu_metric: str | None = None,
         cost_per_row: float = 0.0,
+        publish_eta_offset: float = 1.0,
+        poll_interval: float | None = None,
     ) -> None:
+        """``publish_eta_offset``/``poll_interval`` parameterize the
+        W2 wait cadence: the reference hardcodes "expected publish at
+        window start+dur+1, then poll at max(1, dur/10)" because ITS
+        exporter lands files on S3 about a second after close
+        (main.py:461-501) — those stay the defaults. An exporter that
+        publishes at window close onto a cheap-to-probe store (local
+        fs, the daemon-soak harness) sets a small offset/interval and
+        the importer's end-to-end latency becomes import cost, not the
+        other exporter's assumed cadence."""
         self.spark = spark
         self.spec = spec
         self.source_dir = source_dir
@@ -84,6 +95,8 @@ class ImportPipeline:
         self.emitter = emitter
         self.cu_metric = cu_metric
         self.cost_per_row = cost_per_row
+        self.publish_eta_offset = publish_eta_offset
+        self.poll_interval = poll_interval
         self.sink = LakeUpsertSink(
             spark, f"{sink_root}/{spec.name}", spec.primary_key, spec.version_column
         )
@@ -315,7 +328,7 @@ class ImportPipeline:
         dur = self.duration
         max_wait = max(90.0, 4.0 * dur) if max_wait is None else max_wait
         deadline = now_fn() + max_wait
-        eta = window_start + dur + 1
+        eta = window_start + dur + self.publish_eta_offset
         fname = window_file_name(self.schema_name, self.spec.name, window_start, dur)
         ename = window_file_name(self.schema_name, self.spec.name, window_start, dur, empty=True)
         while True:
@@ -343,7 +356,12 @@ class ImportPipeline:
             # the potentially hours-long pre-ETA wait — the reference
             # sleeps via SHUTDOWN_EVENT.wait too (main.py:461-501).
             # An injected sleep_fn (tests' fake clocks) is still honored.
-            nap = (eta - now) if now < eta else max(1.0, dur / 10.0)
+            poll = (
+                self.poll_interval
+                if self.poll_interval is not None
+                else max(1.0, dur / 10.0)
+            )
+            nap = (eta - now) if now < eta else poll
             nap = min(nap, max(0.0, deadline - now))
             if shutdown is not None and sleep_fn is time.sleep:
                 shutdown.wait(nap)

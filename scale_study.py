@@ -199,6 +199,10 @@ RELATIONAL_QUERIES = [
     # and for auto_pairs' dispatch (see checks.linkage_ab_sf1).
     "fuzzy_customer_linkage",
     "linkage_self_match_rate",
+    # round-8: the finer-key mitigation itself (two-pass first-5/last-4
+    # blocking), registered so the sublinearity claim is a measured
+    # exponent, not module-doc guidance (r7 verdict #5)
+    "fuzzy_customer_linkage_fine_block",
 ]
 
 # per-replica key offsets (well above each key's sf0.1 max): PKs and the
@@ -626,6 +630,331 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         ),
     }
     return out
+
+
+def bpe_sufficiency_checks(spark) -> dict:
+    """Measured sample-sufficiency for the BPE family (r7 verdict #7):
+    the registered queries train on the first 1,024 docs by id
+    (plans.queries._bpe_sample) and the 100 TB story claims a bounded
+    sample suffices (operators/bpe.py:19-22) — this records the
+    agreement between the 1,024-doc merge table and one trained on the
+    FULL corpus, at sf0.1 and sf1, with the ENGINE's own distributed
+    trainer on both sides. Agreement views: exact-prefix length (BPE
+    merges are order-sensitive), set overlap of the merge pairs, and
+    Spearman rank correlation over the common pairs. If this row ever
+    breaks, the registered sample size is the bug to fix."""
+    from neynar_parquet_importer_spark.operators import bpe
+    from neynar_parquet_importer_spark.operators.dedup import _release_ckpt
+    from neynar_parquet_importer_spark.plans.queries import (
+        _BPE_N_MERGES,
+        _BPE_SAMPLE,
+        _bpe_sample,
+        _t,
+    )
+
+    out: dict = {
+        "sample_docs": _BPE_SAMPLE,
+        "n_merges": _BPE_N_MERGES,
+    }
+    for label, d in (("sf0.1", SF01), ("sf1", SF1_DIR)):
+        docs = _t(spark, d, "documents")
+        n_docs = docs.count()
+        t0 = time.time()
+        m_sample, fin = bpe.bpe_learn(_bpe_sample(docs), "text", _BPE_N_MERGES)
+        _release_ckpt(fin)
+        t_sample = round(time.time() - t0, 1)
+        t0 = time.time()
+        m_full, fin2 = bpe.bpe_learn(docs, "text", _BPE_N_MERGES)
+        _release_ckpt(fin2)
+        t_full = round(time.time() - t0, 1)
+        ps = [(a, b) for a, b, _ in m_sample]
+        pf = [(a, b) for a, b, _ in m_full]
+        prefix = 0
+        for x, y in zip(ps, pf):
+            if x != y:
+                break
+            prefix += 1
+        common = sorted(set(ps) & set(pf))
+        rs = {p: i for i, p in enumerate(ps)}
+        rf = {p: i for i, p in enumerate(pf)}
+        if len(common) >= 2:
+            xs = [rs[p] for p in common]
+            ys = [rf[p] for p in common]
+            mx = sum(xs) / len(xs)
+            my = sum(ys) / len(ys)
+            num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            den = (
+                sum((x - mx) ** 2 for x in xs)
+                * sum((y - my) ** 2 for y in ys)
+            ) ** 0.5
+            spearman = round(num / den, 4) if den else None
+        else:
+            spearman = None
+        out[label] = {
+            "n_docs_full": int(n_docs),
+            "identical_tables": ps == pf,
+            "prefix_agreement": prefix,
+            "overlap": len(common),
+            "overlap_frac": round(len(common) / max(len(pf), 1), 4),
+            "spearman_common": spearman,
+            "sample_merges": [f"{a}+{b}" for a, b in ps],
+            "full_merges": [f"{a}+{b}" for a, b in pf],
+            "train_sec_sample": t_sample,
+            "train_sec_full": t_full,
+        }
+    return out
+
+
+def daemon_soak_checks(
+    spark,
+    n_tables: int = 3,
+    n_windows: int = 330,
+    duration: int = 1,
+    crash_after: int = 150,
+) -> dict:
+    """Multi-table daemon soak at steady state with one induced
+    crash/restart (r7 verdict #6): N tables each publish one 1-second
+    window per second in REAL time for ~n_windows seconds; a
+    run_tables_forever daemon (thread per table, shared session —
+    reference main.py:154-238) imports them while a monitor records
+    per-window import latency = ledger-commit observation time minus
+    file publication time. Mid-run the daemon is killed (shutdown
+    event + join — the supervisor-restart model of main.py:676-716)
+    and restarted as FRESH pipelines over the persisted ledgers, so
+    the restart replans from the ledger exactly like a process bounce.
+
+    Publication writes parquet via pyarrow (no Spark job) so the
+    publisher never competes with the importer for the scheduler.
+    Reported: pooled + per-table p50/p95/p99/max latency, the count of
+    windows above the window duration, and the measured outage. The
+    SLA row the reference implies: p99 < the 1-second v3 window, WITH
+    a crash inside the run."""
+    import datetime as dt
+    import shutil
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from neynar_parquet_importer_spark.catalog import TableSpec
+    from neynar_parquet_importer_spark.streaming import ImportPipeline
+    from neynar_parquet_importer_spark.streaming.daemon import (
+        run_tables_forever,
+    )
+
+    try:
+        from pyspark.sql import types as T
+    except ImportError:  # pragma: no cover
+        raise
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("fid", T.LongType()),
+            T.StructField("target_fid", T.LongType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+    pa_schema = pa.schema(
+        [
+            ("id", pa.string()),
+            ("fid", pa.int64()),
+            ("target_fid", pa.int64()),
+            ("updated_at", pa.timestamp("us")),
+        ]
+    )
+    names = [f"soak{chr(ord('a') + i)}" for i in range(n_tables)]
+    root = "/tmp/daemon_soak"
+    shutil.rmtree(root, ignore_errors=True)
+    srcs = {}
+    for name in names:
+        srcs[name] = os.path.join(root, f"src_{name}")
+        os.makedirs(srcs[name])
+    lake = os.path.join(root, "lake")
+
+    t0 = int(time.time()) + 2  # windows start on a whole second, soon
+
+    def _write(name: str, path: str, i: int) -> None:
+        tbl = pa.table(
+            {
+                "id": [f"{name}-{i}"],
+                "fid": [i],
+                "target_fid": [2 * i],
+                "updated_at": [
+                    dt.datetime.utcfromtimestamp(t0 + i)
+                ],
+            },
+            schema=pa_schema,
+        )
+        tmp = path + ".tmp"
+        papq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic publish, like the reference's S3 copy
+
+    # full snapshot per table (start_ts 0 -> end t0), published up front
+    for name in names:
+        _write(name, os.path.join(srcs[name], f"nindexer-{name}-0-{t0}.parquet"), 0)
+
+    def mk_pipes():
+        # this harness's publisher lands files AT window close on local
+        # fs, so the wait cadence is configured to match (the +1s/1s
+        # defaults model the reference's S3 exporter — pipeline.py)
+        return [
+            ImportPipeline(
+                spark,
+                TableSpec(name=n, schema=schema, primary_key=("id",)),
+                srcs[n],
+                lake,
+                incremental_duration=duration,
+                publish_eta_offset=0.05,
+                poll_interval=0.05,
+            )
+            for n in names
+        ]
+
+    pipes_ref: dict[str, ImportPipeline] = {p.spec.name: p for p in mk_pipes()}
+    shutdown = threading.Event()
+    daemon_box = {}
+
+    def run_daemon(ev):
+        daemon_box["reports"] = run_tables_forever(
+            list(pipes_ref.values()), shutdown=ev
+        )
+
+    daemon = threading.Thread(target=run_daemon, args=(shutdown,), daemon=True)
+    daemon.start()
+
+    pub_time: dict[str, dict[int, float]] = {n: {} for n in names}
+    commit_lat: dict[str, dict[int, float]] = {n: {} for n in names}
+    stop_monitor = threading.Event()
+
+    def monitor():
+        while not stop_monitor.is_set():
+            now = time.time()
+            for n in names:
+                rp = pipes_ref[n].ledger.resume_point()
+                if rp is None:
+                    continue
+                for i, tp in list(pub_time[n].items()):
+                    if i in commit_lat[n]:
+                        continue
+                    if rp >= t0 + (i + 1) * duration:
+                        commit_lat[n][i] = now - tp
+            time.sleep(0.02)
+
+    mon = threading.Thread(target=monitor, daemon=True)
+    mon.start()
+
+    def publisher():
+        # real-time publication, UNAFFECTED by the crash: the reference's
+        # exporter keeps publishing while the importer is down
+        for i in range(n_windows):
+            target = t0 + (i + 1) * duration
+            nap = target - time.time()
+            if nap > 0:
+                time.sleep(nap)
+            for name in names:
+                fn = (
+                    f"nindexer-{name}-{t0 + i * duration}"
+                    f"-{t0 + (i + 1) * duration}.parquet"
+                )
+                _write(name, os.path.join(srcs[name], fn), i + 1)
+                pub_time[name][i] = time.time()
+
+    pub = threading.Thread(target=publisher, daemon=True)
+    pub.start()
+
+    # induced crash mid-stream: fence the daemon, join it, restart
+    # FRESH pipelines over the persisted ledgers (supervisor model).
+    # +0.15 lands the kill while the just-published window's import is
+    # typically IN FLIGHT (imports take ~0.4-0.6 s), so the outage
+    # includes draining an in-progress catch-up, not an idle wait
+    crash_at = t0 + crash_after * duration + 0.15
+    nap = crash_at - time.time()
+    if nap > 0:
+        time.sleep(nap)
+    k0 = time.time()
+    shutdown.set()
+    daemon.join(timeout=30)
+    for p in mk_pipes():
+        pipes_ref[p.spec.name] = p
+    shutdown = threading.Event()
+    daemon = threading.Thread(target=run_daemon, args=(shutdown,), daemon=True)
+    daemon.start()
+    outage = round(time.time() - k0, 3)
+    crash_meta = {
+        "crash_after_window": crash_after,
+        "outage_sec": outage,
+        "daemon_joined": daemon_box.get("reports") is not None,
+    }
+    pub.join(timeout=n_windows * duration + 60)
+
+    # drain: every published window must commit (bounded wait)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if all(
+            len(commit_lat[n]) == n_windows for n in names
+        ):
+            break
+        time.sleep(0.1)
+    stop_monitor.set()
+    shutdown.set()
+    daemon.join(timeout=30)
+    mon.join(timeout=5)
+
+    def pct(sorted_xs, q):
+        if not sorted_xs:
+            return None
+        k = min(len(sorted_xs) - 1, int(round(q * (len(sorted_xs) - 1))))
+        return round(sorted_xs[k], 3)
+
+    pooled = sorted(
+        x for n in names for x in commit_lat[n].values()
+    )
+    # steady state = windows past the first 10 (session warm, snapshot
+    # imported); the CRASH WINDOWS STAY INCLUDED — the SLA claim is
+    # "p99 under the window duration with a crash inside the run"
+    steady = sorted(
+        x
+        for n in names
+        for i, x in commit_lat[n].items()
+        if i >= 10
+    )
+    per_table = {
+        n: {
+            "n_committed": len(commit_lat[n]),
+            "p50": pct(sorted(commit_lat[n].values()), 0.50),
+            "p99": pct(sorted(commit_lat[n].values()), 0.99),
+            "max": round(max(commit_lat[n].values()), 3)
+            if commit_lat[n]
+            else None,
+        }
+        for n in names
+    }
+    return {
+        "n_tables": n_tables,
+        "n_windows_per_table": n_windows,
+        "window_duration_sec": duration,
+        "n_committed_total": len(pooled),
+        "n_published_total": n_tables * n_windows,
+        "latency_p50": pct(pooled, 0.50),
+        "latency_p95": pct(pooled, 0.95),
+        "latency_p99": pct(pooled, 0.99),
+        "latency_max": round(pooled[-1], 3) if pooled else None,
+        "n_over_window": sum(1 for x in pooled if x > duration),
+        "steady_state": {
+            "from_window": 10,
+            "n": len(steady),
+            "p50": pct(steady, 0.50),
+            "p99": pct(steady, 0.99),
+            "max": round(steady[-1], 3) if steady else None,
+            "crash_included": True,
+        },
+        "per_table": per_table,
+        "crash": crash_meta,
+        "met_p99_under_window": bool(steady) and pct(steady, 0.99) < duration,
+        "monitor_poll_sec": 0.02,
+        "loadavg_1m_end": round(_load1(), 1),
+    }
 
 
 def zorder_skip_checks(spark, sf1_dir: str) -> dict:
@@ -1167,6 +1496,51 @@ if __name__ == "__main__":
         checks = payload.setdefault("checks", {})
         checks["ann_recall_sf1_tuned"] = block
         checks["ann_recall_sf1_tuned_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
+    elif sys.argv[1:2] == ["--bpe-sufficiency"]:
+        # incremental checks run: 1,024-doc sample vs full-corpus merges
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit("--bpe-sufficiency needs an existing BENCH_SCALING.json")
+        if not os.path.exists(os.path.join(SF1_DIR, "documents.parquet")):
+            print("generating sf1 corpus ...", flush=True)
+            generate_sf1(SF1_DIR)
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-bpe-sufficiency",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = bpe_sufficiency_checks(spark)
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["bpe_sample_sufficiency"] = block
+        checks["bpe_sample_sufficiency_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
+    elif sys.argv[1:2] == ["--daemon-soak"]:
+        # incremental checks run: multi-table real-time soak w/ crash
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit("--daemon-soak needs an existing BENCH_SCALING.json")
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-daemon-soak",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = daemon_soak_checks(spark)
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["daemon_soak"] = block
+        checks["daemon_soak_run_at"] = time.strftime("%Y%m%dT%H%M%S")
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))

@@ -143,3 +143,46 @@ def test_wait_for_window_shutdown_interrupts_pre_eta_sleep(poll_pipe):
     finally:
         t.cancel()
     assert _time.monotonic() - start < 30.0  # woke on the event, not the ETA
+
+
+def test_wait_cadence_is_configurable(spark, tmp_path):
+    """publish_eta_offset / poll_interval override the reference's
+    hardcoded +1s ETA and 1s poll floor (its S3 exporter cadence,
+    main.py:461-501) — a prompt local publisher should be picked up at
+    sub-second latency (the daemon-soak configuration)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=10,
+        publish_eta_offset=0.0, poll_interval=0.1,
+    )
+    clock = {"t": 1000.0}
+    naps = []
+
+    def now():
+        return clock["t"]
+
+    def sleep(s):
+        naps.append(s)
+        clock["t"] += s
+        if clock["t"] >= 1010.2:  # published just after close
+            open(
+                os.path.join(src, "nindexer-follows-1000-1010.parquet"), "w"
+            ).close()
+
+    got = pipe.wait_for_window(1000, now_fn=now, sleep_fn=sleep)
+    assert got.endswith("nindexer-follows-1000-1010.parquet")
+    # first nap runs straight to the zero-offset ETA (the window close),
+    # then sub-second polls — never the 1 s floor
+    assert naps[0] == 10.0
+    assert all(n == 0.1 for n in naps[1:])
+    assert clock["t"] < 1011  # picked up well inside the next window
+
+
+def test_wait_cadence_defaults_match_reference(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pipe = ImportPipeline(
+        spark, SPEC, src, str(tmp_path / "lake"), incremental_duration=10
+    )
+    assert pipe.publish_eta_offset == 1.0 and pipe.poll_interval is None

@@ -103,3 +103,28 @@ def test_best_match_deterministic_tiebreak(spark):
         for r in lk.best_match(pairs, "lid", "rid").collect()
     }
     assert best == {1: (60, 0), 2: (70, 2)}
+
+
+def test_fine_block_keeps_every_true_pair(spark):
+    """The two-pass fine blocking (first-5 UNION last-4) is LOSSLESS for
+    the corpus's perturbation family: every (d_key == c_custkey) pair
+    the exact nation-blocked join finds must survive the fine blocks —
+    the recall contract the query's docstring proves by case analysis."""
+    from pyspark.sql import functions as F
+
+    from neynar_parquet_importer_spark.plans.queries import (
+        QUERIES,
+        _linkage_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_true = (
+        _linkage_pairs(spark, sf)
+        .filter(F.col("d_key") == F.col("c_custkey"))
+        .count()
+    )
+    fine = QUERIES["fuzzy_customer_linkage_fine_block"](spark, sf)
+    fine_true = fine.agg(F.sum("n_true")).first()[0]
+    n_customers = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert exact_true == n_customers  # every perturbation stays within tau
+    assert fine_true == exact_true

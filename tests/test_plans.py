@@ -627,3 +627,18 @@ def test_bpe_inference_is_one_arrow_stage(spark):
     assert plan.count("MapInPandas") == 1
     assert plan.count("FileScan parquet") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fine_block_linkage_is_equi_joins_no_python(spark):
+    """The fine-block linkage variant's quadratic core must be hash
+    equi-joins on the (nation, block-key) pairs over DISTINCT texts —
+    never a cross-product — and the row expansion is two more
+    equi-joins; the whole chain stays JVM-side (Levenshtein is a
+    built-in)."""
+    df = Q.QUERIES["fuzzy_customer_linkage_fine_block"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan
