@@ -15,10 +15,16 @@ localCheckpoint — the measured PageRank lesson (plans/queries
 pagerank A/B): per-iteration pinning beats a lazily chained 20-deep
 plan by >2x and keeps lineage flat.
 
-At 100 TB you train on a bounded sample (tokenizer induction converges
-long before the corpus is exhausted — pass a sampled frame in), but
-nothing here requires it: state after every step is just the corpus
-symbol arrays plus an ``n_merges x 2`` merge table.
+At 100 TB you train on a bounded sample — but sufficiency is a
+property of the corpus, not a constant (measured, round 8: merge
+ranking is decided by pair-count MARGINS, and a fixed sample is enough
+only while its counting noise ~1/sqrt(count) sits under them; Zipfian
+corpora resolve quickly, near-uniform ones never do —
+BENCH_SCALING.checks.bpe_sample_sufficiency). Use
+:func:`bpe_learn_stable` to VALIDATE a size by sequential doubling
+instead of asserting one. Nothing here requires sampling: state after
+every step is just the corpus symbol arrays plus an ``n_merges x 2``
+merge table.
 
 Determinism/oracle scope: counts are exact integers; the winner is
 ``max by (count, then lexicographically smallest (w1, w2))``; ties and
@@ -249,3 +255,58 @@ def token_length_stats(occurrences: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total_symbols"),
         F.countDistinct("s").alias("distinct_symbols"),
     )
+
+
+def bpe_learn_stable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    start: int = 1024,
+    max_docs: int = 65536,
+    min_count: int = 2,
+) -> dict:
+    """Sequential-doubling sample validation for the module doc's "a
+    bounded sample suffices" claim — which round 8 MEASURED to be
+    corpus-dependent (BENCH_SCALING.checks.bpe_sample_sufficiency): the
+    merge ranking is decided by count margins, and a fixed sample is
+    sufficient only while its counting noise (~1/sqrt(pair count)) sits
+    below those margins. Word-soup corpora with sub-percent margins
+    defeat ANY bounded sample; Zipfian corpora converge quickly. So
+    instead of asserting a size, VALIDATE one: train on ``s`` docs and
+    ``2s`` docs (deterministic id-ordered prefixes, so the smaller
+    sample is nested in the larger); identical merge tables mean the
+    ranking is resolved at this noise level — return that table. On
+    disagreement double ``s`` until ``max_docs``, then return the
+    largest table with ``converged=False`` — the honest signal that
+    this corpus's ranking needs the full pass (or doesn't exist).
+
+    Cost: geometric — the final doubling dominates at ~2x the cost of
+    training once at the converged size; every pass is the bounded
+    distributed trainer (:func:`bpe_learn`), nothing is collected."""
+    from .dedup import _release_ckpt
+
+    s = max(1, start)
+    prev: list | None = None
+    prev_size = 0
+    while True:
+        cur_df = df.orderBy(id_col).limit(s)
+        merges, fin = bpe_learn(cur_df, text_col, n_merges, min_count)
+        _release_ckpt(fin)
+        table = [(a, b) for a, b, _ in merges]
+        if prev is not None and table == prev:
+            return {
+                "merges": merges,
+                "sample_docs": s,
+                "converged": True,
+                "agreed_with": prev_size,
+            }
+        prev, prev_size = table, s
+        if s >= max_docs:
+            return {
+                "merges": merges,
+                "sample_docs": s,
+                "converged": False,
+                "agreed_with": None,
+            }
+        s = min(2 * s, max_docs)

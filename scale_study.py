@@ -698,10 +698,103 @@ def bpe_sufficiency_checks(spark) -> dict:
             "overlap_frac": round(len(common) / max(len(pf), 1), 4),
             "spearman_common": spearman,
             "sample_merges": [f"{a}+{b}" for a, b in ps],
-            "full_merges": [f"{a}+{b}" for a, b in pf],
+            "full_merges": [f"{a}+{b}:{c}" for a, b, c in m_full],
             "train_sec_sample": t_sample,
             "train_sec_full": t_full,
         }
+
+    # Control: the gate corpus is uniform word soup, so its bigram
+    # ranking is multinomial NOISE (the full-merge counts above sit a
+    # fraction of a percent apart — no sample can reproduce a ranking
+    # the corpus itself barely determines; even the sf0.1-full and
+    # sf1-full tables disagree). An iid-Zipf draw is no better: w_i w_j
+    # and w_j w_i have IDENTICAL expected counts, exact ties that stay
+    # coin flips at any sample size (measured: never converges). The
+    # 100 TB sample-sufficiency claim is about corpora with DIRECTED
+    # bigram signal — natural language is a skewed Markov process — so
+    # the control is a first-order Markov chain: after word i, with
+    # p=0.6 the chain successor i+1, else an iid Zipf draw. Planted
+    # bigram counts then follow the HEAD word's Zipf probability, so
+    # consecutive merge decisions carry ~5-10% margins (a modulo-
+    # scrambled successor map was tried first and left sub-1%
+    # coincidental ties at rank 4+ — still unresolvable).
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(77)
+    vocab = np.array([f"w{i}" for i in range(500)])
+    p = 1.0 / (np.arange(500) + 10.0)
+    p /= p.sum()
+    n_docs_z = 50_000
+    max_len = 120
+    lengths = rng.randint(40, max_len, size=n_docs_z)
+    words = np.empty((n_docs_z, max_len), dtype=np.int64)
+    words[:, 0] = rng.choice(500, size=n_docs_z, p=p)
+    for j in range(1, max_len):
+        follow = rng.random(n_docs_z) < 0.6
+        iid = rng.choice(500, size=n_docs_z, p=p)
+        words[:, j] = np.where(follow, (words[:, j - 1] + 1) % 500, iid)
+    texts = [
+        " ".join(vocab[words[i, : lengths[i]]]) for i in range(n_docs_z)
+    ]
+    zdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n_docs_z), "text": texts})
+    )
+    zs, fin = bpe.bpe_learn(
+        zdf.orderBy("doc_id").limit(_BPE_SAMPLE), "text", _BPE_N_MERGES
+    )
+    _release_ckpt(fin)
+    zf, fin2 = bpe.bpe_learn(zdf, "text", _BPE_N_MERGES)
+    _release_ckpt(fin2)
+    zps = [(a, b) for a, b, _ in zs]
+    zpf = [(a, b) for a, b, _ in zf]
+    zprefix = 0
+    for x, y in zip(zps, zpf):
+        if x != y:
+            break
+        zprefix += 1
+    out["zipfian_control_sf1_scale"] = {
+        "n_docs_full": n_docs_z,
+        "distribution": "first-order Markov: p=0.6 chain successor"
+                        " (i+1)%500, else iid Zipf 1/(rank+10),"
+                        " 500-word vocab",
+        "identical_tables": zps == zpf,
+        "prefix_agreement": zprefix,
+        "overlap": len(set(zps) & set(zpf)),
+        "sample_merges": [f"{a}+{b}" for a, b in zps],
+        "full_merges": [f"{a}+{b}:{c}" for a, b, c in zf],
+    }
+
+    # the round-8 FIX for the measured insufficiency: the sequential-
+    # doubling validator (bpe.bpe_learn_stable) — record where it
+    # converges on the signal corpus and that it refuses to claim
+    # convergence on the noise corpus
+    t0 = time.time()
+    zr = bpe.bpe_learn_stable(
+        zdf, "doc_id", "text", _BPE_N_MERGES, start=_BPE_SAMPLE,
+        max_docs=n_docs_z,
+    )
+    out["doubling_validator_zipfian"] = {
+        "converged": zr["converged"],
+        "sample_docs": zr["sample_docs"],
+        "agreed_with": zr["agreed_with"],
+        "table_matches_full_corpus": [
+            (a, b) for a, b, _ in zr["merges"]
+        ] == zpf,
+        "sec": round(time.time() - t0, 1),
+    }
+    t0 = time.time()
+    docs1 = _t(spark, SF1_DIR, "documents")
+    nr = bpe.bpe_learn_stable(
+        docs1, "doc_id", "text", _BPE_N_MERGES, start=_BPE_SAMPLE,
+        max_docs=50_000,
+    )
+    out["doubling_validator_wordsoup_sf1"] = {
+        "converged": nr["converged"],
+        "sample_docs": nr["sample_docs"],
+        "agreed_with": nr["agreed_with"],
+        "sec": round(time.time() - t0, 1),
+    }
     return out
 
 

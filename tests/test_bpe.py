@@ -88,3 +88,52 @@ def test_token_length_stats_empty_stream_is_zero(spark):
     assert (row["n_seqs"], row["total_symbols"], row["distinct_symbols"]) == (
         0, 0, 0,
     )
+
+
+def test_learn_stable_converges_on_zipfian_and_flags_noise(spark):
+    """Sequential-doubling sample validation (round-8
+    sample-sufficiency fix): a skewed corpus whose top pairs carry real
+    margins converges at a small nested sample (and the returned table
+    matches full-corpus training); a near-uniform corpus whose ranking
+    is counting noise must come back converged=False at the cap
+    instead of pretending a bounded sample resolved it."""
+    import random
+
+    from neynar_parquet_importer_spark.operators.bpe import (
+        bpe_learn,
+        bpe_learn_stable,
+    )
+    from neynar_parquet_importer_spark.operators.dedup import _release_ckpt
+
+    rng = random.Random(9)
+    # Zipf-ish: 'a b' dominates, then 'b c', wide margins
+    zipf_rows = []
+    for i in range(800):
+        words = []
+        for _ in range(20):
+            r = rng.random()
+            words.append("a b" if r < 0.5 else ("b c" if r < 0.8 else
+                         rng.choice("defgh")))
+        zipf_rows.append((i, " ".join(words)))
+    z = spark.createDataFrame(zipf_rows, ["doc_id", "text"])
+    res = bpe_learn_stable(z, "doc_id", "text", n_merges=3, start=64,
+                           max_docs=512)
+    assert res["converged"] is True
+    assert res["agreed_with"] == res["sample_docs"] // 2
+    full, fin = bpe_learn(z, "text", 3)
+    _release_ckpt(fin)
+    assert [(a, b) for a, b, _ in res["merges"]] == [
+        (a, b) for a, b, _ in full
+    ]
+
+    # near-uniform noise: every pair count within sqrt-noise of every
+    # other, ranking unresolvable from a prefix sample
+    noise_rows = [
+        (i, " ".join(rng.choice("pqrstuvwxyz") for _ in range(30)))
+        for i in range(800)
+    ]
+    nz = spark.createDataFrame(noise_rows, ["doc_id", "text"])
+    res2 = bpe_learn_stable(nz, "doc_id", "text", n_merges=6, start=32,
+                            max_docs=128)
+    assert res2["converged"] is False
+    assert res2["sample_docs"] == 128
