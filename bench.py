@@ -22,7 +22,7 @@ import time
 from neynar_parquet_importer_spark.operators.dedup import release_cached
 from neynar_parquet_importer_spark.plans.queries import (
     QUERIES,
-    reset_corpus_caches,
+    reset_model_caches,
 )
 from neynar_parquet_importer_spark.session import get_spark
 
@@ -31,7 +31,7 @@ from neynar_parquet_importer_spark.session import get_spark
 # planes+dim probe) memoized across passes in plans.queries. Min-of-N
 # with the memo warm measures cache state, not code (r7 verdict #4), so
 # the bench times these twice per pass: a COLD run right after
-# reset_corpus_caches() (training included) and a WARM run with the memo
+# reset_model_caches() (training included) and a WARM run with the memo
 # populated (the documented train-once/reuse production path). The
 # headline `queries`/`value` keep the warm figure — comparable with
 # r<=7, whose min-of-3 was warm — and the cold figure is emitted
@@ -362,9 +362,12 @@ def main() -> None:
         for name in bench_queries:
             _quiesce()
             if name in ARTIFACT_TRAINED:
-                # COLD leg: drop the model memos so this pass pays
-                # training, then a WARM leg with the memo populated
-                reset_corpus_caches()
+                # COLD leg: drop ONLY the trained-model memos so this
+                # pass pays training (reset_corpus_caches would also wipe
+                # the hot-shingle and dim-probe caches that non-split
+                # queries consume, silently making THEIR headline cold —
+                # round-8 review finding), then a WARM leg with the memo
+                reset_model_caches()
                 loads[name].append(_load1())
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()

@@ -131,6 +131,15 @@ def lpa_replay_np(src, dst, n_iter: int = 4) -> dict[int, int]:
     if n == 0:
         return {}
     s, d = codes[: len(src)], codes[len(src):]
+    # the dict replay KeyErrors on a dst-only node; fail as loudly here
+    # instead of silently fixpointing over never-updated self-labels
+    is_src = np.zeros(n, dtype=bool)
+    is_src[s] = True
+    if not bool(is_src[d].all()):
+        raise ValueError(
+            "lpa_replay_np needs symmetric edge input (every dst must "
+            "also appear as a src) — pass both directions"
+        )
     labels = nodes.copy()  # label VALUES are original node ids
     for _ in range(n_iter):
         lab = labels[d]
@@ -146,6 +155,4 @@ def lpa_replay_np(src, dst, n_iter: int = 4) -> dict[int, int]:
         new_labels = labels.copy()
         new_labels[gs[first]] = g_lab[pick][first]
         labels = new_labels
-    is_src = np.zeros(n, dtype=bool)
-    is_src[s] = True
     return {int(nodes[i]): int(labels[i]) for i in np.flatnonzero(is_src)}

@@ -284,9 +284,7 @@ def bpe_learn_stable(
     Cost: geometric — the final doubling dominates at ~2x the cost of
     training once at the converged size; every pass is the bounded
     distributed trainer (:func:`bpe_learn`), nothing is collected."""
-    from .dedup import _release_ckpt
-
-    s = max(1, start)
+    s = min(max(1, start), max_docs)  # never train past the declared cap
     prev: list | None = None
     prev_size = 0
     while True:

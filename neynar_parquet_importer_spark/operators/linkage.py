@@ -72,8 +72,15 @@ def blocked_pairs(
                 .drop("_bn")
             )
             l = l.join(F.broadcast(sizes), block_cols, "left_semi")
-        elif l.count() > max_block:
-            l = l.limit(0)
+        else:
+            # one global block: the cap is the same semi-join shape with
+            # no key — a broadcast 1-row count frame, evaluated LAZILY at
+            # execution like the grouped path (an eager l.count() here
+            # froze the decision at build time — round-8 review finding)
+            total = l.agg(F.count(F.lit(1)).alias("_bn")).filter(
+                F.col("_bn") <= max_block
+            )
+            l = l.crossJoin(F.broadcast(total)).drop("_bn")
     r = right.select(
         *block_cols,
         F.col(right_id).alias("_rid"),
@@ -370,18 +377,44 @@ def blocked_pair_budget(
     return int(row[0])
 
 
+_MEM_SUFFIX = {
+    "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4,
+    "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4,
+    "b": 1,
+}
+
+
+def _parse_mem(s: str) -> int:
+    """'8g' / '512m' / '1024' (MiB default, Spark's convention) → bytes."""
+    s = s.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = int(s[:i]), s[i:]
+    return num * _MEM_SUFFIX.get(suffix, 1024**2)
+
+
 def passjoin_candidate_ceiling(spark) -> int:
     """Feasibility ceiling on PassJoin's ESTIMATED candidate count,
-    derived from the live JVM heap: PassJoin materializes its candidate
-    set through a distinct (hash aggregate), and while the aggregate
+    derived from the EXECUTOR heap — the JVM the candidate distinct
+    actually partitions across: PassJoin materializes its candidate set
+    through a distinct (hash aggregate), and while the aggregate
     spills, the surrounding machinery — concurrent explode buffers, one
     UnsafeRow + map slot per in-flight candidate across every parallel
     task in the same JVM — budgets ~128 bytes per candidate at the
     observed OOM point (sf1 low-entropy regime: ~9e8 candidates killed
     an 8g heap; 8g // 128B = 6.7e7 would have rejected it with margin).
-    On a real cluster the heap read is per-executor, which is exactly
-    the unit the distinct partitions across."""
-    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+
+    On a cluster ``spark.executor.memory`` is the right unit; a py4j
+    Runtime.maxMemory() read would measure the DRIVER and over/under-
+    shoot whenever the two differ (round-8 review finding). In local
+    mode driver == executor and the conf is usually unset, so the live
+    JVM heap is the truthful fallback."""
+    conf_mem = spark.conf.get("spark.executor.memory", None)
+    if conf_mem and not spark.sparkContext.master.startswith("local"):
+        heap = _parse_mem(conf_mem)
+    else:
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
     return max(1_000_000, heap // 128)
 
 

@@ -526,6 +526,11 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         / max(dec_low_slice["passjoin_est_candidates"], 1.0)
     )
     tp_proj = round(tp * cand_ratio, 1)
+    low_faster = (
+        "blocked"
+        if not dec_low["passjoin_feasible"] or tb <= tp_proj
+        else "passjoin"
+    )
     out["low_entropy_customers"] = {
         "blocked": {"pairs": nb, "sec": tb, "loadavg_1m": lb},
         "passjoin_slice": {
@@ -544,19 +549,8 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         # is what the ceiling encodes), so blocked is the only runnable
         # strategy at sf1 in this regime and its projected-350s rival
         # was never achievable (r7 verdict #3)
-        "feasible_faster": (
-            "blocked"
-            if not dec_low["passjoin_feasible"] or tb <= tp_proj
-            else "passjoin"
-        ),
-        "decision_matches_faster": (
-            dec_low["strategy"]
-            == (
-                "blocked"
-                if not dec_low["passjoin_feasible"] or tb <= tp_proj
-                else "passjoin"
-            )
-        ),
+        "feasible_faster": low_faster,
+        "decision_matches_faster": dec_low["strategy"] == low_faster,
         "note": (
             "at sf1 the two strategies converge in this regime (both do"
             " ~9e8 candidate-pair units); the dispatcher now rejects"
@@ -604,6 +598,12 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
     )
     full_pairs = dec_high["blocked_budget"]
     slice_pairs = n_ds * n_cs
+    high_faster = (
+        "passjoin"
+        if dec_high["passjoin_feasible"]
+        and tp2 <= tb2 * full_pairs / slice_pairs
+        else "blocked"
+    )
     out["high_entropy_doc_prefixes"] = {
         "passjoin": {"pairs": np2, "sec": tp2, "loadavg_1m": lp2},
         "blocked_slice": {
@@ -613,21 +613,8 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         },
         "blocked_projected_sec": round(tb2 * full_pairs / slice_pairs, 1),
         "decision": dec_high,
-        "feasible_faster": (
-            "passjoin"
-            if dec_high["passjoin_feasible"]
-            and tp2 <= tb2 * full_pairs / slice_pairs
-            else "blocked"
-        ),
-        "decision_matches_faster": (
-            dec_high["strategy"]
-            == (
-                "passjoin"
-                if dec_high["passjoin_feasible"]
-                and tp2 <= tb2 * full_pairs / slice_pairs
-                else "blocked"
-            )
-        ),
+        "feasible_faster": high_faster,
+        "decision_matches_faster": dec_high["strategy"] == high_faster,
     }
     return out
 

@@ -117,3 +117,27 @@ def test_vertical_tab_tokenizes_identically_in_duckdb_twin(spark):
     # (cat,sat),(sat,on) in both engines
     assert got == want
     assert got[1][0] == 2
+
+
+def test_vertical_tab_nonspace_parity_with_duckdb(spark):
+    """The quality-score oracles' nonspace/punct expressions must use
+    the explicit whitespace class too (round-8 review finding: the
+    tokenizer fix left bare RE2 '\\s' in the nonspace twins). Compares
+    Spark's Java-\\s regexp_replace against the DuckDB class on a
+    vertical-tab document."""
+    duckdb = pytest.importorskip("duckdb")
+    from pyspark.sql import functions as F
+
+    text = "ab\x0bcd ef\tgh"
+    got = (
+        spark.range(1)
+        .select(
+            F.length(F.regexp_replace(F.lit(text), r"\s", "")).alias("n")
+        )
+        .first()["n"]
+    )
+    want = duckdb.connect().execute(
+        "SELECT length(regexp_replace(?, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))",
+        [text],
+    ).fetchone()[0]
+    assert got == want == 8  # the \x0b and \t and space all stripped
