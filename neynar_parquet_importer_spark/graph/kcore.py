@@ -224,11 +224,18 @@ def kcore_replay_np(a, b, k: int) -> set[tuple[int, int]]:
     sets-dedups internally). Each peel round is two bincounts and a
     mask instead of dict loops; the fixpoint is unique so the surviving
     edge set is identical (property-tested). Exists for the sf1 oracle
-    build (round-7 verdict #2)."""
+    build (round-7 verdict #2).
+
+    Duplicate pairs are deduped internally (the dict replay's ``set()``
+    does the same implicitly) — without this, a caller that skipped the
+    SELECT DISTINCT would silently double-count degrees and land on a
+    different fixpoint (round-8 advisor finding)."""
     import numpy as np
 
     a = np.asarray(a, dtype=np.int64)
     b = np.asarray(b, dtype=np.int64)
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = pairs[:, 0], pairs[:, 1]
     nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
     n = int(len(nodes))
     ai, bi = codes[: len(a)], codes[len(a):]

@@ -283,28 +283,50 @@ def bpe_learn_stable(
 
     Cost: geometric — the final doubling dominates at ~2x the cost of
     training once at the converged size; every pass is the bounded
-    distributed trainer (:func:`bpe_learn`), nothing is collected."""
+    distributed trainer (:func:`bpe_learn`), nothing is collected.
+
+    When a sample already covers the WHOLE corpus the table is exact,
+    not sampled — the doubled pass would retrain on identical rows and
+    report a vacuous agreement (round-8 advisor finding), so the loop
+    short-circuits and flags it via ``covered_corpus=True``
+    (``agreed_with`` stays honest: ``None`` unless a genuinely smaller
+    sample produced the same table)."""
+    n_total = df.count()
     s = min(max(1, start), max_docs)  # never train past the declared cap
     prev: list | None = None
     prev_size = 0
     while True:
+        covered = s >= n_total
         cur_df = df.orderBy(id_col).limit(s)
         merges, fin = bpe_learn(cur_df, text_col, n_merges, min_count)
         _release_ckpt(fin)
         table = [(a, b) for a, b, _ in merges]
+        trained_docs = min(s, n_total)
         if prev is not None and table == prev:
             return {
                 "merges": merges,
-                "sample_docs": s,
+                "sample_docs": trained_docs,
                 "converged": True,
                 "agreed_with": prev_size,
+                "covered_corpus": covered,
             }
-        prev, prev_size = table, s
+        if covered:
+            # full-corpus training is exact: doubling adds no rows, so a
+            # second pass could only "agree" with itself — skip it
+            return {
+                "merges": merges,
+                "sample_docs": trained_docs,
+                "converged": True,
+                "agreed_with": None,
+                "covered_corpus": True,
+            }
+        prev, prev_size = table, trained_docs
         if s >= max_docs:
             return {
                 "merges": merges,
-                "sample_docs": s,
+                "sample_docs": trained_docs,
                 "converged": False,
                 "agreed_with": None,
+                "covered_corpus": False,
             }
         s = min(2 * s, max_docs)

@@ -407,11 +407,19 @@ def passjoin_candidate_ceiling(spark) -> int:
 
     On a cluster ``spark.executor.memory`` is the right unit; a py4j
     Runtime.maxMemory() read would measure the DRIVER and over/under-
-    shoot whenever the two differ (round-8 review finding). In local
-    mode driver == executor and the conf is usually unset, so the live
-    JVM heap is the truthful fallback."""
+    shoot whenever the two differ (round-8 review finding). Only in
+    PURE local mode (``local`` / ``local[N]`` — one JVM, driver ==
+    executor, conf usually unset) is the live JVM heap the truthful
+    fallback; ``local-cluster[...]`` forks separate executor JVMs whose
+    heap IS ``spark.executor.memory``, so it must take the conf path
+    (round-8 advisor finding — ``startswith("local")`` matched it)."""
+    import re
+
     conf_mem = spark.conf.get("spark.executor.memory", None)
-    if conf_mem and not spark.sparkContext.master.startswith("local"):
+    pure_local = re.fullmatch(
+        r"local(\[[^\]]*\])?", spark.sparkContext.master
+    )
+    if conf_mem and not pure_local:
         heap = _parse_mem(conf_mem)
     else:
         heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())

@@ -137,3 +137,32 @@ def test_learn_stable_converges_on_zipfian_and_flags_noise(spark):
                             max_docs=128)
     assert res2["converged"] is False
     assert res2["sample_docs"] == 128
+    assert res2["covered_corpus"] is False
+    assert res["covered_corpus"] is False  # zipfian converged at 128<800
+
+
+def test_bpe_learn_stable_short_circuits_on_full_coverage(spark):
+    """A corpus with <= start docs trains ONCE: the doubled sample would
+    be the identical full corpus, so the old loop burned a second
+    distributed pass and reported a vacuous converged/agreed_with
+    (round-8 advisor). Full-corpus training is exact — converged=True,
+    covered_corpus=True, agreed_with=None (no smaller sample agreed)."""
+    from neynar_parquet_importer_spark.operators.bpe import (
+        bpe_learn,
+        bpe_learn_stable,
+    )
+    from neynar_parquet_importer_spark.operators.dedup import _release_ckpt
+
+    rows = [(i, "a b a b c") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = bpe_learn_stable(df, "doc_id", "text", n_merges=2, start=64,
+                           max_docs=512)
+    assert res["converged"] is True
+    assert res["covered_corpus"] is True
+    assert res["agreed_with"] is None
+    assert res["sample_docs"] == 10  # the real row count, not the cap
+    full, fin = bpe_learn(df, "text", 2)
+    _release_ckpt(fin)
+    assert [(a, b) for a, b, _ in res["merges"]] == [
+        (a, b) for a, b, _ in full
+    ]

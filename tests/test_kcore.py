@@ -155,3 +155,26 @@ def test_replay_np_bitequal_to_dict_replay():
         b = np.array([e[1] for e in pairs])
         got = kcore_replay_np(a, b, k=k)
         assert got == want, f"seed {seed} k {k}"
+
+
+def test_replay_np_dedups_duplicate_pairs():
+    """Duplicate (a, b) rows must not inflate degrees (round-8 advisor):
+    the dict replay set-dedups implicitly, so the np twin must match it
+    even when the caller skipped SELECT DISTINCT. The triangle below is
+    a 2-core only if each edge counts once — feeding one edge twice
+    would keep a dangling node alive at k=2."""
+    import numpy as np
+
+    from neynar_parquet_importer_spark.graph.kcore import (
+        kcore_replay,
+        kcore_replay_np,
+    )
+
+    # triangle 1-2-3 plus a pendant edge (3,4); (3,4) duplicated 3x
+    # would fake deg[4] = 3 >= 2 and keep it in the 2-core
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 4), (3, 4)]
+    a = np.array([p[0] for p in pairs])
+    b = np.array([p[1] for p in pairs])
+    want = kcore_replay(set(pairs), k=2)
+    got = kcore_replay_np(a, b, k=2)
+    assert got == want == {(1, 2), (1, 3), (2, 3)}

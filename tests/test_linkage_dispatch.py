@@ -254,3 +254,43 @@ def test_candidate_ceiling_rejects_infeasible_passjoin(spark):
 def test_default_ceiling_tracks_jvm_heap(spark):
     heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
     assert lk.passjoin_candidate_ceiling(spark) == max(1_000_000, heap // 128)
+
+
+def test_ceiling_conf_path_by_master(spark):
+    """local-cluster[...] forks separate executor JVMs, so an explicit
+    spark.executor.memory must win there — the old startswith("local")
+    fallback wrongly read the DRIVER heap for it (round-8 advisor).
+    Pure local[N] with the conf set still uses the live JVM heap
+    (driver == executor there, the conf is advisory)."""
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "4g" if key == "spark.executor.memory" else default
+
+    class _Stub:
+        conf = _Conf()
+
+        def __init__(self, master, jvm):
+            class _SC:
+                pass
+
+            self.sparkContext = _SC()
+            self.sparkContext.master = master
+            self._jvm = jvm
+
+    # local-cluster: conf path — 4g // 128 candidates, not driver heap
+    assert lk.passjoin_candidate_ceiling(
+        _Stub("local-cluster[2,1,1024]", None)
+    ) == max(1_000_000, (4 * 1024**3) // 128)
+    # real cluster master: conf path too
+    assert lk.passjoin_candidate_ceiling(
+        _Stub("spark://host:7077", None)
+    ) == max(1_000_000, (4 * 1024**3) // 128)
+    # pure local with conf set: live JVM heap still wins
+    assert lk.passjoin_candidate_ceiling(
+        _Stub("local[32]", spark._jvm)
+    ) == max(1_000_000, heap // 128)
+    assert lk.passjoin_candidate_ceiling(
+        _Stub("local", spark._jvm)
+    ) == max(1_000_000, heap // 128)
