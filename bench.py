@@ -268,6 +268,36 @@ def _family(name: str) -> str:
     return "relational"
 
 
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+# Spread-bounding (round-9 verdict #4): min-of-N absorbs transient
+# spikes but not a persistently loaded host — BENCH_r08's closing window
+# ran at loadavg p50 ~9.9 and heavy queries swung +-30% between same-day
+# runs, degrading round-over-round tracking into load measurement. After
+# the main passes, any query whose two FASTEST passes disagree by more
+# than SPREAD_TARGET gets re-run (same cold/warm discipline) until its
+# min is reproducible or the per-query extra budget is spent; the final
+# line reports how much stabilizing was needed, so a reader can tell a
+# clean record from a noisy one at a glance.
+SPREAD_TARGET = 0.15
+MAX_EXTRA_PASSES = 4
+
+
+def _spread(ts: list[float]) -> float:
+    """Relative gap between the two fastest passes — 0 when the min is
+    confirmed by a near-identical second measurement."""
+    s = sorted(ts)
+    if len(s) < 2 or s[0] <= 0:
+        return 0.0
+    return (s[1] - s[0]) / s[0]
+
+
 def _n_passes() -> int:
     """Parse+validate SPARK_GRAFT_BENCH_PASSES — called at startup so a
     bad value fails BEFORE the multi-minute warmup, not at min([])
@@ -300,6 +330,22 @@ def main() -> None:
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown bench queries: {', '.join(unknown)}")
+    # optional quiet-host gate (round-9 verdict #4): wait for the 1-min
+    # load average to drop under SPARK_GRAFT_BENCH_QUIET before paying
+    # Spark startup, bounded by SPARK_GRAFT_BENCH_QUIET_TIMEOUT seconds
+    # (default 600) so an unattended run can never block forever. Off by
+    # default — the round driver must always complete.
+    quiet_wait = None
+    quiet_env = os.environ.get("SPARK_GRAFT_BENCH_QUIET")
+    if quiet_env:
+        thr = float(quiet_env)
+        deadline = time.time() + float(
+            os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "600")
+        )
+        w0 = time.time()
+        while _load1() >= thr and time.time() < deadline:
+            time.sleep(15)
+        quiet_wait = round(time.time() - w0, 1)
     # showConsoleProgress is read at SparkContext init: pass it through
     # the builder so progress bars never interleave with the JSON line
     spark = get_spark(
@@ -338,13 +384,6 @@ def main() -> None:
     # with an inflated load sample is noise, not a regression
     loads: dict[str, list[float]] = {name: [] for name in bench_queries}
 
-    def _load1() -> float:
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except OSError:
-            return -1.0
-
     cold_passes: dict[str, list[float]] = {
         name: [] for name in bench_queries if name in ARTIFACT_TRAINED
     }
@@ -358,25 +397,49 @@ def main() -> None:
         # memory mid-sequence (measured 10x+ slowdowns)
         spark.sparkContext._jvm.System.gc()
 
-    for _ in range(n_passes):
-        for name in bench_queries:
-            _quiesce()
-            if name in ARTIFACT_TRAINED:
-                # COLD leg: drop ONLY the trained-model memos so this
-                # pass pays training (reset_corpus_caches would also wipe
-                # the hot-shingle and dim-probe caches that non-split
-                # queries consume, silently making THEIR headline cold —
-                # round-8 review finding), then a WARM leg with the memo
-                reset_model_caches()
-                loads[name].append(_load1())
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).count()
-                cold_passes[name].append(round(time.perf_counter() - t0, 3))
-                _quiesce()  # data caches only — the memo stays warm
+    def _timed_pass(name: str) -> None:
+        _quiesce()
+        if name in ARTIFACT_TRAINED:
+            # COLD leg: drop ONLY the trained-model memos so this
+            # pass pays training (reset_corpus_caches would also wipe
+            # the hot-shingle and dim-probe caches that non-split
+            # queries consume, silently making THEIR headline cold —
+            # round-8 review finding), then a WARM leg with the memo
+            reset_model_caches()
             loads[name].append(_load1())
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            passes[name].append(round(time.perf_counter() - t0, 3))
+            cold_passes[name].append(round(time.perf_counter() - t0, 3))
+            _quiesce()  # data caches only — the memo stays warm
+        loads[name].append(_load1())
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        passes[name].append(round(time.perf_counter() - t0, 3))
+
+    for _ in range(n_passes):
+        for name in bench_queries:
+            _timed_pass(name)
+
+    # spread-bound the minima (round-9 verdict #4): re-run any query
+    # whose two fastest passes disagree by > SPREAD_TARGET, up to
+    # MAX_EXTRA_PASSES extra runs each, so per-query deltas across
+    # rounds measure code, not the host's background load. On by
+    # default; SPARK_GRAFT_BENCH_STABILIZE=0 restores the fixed-pass
+    # behavior.
+    extra_passes = 0
+    if os.environ.get("SPARK_GRAFT_BENCH_STABILIZE", "1") != "0":
+        for name in bench_queries:
+            extra = 0
+            while (
+                _spread(passes[name]) > SPREAD_TARGET
+                and extra < MAX_EXTRA_PASSES
+            ):
+                _timed_pass(name)
+                extra += 1
+            extra_passes += extra
+    unstable = sorted(
+        n for n in bench_queries if _spread(passes[n]) > SPREAD_TARGET
+    )
     timings = {name: min(ts) for name, ts in passes.items()}
     artifact_cold_warm = {
         name: {"cold": min(cs), "warm": timings[name]}
@@ -430,10 +493,14 @@ def main() -> None:
         "cold_warm": cw_fam,
         "n_queries": len(timings),
         "passes": n_passes,
+        "extra_passes": extra_passes,
+        "n_unstable": len(unstable),
         "loadavg_max": all_loads[-1] if all_loads else None,
         "loadavg_p50": all_loads[len(all_loads) // 2] if all_loads else None,
         "sf": sf_val,
     }
+    if quiet_wait is not None:
+        final["quiet_wait_sec"] = quiet_wait
     print(json.dumps(final, separators=(",", ":")), flush=True)
 
     # append-only run history, one timestamped file per run, carrying the
@@ -455,6 +522,9 @@ def main() -> None:
                 "passes": passes,
                 "cold_passes": cold_passes,
                 "loadavg_1m": loads,
+                "extra_passes": extra_passes,
+                "unstable_after_extra": unstable,
+                "quiet_wait_sec": quiet_wait,
                 "run_at": ts,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
             },

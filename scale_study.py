@@ -353,6 +353,42 @@ def generate_sf1(
     con.close()
 
 
+# the -k expression selecting the pair-scan twin tests (the families
+# whose DuckDB twin is quadratic in corpus size — excluded from the real
+# sf1 probe, value-checked on the feasibility slice below instead)
+PAIR_SCAN_K = (
+    "dedup or linkage or winnow or prefix_filter or containment or "
+    "passjoin or near_dup or pair or split_cluster_safe or knn"
+)
+
+
+def generate_pair_scan_slice(out_dir: str, seed: int = 421) -> None:
+    """sf1-DISTRIBUTION corpus at sf0.1 row counts — the feasibility
+    slice for the pair-scan twins (round-9 verdict #2). The real sf1
+    corpus is out of the quadratic DuckDB twins' reach (50k docs / 150k
+    customers: the TWIN side is the blocker, the engine side carries
+    measured sf1 exponents), so this slice keeps every distribution the
+    sf1 corpus has while sizing the tables to the scale those twins
+    already run at every round:
+
+    - relational tables: the SAME key-shifted replication scheme as the
+      sf1 build, applied 10x to sf0.01 — every name repeats 10x across
+      disjoint key ranges (sf1's duplicate structure, the thing that
+      changed the linkage regime there) at sf0.1's row counts;
+    - documents/embeddings: ``generate_sf1`` with scale=1 — sf0.1's
+      empirical length/vocab/label distributions and sf1's planted
+      exact/near-dup rates at 5k docs / 2k vectors.
+
+    Run the twins with:
+        ORACLE_SF_DIR=<out_dir> python -m pytest \\
+            tests/test_queries_oracle.py -q -k "$PAIR_SCAN_K"
+    """
+    generate_sf1_relational(
+        out_dir, src_dir="/root/testdata/sf0.01", scale=10
+    )
+    generate_sf1(out_dir, src_dir=SF01, scale=1, seed=seed)
+
+
 def generate_clustered(
     out_dir: str,
     n: int = 20000,
@@ -1536,6 +1572,23 @@ if __name__ == "__main__":
             "documents": _rows(f"{out}/documents.parquet"),
             "embeddings": _rows(f"{out}/embeddings.parquet"),
         }))
+    elif sys.argv[1:2] == ["--pair-scan-slice"]:
+        # round-9 verdict #2: materialize the sf1-distribution corpus
+        # the 34 quadratic-twin (pair-scan) families ARE feasible on,
+        # then print the harness command that value-checks them there
+        out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_slice"
+        generate_pair_scan_slice(out)
+        print(json.dumps({
+            "out": out,
+            "documents": _rows(f"{out}/documents.parquet"),
+            "embeddings": _rows(f"{out}/embeddings.parquet"),
+            "customer": _rows(f"{out}/customer.parquet"),
+            "events": _rows(f"{out}/events.parquet"),
+            "run": (
+                f'ORACLE_SF_DIR={out} python -m pytest '
+                f'tests/test_queries_oracle.py -q -k "{PAIR_SCAN_K}"'
+            ),
+        }, indent=1))
     elif sys.argv[1:2] == ["--ann-recall"]:
         # incremental checks run: compute the per-index sf1 recall block
         # and merge it into the existing artifact without re-timing the
@@ -1621,6 +1674,35 @@ if __name__ == "__main__":
         checks = payload.setdefault("checks", {})
         checks["daemon_soak"] = block
         checks["daemon_soak_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+        spark.stop()
+    elif sys.argv[1:2] == ["--daemon-soak-18t"]:
+        # round-9 verdict #3: the reference's REAL topology — it runs
+        # its full v3 set of 17-18 tables in one process (main.py:46-89,
+        # 676-716, per-table thread pools); prove the shared-session
+        # design holds at that table count, not just the 3-table probe.
+        # Same harness, same latency accounting, one mid-run kill.
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit(
+                "--daemon-soak-18t needs an existing BENCH_SCALING.json"
+            )
+        from neynar_parquet_importer_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="scale-study-daemon-soak-18t",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        block = daemon_soak_checks(
+            spark, n_tables=18, n_windows=150, crash_after=70
+        )
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["daemon_soak_18t"] = block
+        checks["daemon_soak_18t_run_at"] = time.strftime("%Y%m%dT%H%M%S")
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))
