@@ -47,6 +47,7 @@ ARTIFACT_TRAINED = {
     "pca_component_variance": "pca",
     "bpe_learned_merges": "bpe",
     "bpe_token_compression": "bpe",
+    "bpe_stable_merges": "bpe",
 }
 
 BENCH_QUERIES = [
@@ -225,6 +226,8 @@ BENCH_QUERIES = [
     # round-8: the measured finer-key linkage mitigation (distinct-text
     # two-pass blocking, sf0.1->sf1 exponent 0.10 vs 1.95 nation-block)
     "fuzzy_customer_linkage_fine_block",
+    # round-9: the sequential-doubling sample validator as a gate query
+    "bpe_stable_merges",
 ]
 
 

@@ -1009,6 +1009,7 @@ def reset_model_caches() -> None:
     _KMEANS_CENT_CACHE.clear()
     _PCA_MODEL_CACHE.clear()
     _BPE_MERGE_CACHE.clear()
+    _BPE_STABLE_CACHE.clear()
 
 
 def reset_corpus_caches() -> None:
@@ -1024,6 +1025,7 @@ def reset_corpus_caches() -> None:
     _KMEANS_CENT_CACHE.clear()
     _PCA_MODEL_CACHE.clear()
     _BPE_MERGE_CACHE.clear()
+    _BPE_STABLE_CACHE.clear()
     _BPE_ORACLE_MERGE_CACHE.clear()
 
 
@@ -7245,6 +7247,9 @@ def build_artifact_oracles(sf_dir: str) -> dict[str, str]:
             _ARTIFACT_ORACLE_CACHE[key]["bpe_token_compression"] = (
                 _bpe_compression_oracle_sql(sf_dir)
             )
+            _ARTIFACT_ORACLE_CACHE[key]["bpe_stable_merges"] = (
+                _bpe_stable_oracle_sql(sf_dir)
+            )
     return _ARTIFACT_ORACLE_CACHE[key]
 
 
@@ -8119,6 +8124,55 @@ QUERIES["bpe_learned_merges"] = bpe_learned_merges
 QUERIES["bpe_token_compression"] = bpe_token_compression
 
 
+_BPE_STABLE_CACHE: dict[tuple, dict] = {}
+# small enough that the validator's worst case (three distributed
+# trainings) stays a single-digit-seconds gate query, large enough that
+# the doubling ladder has three rungs (128 -> 256 -> 512) below the cap
+_BPE_STABLE_PARAMS = {"n_merges": 4, "start": 128, "max_docs": 512}
+
+
+def bpe_stable_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential-doubling sample validator AS a gate query
+    (round-9 verdict #5): ``bpe.bpe_learn_stable`` runs its nested
+    id-ordered doubling ladder on the corpus and the row exposes the
+    full DECISION — sample size trained at, whether consecutive samples
+    agreed (converged), whether the ladder hit the whole corpus
+    (covered_corpus, where the table is exact by construction), the
+    size it agreed with, and the learned table itself. The oracle is an
+    INDEPENDENT single-process replay of the same ladder
+    (bpe_learn_py per rung, same doubling and short-circuit rules), so
+    the convergence decision — not just one trained table — is
+    value-checked at the gate. On the word-soup gate corpus the honest
+    outcome varies by scale: below the cap the ladder covers the corpus
+    (exact); above it the noise ranking keeps disagreeing and the row
+    must say converged=false."""
+    from ..operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    key = _docs_cache_key(sf_dir)
+    if key not in _BPE_STABLE_CACHE:
+        _BPE_STABLE_CACHE[key] = bpe.bpe_learn_stable(
+            docs, "doc_id", "text", **_BPE_STABLE_PARAMS
+        )
+    res = _BPE_STABLE_CACHE[key]
+    table = "|".join(f"{a}+{b}" for a, b, _ in res["merges"])
+    return spark.createDataFrame(
+        [(
+            int(res["sample_docs"]),
+            bool(res["converged"]),
+            bool(res["covered_corpus"]),
+            None if res["agreed_with"] is None else int(res["agreed_with"]),
+            len(res["merges"]),
+            table,
+        )],
+        "sample_docs long, converged boolean, covered_corpus boolean, "
+        "agreed_with long, n_merges long, merges string",
+    )
+
+
+QUERIES["bpe_stable_merges"] = bpe_stable_merges
+
+
 def _oracle_documents(sf_dir: str, limit: int | None = None) -> list[str]:
     """Document texts OUTSIDE Spark in the trainers' sample order."""
     import duckdb
@@ -8179,6 +8233,63 @@ def _bpe_merges_oracle_sql(sf_dir: str) -> str:
         FROM (VALUES
             {values}
         ) t(merge_rank, w1, w2, cnt)
+    """
+
+
+def _bpe_stable_oracle_sql(sf_dir: str) -> str:
+    """Independent replay of the sequential-doubling validator: the
+    same nested id-ordered prefixes (DuckDB ORDER BY doc_id mirrors the
+    engine's orderBy — doc ids are unique, so the order is total), the
+    same doubling ladder, the same covered-corpus short-circuit and
+    convergence rule, each rung trained by the single-process
+    ``bpe_learn_py`` replay — embedded as one literal row."""
+    import duckdb
+
+    from ..operators.bpe import bpe_learn_py
+
+    p = _BPE_STABLE_PARAMS
+    con = duckdb.connect()
+    n_total = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
+    texts = _oracle_documents(sf_dir, limit=min(p["max_docs"], n_total))
+    s = min(max(1, p["start"]), p["max_docs"])
+    prev: list | None = None
+    prev_size = 0
+    while True:
+        covered = s >= n_total
+        merges = bpe_learn_py(texts[:s], p["n_merges"])
+        table = [(a, b) for a, b, _ in merges]
+        trained = min(s, n_total)
+        if prev is not None and table == prev:
+            res = (trained, True, covered, prev_size, merges)
+            break
+        if covered:
+            res = (trained, True, True, None, merges)
+            break
+        prev, prev_size = table, trained
+        if s >= p["max_docs"]:
+            res = (trained, False, False, None, merges)
+            break
+        s = min(2 * s, p["max_docs"])
+    trained, converged, covered, agreed, merges = res
+    joined = "|".join(f"{a}+{b}" for a, b, _ in merges)
+    aw = (
+        "CAST(NULL AS BIGINT)"
+        if agreed is None
+        else f"CAST({agreed} AS BIGINT)"
+    )
+    return f"""
+        -- independent single-process replay of the sequential-doubling
+        -- sample validator (nested prefixes, doubling ladder,
+        -- covered-corpus short-circuit, convergence rule)
+        SELECT CAST({trained} AS BIGINT) AS sample_docs,
+               {str(bool(converged)).upper()} AS converged,
+               {str(bool(covered)).upper()} AS covered_corpus,
+               {aw} AS agreed_with,
+               CAST({len(merges)} AS BIGINT) AS n_merges,
+               {_sql_str(joined)} AS merges
     """
 
 

@@ -47,6 +47,7 @@ def test_missing_corpus_degrades_with_warning_not_silently(monkeypatch):
         "pca_component_variance",
         "bpe_learned_merges",
         "bpe_token_compression",
+        "bpe_stable_merges",
         "pagerank_supplier_rank",
         "lpa_supplier_communities",
         "kcore_supplier_stats",
