@@ -389,6 +389,97 @@ def generate_pair_scan_slice(out_dir: str, seed: int = 421) -> None:
     generate_sf1(out_dir, src_dir=SF01, scale=1, seed=seed)
 
 
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
+
+# The bounded-state sketch families' registered build+fold queries (the
+# streaming folds are the readStream legs in tests/; these batch queries
+# carry the same register/sketch arithmetic): HLL (build + register-max
+# fold), CMS, KMV (build + sketch-only pairwise fold), histogram, bloom.
+# Several carry their EXACT witness in-row (countDistinct /
+# confirmation join) — that leg is ~linear too, so exponents <= ~1.0
+# remain the claim being measured.
+SKETCH_SF10_QUERIES = [
+    "hll_distinct_users",
+    "hll_register_union",
+    "heavy_hitters_cms",
+    "kmv_distinct_buyers_per_segment",
+    "kmv_returnflag_part_overlap",
+    "event_value_quantile_hist",
+    "token_count_histogram",
+    "bloom_incremental_dedup",
+    "bloom_words_profile",
+]
+
+
+def generate_sf10(out_dir: str, seed: int = 431) -> None:
+    """One-decade-further corpus for the sketch ladder (round-9 verdict
+    #6): relational tables via the same key-shifted replication as sf1
+    at scale=100 (events 10M, lineitem 60M rows), documents synthesized
+    from sf0.1's empirical distributions at 500k rows. Token sampling is
+    vectorized (ONE rng.choice over the whole 50M-token budget instead
+    of generate_sf1's per-doc call, which recomputes the vocab CDF per
+    document and would take ~an hour at this size). Embeddings are NOT
+    generated — no sketch-family query reads them. No oracle runs here:
+    this corpus feeds scaling measurements, not value checks."""
+    import duckdb
+
+    generate_sf1_relational(out_dir, src_dir=SF01, scale=100)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text, lang, source FROM "
+        f"read_parquet('{SF01}/documents.parquet')"
+    ).fetch_df()
+    rng = np.random.RandomState(seed)
+    toks: list[str] = []
+    lengths: list[int] = []
+    for t in docs["text"]:
+        w = t.split()
+        lengths.append(len(w))
+        toks.extend(w)
+    vocab, counts = np.unique(toks, return_counts=True)
+    tok_p = counts / counts.sum()
+    langs, lang_c = np.unique(docs["lang"], return_counts=True)
+    lang_p = lang_c / lang_c.sum()
+    n_sources = docs["source"].nunique()
+
+    n = len(docs) * 100
+    n_exact = int(round(n * 0.0016))
+    n_near = int(round(n * 0.005))
+    n_base = n - n_exact - n_near
+    doc_lens = rng.choice(np.array(lengths), size=n_base)
+    flat = rng.choice(vocab, size=int(doc_lens.sum()), p=tok_p)
+    bounds = np.concatenate([[0], np.cumsum(doc_lens)])
+    texts = [
+        " ".join(flat[bounds[i]:bounds[i + 1]]) for i in range(n_base)
+    ]
+    for _ in range(n_exact):
+        texts.append(texts[rng.randint(0, n_base)])
+    for _ in range(n_near):
+        base = texts[rng.randint(0, n_base)].split()
+        for _ in range(max(1, len(base) // 20)):
+            base[rng.randint(0, len(base))] = str(rng.choice(vocab))
+        texts.append(" ".join(base))
+    order = rng.permutation(n)
+    texts = [texts[i] for i in order]
+    out = __import__("pandas").DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(langs, size=n, p=lang_p),
+            "source": np.array(
+                [f"src{i}" for i in rng.randint(0, n_sources, size=n)]
+            ),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    con.register("docs_out", out)
+    con.execute(
+        f"COPY docs_out TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
 def generate_clustered(
     out_dir: str,
     n: int = 20000,
@@ -1151,7 +1242,7 @@ def _load1() -> float:
 
 
 _RESULT_PREFIX = "##RESULT## "
-_SCALE_DIRS = {"sf0.1": SF01, "sf1": SF1_DIR}
+_SCALE_DIRS = {"sf0.1": SF01, "sf1": SF1_DIR, "sf10": SF10_DIR}
 # generous per-(query,scale) ceiling: the slowest clean measurement seen
 # (forced-LSH probe at sf1) is ~150 s/pass; a subprocess past this is
 # hung, not slow, and the study should fail with its captured output
@@ -1678,6 +1769,76 @@ if __name__ == "__main__":
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))
         spark.stop()
+    elif sys.argv[1:2] == ["--sketch-sf10"]:
+        # round-9 verdict #6: one decade further for the bounded-state
+        # sketch families. Measures each registered sketch build/fold
+        # query at sf1 and sf10 in fresh per-(query,scale) JVMs (the
+        # session-contamination discipline of _measure_single) and
+        # records the log10 exponent of the one-decade step.
+        import math as _math
+        import subprocess
+
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit(
+                "--sketch-sf10 needs an existing BENCH_SCALING.json"
+            )
+        if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+            print("generating sf1 corpus ...", flush=True)
+            generate_sf1_relational(SF1_DIR)
+            generate_sf1(SF1_DIR)
+        if not os.path.exists(os.path.join(SF10_DIR, "events.parquet")):
+            print("generating sf10 corpus ...", flush=True)
+            generate_sf10(SF10_DIR)
+        here = os.path.abspath(__file__)
+        rows: dict[str, dict] = {}
+        for name in SKETCH_SF10_QUERIES:
+            per_scale: dict[str, dict] = {}
+            for scale in ("sf1", "sf10"):
+                proc = subprocess.run(
+                    [sys.executable, here, "--single", name, scale, "2"],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(here), timeout=_SINGLE_TIMEOUT_S,
+                )
+                line = next(
+                    (ln for ln in proc.stdout.splitlines()
+                     if ln.startswith(_RESULT_PREFIX)), None,
+                )
+                if proc.returncode != 0 or line is None:
+                    raise SystemExit(
+                        f"{name}@{scale} failed:\n{proc.stdout[-2000:]}"
+                        f"\n{proc.stderr[-2000:]}"
+                    )
+                per_scale[scale] = json.loads(
+                    line[len(_RESULT_PREFIX):]
+                )[scale]
+            t1 = min(per_scale["sf1"]["passes"])
+            t10 = min(per_scale["sf10"]["passes"])
+            rows[name] = {
+                "sf1_sec": t1,
+                "sf10_sec": t10,
+                "exponent_log10": round(_math.log10(t10 / t1), 2),
+                "loadavg_1m": {
+                    s: per_scale[s]["loadavg_1m"] for s in per_scale
+                },
+            }
+            print(f"{name}: {t1}s -> {t10}s "
+                  f"exp {rows[name]['exponent_log10']}", flush=True)
+        block = {
+            "queries": rows,
+            "corpus": {
+                "events_rows": _rows(f"{SF10_DIR}/events.parquet"),
+                "lineitem_rows": _rows(f"{SF10_DIR}/lineitem.parquet"),
+                "documents_rows": _rows(f"{SF10_DIR}/documents.parquet"),
+            },
+        }
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["sketch_sf10"] = block
+        checks["sketch_sf10_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
     elif sys.argv[1:2] == ["--daemon-soak-18t"]:
         # round-9 verdict #3: the reference's REAL topology — it runs
         # its full v3 set of 17-18 tables in one process (main.py:46-89,
