@@ -111,11 +111,28 @@ def run_forever(
 def run_tables_forever(
     pipelines: list[ImportPipeline],
     shutdown: threading.Event | None = None,
+    shuffle_partitions: int | None = None,
     **kwargs,
 ) -> dict[str, DaemonReport]:
     """One daemon thread per table (reference main.py:154-238's per-table
     sync threads). Threads share the SparkSession; each submits its own
-    jobs and the Spark scheduler interleaves them."""
+    jobs and the Spark scheduler interleaves them.
+
+    ``shuffle_partitions``: per-window import jobs move a window's worth
+    of rows, not a corpus — at the reference's real topology (17-18
+    tables of 1-second windows in one process, main.py:46-89) the
+    analytics default of 32-way shuffles is pure task-scheduling
+    overhead multiplied by every concurrent table, and MEASURED it is
+    the difference between steady-state p99 9.4s and 1.6s at 18 tables
+    (BENCH_SCALING.checks.daemon_soak_18t). Setting it pins
+    ``spark.sql.shuffle.partitions`` on the shared session for the
+    daemon's lifetime — the daemon process owns its session in the
+    reference deployment, so the conf is the daemon's to set; leave it
+    None when the session is shared with analytics queries."""
+    if shuffle_partitions is not None:
+        pipelines[0].spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     reports: dict[str, DaemonReport] = {}
 
     def work(p: ImportPipeline) -> None:
