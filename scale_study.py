@@ -358,7 +358,11 @@ def generate_sf1(
 # sf1 probe, value-checked on the feasibility slice below instead)
 PAIR_SCAN_K = (
     "dedup or linkage or winnow or prefix_filter or containment or "
-    "passjoin or near_dup or pair or split_cluster_safe or knn"
+    "passjoin or near_dup or pair or split_cluster_safe or knn or "
+    # its twin hides an all-pairs doc-Jaccard scan behind a non-pair
+    # name — found when the round-9 sf1 probe ground for 100+ minutes
+    # inside its DuckDB leg (1.25e9 list_intersect pairs at 50k docs)
+    "contrastive_triplets"
 )
 
 
