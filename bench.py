@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 from neynar_parquet_importer_spark.operators.dedup import release_cached
@@ -315,8 +316,31 @@ def _n_passes() -> int:
     return n
 
 
+def _quiet_threshold() -> float | None:
+    """Parse+validate SPARK_GRAFT_BENCH_QUIET at startup (round-9
+    advisor: a malformed value must fail BEFORE the multi-minute run,
+    and '0' must mean OFF, not an unreachable threshold that silently
+    sleeps the whole timeout). Default ON at loadavg 4.0 — round-9
+    verdict #4: closing benches should wait (bounded) for a quiet host
+    so round-over-round deltas measure code, not background load."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_QUIET", "4")
+    if raw.strip().lower() in ("", "0", "off", "no", "false", "none"):
+        return None
+    try:
+        thr = float(raw)
+    except ValueError:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_QUIET must be a loadavg threshold or "
+            f"0/off, got {raw!r}"
+        )
+    if thr <= 0:
+        return None
+    return thr
+
+
 def main() -> None:
     _n_passes()  # fail fast on a bad pass count before Spark startup
+    quiet_thr = _quiet_threshold()  # ... and on a bad quiet threshold
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # optional subset (comma-separated names): scaling studies time one
@@ -333,22 +357,30 @@ def main() -> None:
     unknown = [n for n in bench_queries if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown bench queries: {', '.join(unknown)}")
-    # optional quiet-host gate (round-9 verdict #4): wait for the 1-min
-    # load average to drop under SPARK_GRAFT_BENCH_QUIET before paying
-    # Spark startup, bounded by SPARK_GRAFT_BENCH_QUIET_TIMEOUT seconds
-    # (default 600) so an unattended run can never block forever. Off by
-    # default — the round driver must always complete.
+    # quiet-host gate (round-9 verdict #4, ON by default): wait for the
+    # 1-min load average to drop under the threshold before paying Spark
+    # startup, bounded by SPARK_GRAFT_BENCH_QUIET_TIMEOUT seconds
+    # (default 600) so an unattended run can never block forever. The
+    # observed load at release is recorded in both output lines either
+    # way; SPARK_GRAFT_BENCH_QUIET=0/off disables the wait.
     quiet_wait = None
-    quiet_env = os.environ.get("SPARK_GRAFT_BENCH_QUIET")
-    if quiet_env:
-        thr = float(quiet_env)
+    if quiet_thr is not None:
         deadline = time.time() + float(
             os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "600")
         )
         w0 = time.time()
-        while _load1() >= thr and time.time() < deadline:
+        while _load1() >= quiet_thr and time.time() < deadline:
             time.sleep(15)
         quiet_wait = round(time.time() - w0, 1)
+        if _load1() >= quiet_thr:
+            print(
+                f"bench: quiet wait expired after {quiet_wait}s with "
+                f"loadavg {_load1():.1f} >= {quiet_thr} — proceeding on "
+                "a loud host; treat per-query deltas with suspicion",
+                file=sys.stderr,
+                flush=True,
+            )
+    load_at_start = round(_load1(), 1)
     # showConsoleProgress is read at SparkContext init: pass it through
     # the builder so progress bars never interleave with the JSON line
     spark = get_spark(
@@ -433,15 +465,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_STABILIZE", "1") != "0":
         for name in bench_queries:
             extra = 0
+            # ARTIFACT_TRAINED queries stabilize BOTH legs (round-9
+            # advisor: cold minima were reported with no spread bound,
+            # so cold round-over-round deltas could still be host
+            # noise) — a re-run pays cold+warm together, same as a
+            # main pass.
             while (
                 _spread(passes[name]) > SPREAD_TARGET
-                and extra < MAX_EXTRA_PASSES
-            ):
+                or _spread(cold_passes.get(name, [])) > SPREAD_TARGET
+            ) and extra < MAX_EXTRA_PASSES:
                 _timed_pass(name)
                 extra += 1
             extra_passes += extra
     unstable = sorted(
         n for n in bench_queries if _spread(passes[n]) > SPREAD_TARGET
+    )
+    unstable_cold = sorted(
+        n for n, cs in cold_passes.items() if _spread(cs) > SPREAD_TARGET
     )
     timings = {name: min(ts) for name, ts in passes.items()}
     artifact_cold_warm = {
@@ -487,6 +527,7 @@ def main() -> None:
         fam = ARTIFACT_TRAINED[n]
         c, w = cw_fam.get(fam, [0.0, 0.0])
         cw_fam[fam] = [round(c + cw["cold"], 3), round(w + cw["warm"], 3)]
+    ts = time.strftime("%Y%m%dT%H%M%S")
     final = {
         "metric": "total_query_seconds",
         "value": total,
@@ -498,8 +539,18 @@ def main() -> None:
         "passes": n_passes,
         "extra_passes": extra_passes,
         "n_unstable": len(unstable),
+        # name the still-unstable queries IN the driver-visible line
+        # (round-9 verdict #4: the names previously lived only in the
+        # .benchmarks run file); capped so the tail line stays inside
+        # the driver's ~2.2 KB capture window
+        "unstable": unstable[:8],
+        "unstable_cold": unstable_cold[:4],
+        "loadavg_start": load_at_start,
         "loadavg_max": all_loads[-1] if all_loads else None,
         "loadavg_p50": all_loads[len(all_loads) // 2] if all_loads else None,
+        # pins this BENCH_r{N} record to its .benchmarks/bench-<ts> raw
+        # artifact so round-over-round comparisons reference one run
+        "run_at": ts,
         "sf": sf_val,
     }
     if quiet_wait is not None:
@@ -517,7 +568,6 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks"),
     )
     os.makedirs(hist_dir, exist_ok=True)
-    ts = time.strftime("%Y%m%dT%H%M%S")
     with open(os.path.join(hist_dir, f"bench-{ts}-sf{sf}.json"), "w") as f:
         json.dump(
             {
@@ -527,6 +577,8 @@ def main() -> None:
                 "loadavg_1m": loads,
                 "extra_passes": extra_passes,
                 "unstable_after_extra": unstable,
+                "unstable_cold_after_extra": unstable_cold,
+                "loadavg_start": load_at_start,
                 "quiet_wait_sec": quiet_wait,
                 "run_at": ts,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS"),

@@ -92,8 +92,31 @@ _BPE_ORACLE_MERGE_CACHE: dict[tuple, list] = {}
 # call sites (tests, bench, scale_study, mutation_audit) keep working.
 from . import q_relational, q_text_dedup, q_embed_pipeline, q_oracle_static, q_oracle_artifact, q_trained  # noqa: E402
 
+def _benign_dup(a, b) -> bool:
+    """Same object, or comparably-equal values (two chunks each defining
+    `_EPS = 1e-9` is fine). Functions/classes compare by identity, so a
+    helper *re-defined* in a second chunk — the silent first-wins mask
+    the round-9 advisor flagged — is NOT benign and raises below."""
+    if a is b:
+        return True
+    try:
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+_origin: dict[str, str] = {}
 for _chunk in (q_relational, q_text_dedup, q_embed_pipeline, q_oracle_static, q_oracle_artifact, q_trained):
     for _k, _v in vars(_chunk).items():
-        if not _k.startswith('__'):
-            globals().setdefault(_k, _v)
-del _chunk, _k, _v
+        if _k.startswith('__'):
+            continue
+        if _k in globals() and not _benign_dup(globals()[_k], _v):
+            raise ImportError(
+                f"registry chunk collision: {_k!r} is defined with divergent "
+                f"values in both {_origin.get(_k, 'the spine')} and "
+                f"{_chunk.__name__} — rename one or hoist the shared helper"
+            )
+        if _k not in globals():
+            _origin[_k] = _chunk.__name__
+            globals()[_k] = _v
+del _chunk, _k, _v, _origin

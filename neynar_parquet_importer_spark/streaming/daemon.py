@@ -129,7 +129,7 @@ def run_tables_forever(
     daemon's lifetime — the daemon process owns its session in the
     reference deployment, so the conf is the daemon's to set; leave it
     None when the session is shared with analytics queries."""
-    if shuffle_partitions is not None:
+    if shuffle_partitions is not None and pipelines:
         pipelines[0].spark.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
