@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     # round-8: the measured finer-key linkage mitigation (distinct-text
     # two-pass blocking, sf0.1->sf1 exponent 0.10 vs 1.95 nation-block)
     "fuzzy_customer_linkage_fine_block",
+    # round-10: the three-way dispatch decision row (budgets + argmin)
+    "linkage_dispatch_3way",
     # round-9: the sequential-doubling sample validator as a gate query
     "bpe_stable_merges",
 ]

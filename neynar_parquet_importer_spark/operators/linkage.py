@@ -354,6 +354,148 @@ def _passjoin_candidates(
 # Measured dispatch: blocked cross-product vs PassJoin segment filtering
 # ---------------------------------------------------------------------------
 
+def fine_blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    fine_keys: list[tuple[str, str]],
+    max_block: int | None = None,
+) -> DataFrame:
+    """Multi-pass fine-key blocking (Hernández & Stolfo sorted-
+    neighborhood discipline), the linkage module's documented mitigation
+    for the quadratic coarse-block regime, as a first-class operator:
+    one pass per ``fine_keys`` entry — ``(left_expr, right_expr)`` SQL
+    expressions over the text columns (e.g. first-5 / last-4 chars) —
+    each an equi-join on ``block_cols + fine key``; passes are unioned
+    and pair-deduped, then verified with the same length band + banded
+    Levenshtein as :func:`blocked_pairs`.
+
+    Completeness contract: matches are found iff the two texts agree on
+    at least ONE declared fine key (within their coarse block). That is
+    the same epistemic status as ``block_cols`` itself — a blocking key
+    is always a caller-declared completeness assumption about the
+    perturbation family (the nation block already drops cross-nation
+    matches). The caller chooses keys lossless for its corpus; the
+    plans-layer linkage queries document the proof for theirs.
+
+    Scale shape: the quadratic core runs on DISTINCT (block, text)
+    values, then expands back to rows through two equi-joins — exact
+    (the metric depends only on the texts), and duplicate-heavy corpora
+    multiply only the linear expansion, never the pair scan. Measured
+    sf0.1 -> sf1 exponent 0.10 vs 1.95 for the coarse nation block
+    (BENCH_SCALING.checks)."""
+    if not fine_keys:
+        raise ValueError("fine_keys must name at least one pass")
+    l = left.select(
+        *block_cols,
+        F.col(left_id).alias("_lid"),
+        F.col(left_text).alias("_ltxt"),
+    )
+    if max_block is not None and block_cols:
+        # same oversized-coarse-block drop as blocked_pairs, applied to
+        # raw LEFT rows, so dispatch among arms never changes which rows
+        # participate
+        sizes = (
+            l.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+        l = l.join(F.broadcast(sizes), block_cols, "left_semi")
+    r = right.select(
+        *block_cols,
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+    )
+    dl = l.select(*block_cols, "_ltxt").distinct()
+    dr = r.select(*block_cols, "_rtxt").distinct()
+
+    def _pass(lexpr: str, rexpr: str) -> DataFrame:
+        lk_ = dl.withColumn(
+            "_fk", F.expr(lexpr.replace(left_text, "_ltxt"))
+        )
+        rk_ = dr.withColumn(
+            "_fk", F.expr(rexpr.replace(right_text, "_rtxt"))
+        )
+        return lk_.join(rk_, [*block_cols, "_fk"]).select(
+            *block_cols, "_ltxt", "_rtxt"
+        )
+
+    cand = _pass(*fine_keys[0])
+    for lexpr, rexpr in fine_keys[1:]:
+        cand = cand.unionByName(_pass(lexpr, rexpr))
+    text_pairs = (
+        cand.distinct()
+        .filter(F.abs(F.length("_ltxt") - F.length("_rtxt")) <= max_distance)
+        .withColumn(
+            "distance", F.levenshtein("_ltxt", "_rtxt", max_distance)
+        )
+        .filter(F.col("distance") >= 0)
+    )
+    return (
+        text_pairs.join(l, [*block_cols, "_ltxt"])
+        .join(r, [*block_cols, "_rtxt"])
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+def fine_block_budget(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_text: str,
+    right_text: str,
+    fine_keys: list[tuple[str, str]],
+    max_block: int | None = None,
+) -> int:
+    """EXACT candidate-pair count of the fine-key arm in the dispatch's
+    shared currency: sum over passes of sum over (coarse block, fine
+    key) groups of |distinct-L| * |distinct-R| — the pair population the
+    fine core actually scans (pass overlap is deduped AFTER the scan,
+    so the sum, not the union, is the honest cost). Distinct-text
+    counting mirrors the operator; the linear expansion joins are not
+    counted, same as the other arms' linear sides."""
+    l = left.select(*block_cols, F.col(left_text).alias("_t"))
+    if max_block is not None and block_cols:
+        sizes = (
+            l.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+        l = l.join(F.broadcast(sizes), block_cols, "left_semi")
+    dl = l.distinct()
+    dr = right.select(*block_cols, F.col(right_text).alias("_t")).distinct()
+    total = 0
+    for lexpr, rexpr in fine_keys:
+        lb = (
+            dl.withColumn("_fk", F.expr(lexpr.replace(left_text, "_t")))
+            .groupBy(*block_cols, "_fk")
+            .agg(F.count(F.lit(1)).alias("_ln"))
+        )
+        rb = (
+            dr.withColumn("_fk", F.expr(rexpr.replace(right_text, "_t")))
+            .groupBy(*block_cols, "_fk")
+            .agg(F.count(F.lit(1)).alias("_rn"))
+        )
+        row = (
+            lb.join(rb, [*block_cols, "_fk"])
+            .agg(F.coalesce(F.sum(F.col("_ln") * F.col("_rn")), F.lit(0)))
+            .first()
+        )
+        total += int(row[0])
+    return total
+
+
 def blocked_pair_budget(
     left: DataFrame,
     right: DataFrame,
@@ -439,9 +581,12 @@ def decide_pairs_strategy(
     sample_target: int = 2000,
     passjoin_overhead: float = 2.0,
     candidate_ceiling: int | None = None,
+    fine_keys: list[tuple[str, str]] | None = None,
+    fine_overhead: float = 1.5,
 ) -> dict:
-    """The bounded measured dispatch between :func:`blocked_pairs` and
-    :func:`passjoin_pairs` — the same discipline as the ANN family's
+    """The bounded measured dispatch between :func:`blocked_pairs`,
+    :func:`passjoin_pairs`, and (when the caller declares fine keys)
+    :func:`fine_blocked_pairs` — the same discipline as the ANN family's
     ``exact_below`` / k-core's ``local_below``: decide from a cheap
     statistic in the shared cost currency (candidate pairs), never from
     a heuristic about the data.
@@ -470,6 +615,24 @@ def decide_pairs_strategy(
       principled rather than lucky (round-7 verdict #3): at ~9e8
       estimated candidates PassJoin OOMs an 8g heap, so it must lose
       the dispatch regardless of projected speed.
+    - fine-key side (round-10: the measured-best plan in the coarse-
+      block quadratic regime must be an arm, not folklore): when the
+      caller passes ``fine_keys``, :func:`fine_block_budget` gives the
+      EXACT pair count of the multi-pass distinct-text core in the same
+      currency. ``fine_overhead`` prices its extra machinery per
+      candidate (distinct + union-dedup + two expansion joins) relative
+      to the plain block join; at comparable candidate volumes the
+      fine core's per-candidate cost is close to blocked's (the same
+      banded Levenshtein dominates), so the default 1.5 is a
+      conservative handicap — the sf1 A/B (linkage_ab_sf1) checks the
+      decision against measured wall-clock in all three regimes.
+    - rule: cheapest FEASIBLE arm in weighted candidate currency wins;
+      ties prefer blocked (the streaming arm with no materialization
+      ceiling and no key assumptions beyond the caller's coarse block).
+      Dispatch with fine keys can only change answers in the way the
+      caller's own key declaration allows — a blocking key is always a
+      caller-declared completeness assumption (see
+      :func:`fine_blocked_pairs`).
     """
     budget = blocked_pair_budget(left, right, block_cols, max_block)
     n_l = left.count()
@@ -506,9 +669,22 @@ def decide_pairs_strategy(
     if candidate_ceiling is None:
         candidate_ceiling = passjoin_candidate_ceiling(left.sparkSession)
     feasible = est <= candidate_ceiling
-    use_passjoin = feasible and est * passjoin_overhead < budget
-    return {
-        "strategy": "passjoin" if use_passjoin else "blocked",
+    # cheapest feasible arm in weighted candidate currency; insertion
+    # order breaks ties toward blocked (two-way behavior is bit-exact
+    # with the old `feasible and est*overhead < budget` rule)
+    costs: dict[str, float] = {"blocked": float(budget)}
+    if feasible:
+        costs["passjoin"] = est * passjoin_overhead
+    fine_budget = None
+    if fine_keys:
+        fine_budget = fine_block_budget(
+            left, right, block_cols, left_text, right_text, fine_keys,
+            max_block=max_block,
+        )
+        costs["fine_block"] = fine_budget * fine_overhead
+    strategy = min(costs, key=costs.get)
+    out = {
+        "strategy": strategy,
         "blocked_budget": budget,
         "passjoin_est_candidates": est,
         "passjoin_feasible": feasible,
@@ -519,6 +695,11 @@ def decide_pairs_strategy(
         "n_left": int(n_l),
         "n_right": int(n_r),
     }
+    if fine_keys:
+        out["fine_budget"] = int(fine_budget)
+        out["fine_overhead"] = fine_overhead
+        out["n_fine_passes"] = len(fine_keys)
+    return out
 
 
 def auto_pairs(
@@ -535,20 +716,32 @@ def auto_pairs(
     passjoin_overhead: float = 2.0,
     candidate_ceiling: int | None = None,
     decision_out: dict | None = None,
+    fine_keys: list[tuple[str, str]] | None = None,
+    fine_overhead: float = 1.5,
 ) -> DataFrame:
     """Auto-dispatched exact edit-distance join: run
     :func:`decide_pairs_strategy`, then the winning operator — same
-    output contract as both (``left_id, right_id, distance``, distance
-    <= max_distance, exact). Pass ``decision_out={}`` to receive the
-    measured statistics that drove the choice."""
+    output contract for every arm (``left_id, right_id, distance``,
+    distance <= max_distance, exact within the declared blocking keys).
+    Without ``fine_keys`` the dispatch is answer-invariant (blocked and
+    PassJoin are both exact); declaring fine keys admits the third arm
+    under the caller's own completeness assumption (see
+    :func:`fine_blocked_pairs`). Pass ``decision_out={}`` to receive
+    the measured statistics that drove the choice."""
     decision = decide_pairs_strategy(
         left, right, block_cols, left_id, right_id, left_text,
         right_text, max_distance, max_block=max_block,
         sample_target=sample_target, passjoin_overhead=passjoin_overhead,
         candidate_ceiling=candidate_ceiling,
+        fine_keys=fine_keys, fine_overhead=fine_overhead,
     )
     if decision_out is not None:
         decision_out.update(decision)
+    if decision["strategy"] == "fine_block":
+        return fine_blocked_pairs(
+            left, right, block_cols, left_id, right_id, left_text,
+            right_text, max_distance, fine_keys, max_block=max_block,
+        )
     if decision["strategy"] == "passjoin":
         # the "dispatch never changes answers" contract: blocked_pairs
         # drops blocks whose LEFT size exceeds max_block, so the

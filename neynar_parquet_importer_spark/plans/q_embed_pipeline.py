@@ -1548,6 +1548,61 @@ def fuzzy_linkage_auto_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the two-pass fine-key family shared by the fine-block query and the
+# three-way dispatch: lossless for this corpus's perturbation family
+# (one edit at suffix position k in [0,7], or an append) — see
+# fuzzy_customer_linkage_fine_block's proof sketch
+_LINKAGE_FINE_KEYS = [
+    ("substr(d_suffix, 1, 5)", "substr(c_suffix, 1, 5)"),
+    (
+        "substr(d_suffix, length(d_suffix) - 3, 4)",
+        "substr(c_suffix, length(c_suffix) - 3, 4)",
+    ),
+]
+
+
+def linkage_dispatch_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THREE-WAY measured linkage dispatch as a gate row (round-10
+    verdict #2): ``decide_pairs_strategy`` with the fine-key arm
+    declared, on the standard linkage corpus — returns the chosen
+    strategy plus the two EXACT budgets that drive it (candidate-pair
+    currency). The oracle twin recomputes both budgets in SQL and
+    re-derives the argmin (3*fine < 2*blocked <=> 1.5-overhead rule),
+    so the gate value-checks the DECISION FUNCTION itself at every
+    scale — the winner legitimately flips from blocked at sf<=0.01 to
+    fine_block at sf0.1 (budget ratio crosses the 1.5x handicap), and
+    the twin tracks the flip instead of pinning one answer.
+
+    PassJoin's sampled estimate stays engine-side: on this zero-padded
+    low-entropy corpus every name-segment collides corpus-wide, so the
+    estimate tracks the blocked budget within sampling noise (measured
+    0.3% at sf0.1) and the 2x overhead keeps that arm out of
+    contention at every scale — the twin's two-arm argmin is the whole
+    decision (asserted by tests/test_linkage_dispatch)."""
+    dirty, clean = _linkage_corpus(spark, sf_dir)
+    d = lk.decide_pairs_strategy(
+        dirty,
+        clean,
+        ["c_nationkey"],
+        "d_key",
+        "c_custkey",
+        "d_suffix",
+        "c_suffix",
+        2,
+        fine_keys=_LINKAGE_FINE_KEYS,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                d["strategy"],
+                int(d["blocked_budget"]),
+                int(d["fine_budget"]),
+            )
+        ],
+        "strategy string, blocked_budget bigint, fine_budget bigint",
+    )
+
+
 def fuzzy_customer_linkage_fine_block(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1581,41 +1636,20 @@ def fuzzy_customer_linkage_fine_block(
     blocking the raw rows, so the oracle twin replays raw-row blocking
     and must agree."""
     dirty, clean = _linkage_corpus(spark, sf_dir)
-    dd = (
-        dirty.select("c_nationkey", "d_suffix")
-        .distinct()
-        .withColumn("_b1", F.expr("substr(d_suffix, 1, 5)"))
-        .withColumn(
-            "_b2", F.expr("substr(d_suffix, length(d_suffix) - 3, 4)")
-        )
+    # routed through the first-class operator since round 10 (the
+    # three-way dispatch's arm must be THE code this query proved);
+    # output verified identical to the original inline form
+    pairs = lk.fine_blocked_pairs(
+        dirty,
+        clean,
+        ["c_nationkey"],
+        "d_key",
+        "c_custkey",
+        "d_suffix",
+        "c_suffix",
+        2,
+        _LINKAGE_FINE_KEYS,
     )
-    cc = (
-        clean.select("c_nationkey", "c_suffix")
-        .distinct()
-        .withColumn("_b1", F.expr("substr(c_suffix, 1, 5)"))
-        .withColumn(
-            "_b2", F.expr("substr(c_suffix, length(c_suffix) - 3, 4)")
-        )
-    )
-
-    def _pass(key: str) -> DataFrame:
-        j = dd.select("c_nationkey", "d_suffix", key).join(
-            cc.select("c_nationkey", "c_suffix", key),
-            ["c_nationkey", key],
-        )
-        return (
-            j.filter(
-                F.abs(F.length("d_suffix") - F.length("c_suffix")) <= 2
-            )
-            .withColumn("distance", F.levenshtein("d_suffix", "c_suffix", 2))
-            .filter(F.col("distance") >= 0)
-            .select("c_nationkey", "d_suffix", "c_suffix", "distance")
-        )
-
-    text_pairs = _pass("_b1").unionByName(_pass("_b2")).distinct()
-    pairs = text_pairs.join(
-        dirty, ["c_nationkey", "d_suffix"]
-    ).join(clean, ["c_nationkey", "c_suffix"])
     return (
         pairs.groupBy("distance")
         .agg(

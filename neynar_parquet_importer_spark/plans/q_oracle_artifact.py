@@ -848,6 +848,61 @@ ORACLE_SQL["fuzzy_customer_linkage_fine_block"] = f"""
     FROM pairs GROUP BY 1 ORDER BY 1
 """
 
+# three-way dispatch decision replayed from first principles: both
+# EXACT budgets (blocked block-product, fine distinct-text multi-pass
+# sum) recomputed in SQL, then the argmin under the 1.5x fine handicap
+# (3*fine < 2*blocked in integer form). The PassJoin arm is engine-side
+# sampling but provably out of contention on this corpus (estimate
+# tracks the blocked budget within noise, 2x overhead) — pinned by
+# tests/test_linkage_dispatch.
+ORACLE_SQL["linkage_dispatch_3way"] = f"""
+    WITH dirty AS (
+        SELECT c_custkey AS d_key, c_nationkey,
+               {_DIRTY_NAME_EXPR} AS d_name
+        FROM customer
+    ), d2 AS (
+        SELECT d_key, c_nationkey, substr(d_name, 10) AS d_suffix
+        FROM dirty
+    ), c2 AS (
+        SELECT c_custkey, c_nationkey, substr(c_name, 10) AS c_suffix
+        FROM customer
+    ), blocked AS (
+        SELECT CAST(COALESCE(SUM(l.ln * r.rn), 0) AS BIGINT) AS b
+        FROM (SELECT c_nationkey, count(*) AS ln FROM d2 GROUP BY 1) l
+        JOIN (SELECT c_nationkey, count(*) AS rn FROM c2 GROUP BY 1) r
+          USING (c_nationkey)
+    ), dl AS (
+        SELECT DISTINCT c_nationkey, d_suffix FROM d2
+    ), dr AS (
+        SELECT DISTINCT c_nationkey, c_suffix FROM c2
+    ), p1 AS (
+        SELECT CAST(COALESCE(SUM(a.ln * b.rn), 0) AS BIGINT) AS f
+        FROM (SELECT c_nationkey, substr(d_suffix, 1, 5) AS k,
+                     count(*) AS ln
+              FROM dl GROUP BY 1, 2) a
+        JOIN (SELECT c_nationkey, substr(c_suffix, 1, 5) AS k,
+                     count(*) AS rn
+              FROM dr GROUP BY 1, 2) b
+          USING (c_nationkey, k)
+    ), p2 AS (
+        SELECT CAST(COALESCE(SUM(a.ln * b.rn), 0) AS BIGINT) AS f
+        FROM (SELECT c_nationkey,
+                     substr(d_suffix, length(d_suffix) - 3, 4) AS k,
+                     count(*) AS ln
+              FROM dl GROUP BY 1, 2) a
+        JOIN (SELECT c_nationkey,
+                     substr(c_suffix, length(c_suffix) - 3, 4) AS k,
+                     count(*) AS rn
+              FROM dr GROUP BY 1, 2) b
+          USING (c_nationkey, k)
+    )
+    SELECT CASE WHEN 3 * (p1.f + p2.f) < 2 * blocked.b
+                THEN 'fine_block' ELSE 'blocked' END AS strategy,
+           blocked.b AS blocked_budget,
+           CAST(p1.f + p2.f AS BIGINT) AS fine_budget
+    FROM blocked, p1, p2
+"""
+
 ORACLE_SQL["linkage_self_match_rate"] = _LINKAGE_CTE + """
     , best AS (
         SELECT d_key, c_custkey,

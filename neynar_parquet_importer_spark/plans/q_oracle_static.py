@@ -31,6 +31,7 @@ from .q_embed_pipeline import (  # noqa: E501
     fuzzy_customer_linkage,
     fuzzy_customer_linkage_fine_block,
     fuzzy_linkage_auto_dispatch,
+    linkage_dispatch_3way,
     graph_degrees,
     graph_edges,
     graph_nodes,
@@ -303,6 +304,7 @@ QUERIES = {
     "fuzzy_customer_linkage": fuzzy_customer_linkage,
     "fuzzy_customer_linkage_fine_block": fuzzy_customer_linkage_fine_block,
     "fuzzy_linkage_auto_dispatch": fuzzy_linkage_auto_dispatch,
+    "linkage_dispatch_3way": linkage_dispatch_3way,
     "linkage_self_match_rate": linkage_self_match_rate,
     "khop_supplier_reach": khop_supplier_reach,
     "event_value_quantile_hist": event_value_quantile_hist,

@@ -22,6 +22,7 @@ import json
 import os
 import tempfile
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 
 
@@ -45,6 +46,8 @@ class ImportLedger:
         self.path = path
         self._entries: dict[str, LedgerEntry] = {}
         self._live_lines = 0  # lines in the file since last compaction
+        self._defer_sync = False
+        self._sync_pending = False
         self._load()
 
     def _load(self) -> None:
@@ -77,8 +80,36 @@ class ImportLedger:
         with open(self.path, "a") as f:
             f.write(json.dumps(asdict(entry)) + "\n")
             f.flush()
-            os.fsync(f.fileno())
+            if self._defer_sync:
+                self._sync_pending = True
+            else:
+                os.fsync(f.fileno())
         self._live_lines += 1
+
+    @contextmanager
+    def deferred_sync(self):
+        """Batch the fsyncs of every append inside the block into ONE
+        fsync at exit. A catch-up writes 2+ ledger lines per window
+        (record + in-order completion); at the reference's topology —
+        17-18 tables of 1-second windows per host (main.py:46-89) —
+        per-append fsync is ~36+ journal commits/second, and on a
+        shared ext4 journal every process's fsync serializes behind
+        the running jbd2 transaction (measured on the 18-table sharded
+        soak as synchronized multi-second latency spikes across all
+        importer processes). One fsync per catch-up keeps the
+        durability contract: a crash can only lose lines the current
+        catch-up wrote, which replay re-plans and the recency-guarded
+        upsert re-imports idempotently — exactly the guarantee a crash
+        between append and fsync already had."""
+        self._defer_sync = True
+        try:
+            yield
+        finally:
+            self._defer_sync = False
+            if self._sync_pending:
+                self._sync_pending = False
+                with open(self.path, "a") as f:
+                    os.fsync(f.fileno())
 
     # -- upsert / progress (db.py:365-392, 527-566, 621-642 semantics) -----
     def record_file(self, entry: LedgerEntry) -> LedgerEntry:

@@ -220,54 +220,59 @@ class ImportPipeline:
                 self.sink.upsert(out, epoch=int(now))
                 rows = int(obs.get["n"])
 
-        # ledger: record data files + empty sentinels, then commit in order
-        ordered_names: list[str] = []
-        for path in pending:
-            name = path.rsplit("/", 1)[-1]
-            meta = parse_parquet_filename(name)
-            self.ledger.record_file(
-                LedgerEntry(
-                    file_name=name,
-                    file_type="full" if meta.is_full else "incremental",
-                    file_version=self.file_version,
-                    file_duration_s=meta.duration_s,
-                    start_timestamp=meta.start_timestamp,
-                    end_timestamp=meta.end_timestamp,
-                    backfill=backfill,
+        # ledger: record data files + empty sentinels, then commit in
+        # order — one fsync for the whole batch (deferred_sync): at 17-18
+        # tables of 1-second windows per host, per-append fsyncs contend
+        # on the shared filesystem journal across every importer process
+        with self.ledger.deferred_sync():
+            ordered_names: list[str] = []
+            for path in pending:
+                name = path.rsplit("/", 1)[-1]
+                meta = parse_parquet_filename(name)
+                self.ledger.record_file(
+                    LedgerEntry(
+                        file_name=name,
+                        file_type="full" if meta.is_full else "incremental",
+                        file_version=self.file_version,
+                        file_duration_s=meta.duration_s,
+                        start_timestamp=meta.start_timestamp,
+                        end_timestamp=meta.end_timestamp,
+                        backfill=backfill,
+                    )
                 )
-            )
-            ordered_names.append(name)
-        for t in plan.empty_windows:
-            name = window_file_name(self.schema_name, self.spec.name, t, self.duration, empty=True)
-            self.ledger.record_file(
-                LedgerEntry(
-                    file_name=name,
-                    file_type="incremental",
-                    file_version=self.file_version,
-                    file_duration_s=self.duration,
-                    start_timestamp=t,
-                    end_timestamp=t + self.duration,
-                    backfill=backfill,
+                ordered_names.append(name)
+            for t in plan.empty_windows:
+                name = window_file_name(self.schema_name, self.spec.name, t, self.duration, empty=True)
+                self.ledger.record_file(
+                    LedgerEntry(
+                        file_name=name,
+                        file_type="incremental",
+                        file_version=self.file_version,
+                        file_duration_s=self.duration,
+                        start_timestamp=t,
+                        end_timestamp=t + self.duration,
+                        backfill=backfill,
+                    )
                 )
-            )
-            ordered_names.append(name)
+                ordered_names.append(name)
 
-        # in-order commit (W7): everything in this batch succeeded together,
-        # but completion must never jump an expected-yet-unpublished window —
-        # the reference's ordered-futures queue (main.py:303-338) waits on
-        # every window and never skips. Windows beyond the first gap ARE
-        # upserted (idempotent; they'll be re-read next run) but stay
-        # uncommitted so resume_point() cannot advance past the gap: a
-        # late-published window is re-planned and imported, not lost.
-        min_missing = min(plan.missing_windows) if plan.missing_windows else None
-        ordered_names.sort(key=lambda n: parse_parquet_filename(n).end_timestamp)
-        commit_names = [
-            n
-            for n in ordered_names
-            if min_missing is None
-            or parse_parquet_filename(n).end_timestamp <= min_missing
-        ]
-        self.ledger.advance_completed_through(commit_names, set(commit_names))
+            # in-order commit (W7): everything in this batch succeeded
+            # together, but completion must never jump an expected-yet-
+            # unpublished window — the reference's ordered-futures queue
+            # (main.py:303-338) waits on every window and never skips.
+            # Windows beyond the first gap ARE upserted (idempotent;
+            # they'll be re-read next run) but stay uncommitted so
+            # resume_point() cannot advance past the gap: a late-published
+            # window is re-planned and imported, not lost.
+            min_missing = min(plan.missing_windows) if plan.missing_windows else None
+            ordered_names.sort(key=lambda n: parse_parquet_filename(n).end_timestamp)
+            commit_names = [
+                n
+                for n in ordered_names
+                if min_missing is None
+                or parse_parquet_filename(n).end_timestamp <= min_missing
+            ]
+            self.ledger.advance_completed_through(commit_names, set(commit_names))
 
         return ImportReport(
             files_imported=len(pending),

@@ -694,6 +694,36 @@ def linkage_ab_checks(spark, sf1_dir: str) -> dict:
         ),
     }
 
+    # ---- low-entropy, THREE-WAY (round-10 verdict #2): the fine-key
+    # arm measured against the same corpus, and the three-way decision
+    # checked against the measured faster feasible side --------------------
+    from neynar_parquet_importer_spark.plans.queries import (
+        _LINKAGE_FINE_KEYS,
+    )
+
+    dec3 = lk.decide_pairs_strategy(
+        dirty_c, clean_c, fine_keys=_LINKAGE_FINE_KEYS, **args_low
+    )
+    nf, tf, lf = timed(
+        lambda: lk.fine_blocked_pairs(
+            dirty_c, clean_c, ["c_nationkey"], "d_key", "c_custkey",
+            "d_suffix", "c_suffix", 2, _LINKAGE_FINE_KEYS,
+        )
+    )
+    three_way_times = {"blocked": tb, "fine_block": tf}
+    if dec3["passjoin_feasible"]:
+        three_way_times["passjoin"] = tp_proj
+    faster3 = min(three_way_times, key=three_way_times.get)
+    out["low_entropy_three_way"] = {
+        "fine_block": {"pairs": nf, "sec": tf, "loadavg_1m": lf},
+        "blocked_sec": tb,
+        "passjoin_projected_sec": tp_proj,
+        "passjoin_feasible": dec3["passjoin_feasible"],
+        "decision": dec3,
+        "feasible_faster": faster3,
+        "decision_matches_faster": dec3["strategy"] == faster3,
+    }
+
     # ---- high-entropy: doc prefixes, unblocked -------------------------
     docs = _t(spark, sf1_dir, "documents")
     clean_d = docs.select(
@@ -1172,6 +1202,558 @@ def daemon_soak_checks(
     }
 
 
+# --- process-sharded daemon soak (round-10 verdict #1) -------------------
+# The round-9 soak measured one shared local driver saturating at ~8-12
+# tables of 1-second windows (steady p99 2.42s at the reference's 18-table
+# topology even with the shuffle_partitions=4 knob); the reference's own
+# answer is scale-OUT — one importer process per table set
+# (main.py:676-716 runs the full v3 table list per process and deployments
+# add processes). This harness measures that story instead of asserting
+# it: the 18 tables sharded across N OS processes, each owning its own
+# SparkSession, same real-time publication + latency accounting + mid-run
+# crash as the single-process soak.
+
+_SOAK_SHARDED_ROOT = os.environ.get(
+    "SPARK_GRAFT_SOAK_ROOT", "/tmp/daemon_soak_sharded"
+)
+
+
+def _soak_names(n_tables: int) -> list[str]:
+    return [f"soak{chr(ord('a') + i)}" for i in range(n_tables)]
+
+
+def _soak_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("id", pa.string()),
+            ("fid", pa.int64()),
+            ("target_fid", pa.int64()),
+            ("updated_at", pa.timestamp("us")),
+        ]
+    )
+
+
+def _soak_write_window(name: str, path: str, i: int, t0: int) -> None:
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    tbl = pa.table(
+        {
+            "id": [f"{name}-{i}"],
+            "fid": [i],
+            "target_fid": [2 * i],
+            "updated_at": [dt.datetime.utcfromtimestamp(t0 + i)],
+        },
+        schema=_soak_pa_schema(),
+    )
+    tmp = path + ".tmp"
+    papq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic publish, like the reference's S3 copy
+
+
+def _pct(sorted_xs: list, q: float):
+    if not sorted_xs:
+        return None
+    k = min(len(sorted_xs) - 1, int(round(q * (len(sorted_xs) - 1))))
+    return round(sorted_xs[k], 3)
+
+
+def soak_child_main(cfg_path: str) -> None:
+    """One shard of the sharded soak: owns its SparkSession (the
+    reference's deployment unit) and runs ``run_tables_forever`` over
+    its table subset, appending one JSONL line per committed window to
+    ``commits_out`` the moment its monitor observes the ledger advance.
+    The log is a line-buffered append-only file, so it survives a
+    SIGKILL mid-run; the parent joins it against its own publication
+    log to compute end-to-end latency on one clock (same host).
+
+    Crash protocol: a ``crash_flag`` file triggers the in-JVM
+    supervisor bounce (fence + join + fresh pipelines over the
+    persisted ledgers — the crash model of the single-process soak);
+    in SIGKILL mode the parent kills the whole process instead and
+    respawns it, and this function simply resumes from the ledgers
+    (re-emitting commit lines it cannot know were already logged —
+    the parent dedups first-line-wins, so pre-kill observations keep
+    their original timestamps)."""
+    import threading
+
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    names = list(cfg["tables"])
+    duration = int(cfg["duration"])
+    n_windows = int(cfg["n_windows"])
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from neynar_parquet_importer_spark.catalog import TableSpec
+    from neynar_parquet_importer_spark.session import get_spark
+    from neynar_parquet_importer_spark.streaming import ImportPipeline
+    from neynar_parquet_importer_spark.streaming.daemon import (
+        run_tables_forever,
+    )
+
+    spark = get_spark(
+        app_name=f"soak-shard-{cfg['shard']}",
+        master=f"local[{cfg['cpus']}]",
+        shuffle_partitions=int(cfg["shuffle_partitions"]),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "3g",
+            "spark.sql.warehouse.dir": os.path.join(
+                cfg["root"], f"wh-{cfg['shard']}"
+            ),
+            # gc attribution for latency spikes: the shards start in the
+            # same second and run identical workloads, so per-JVM pauses
+            # land in lockstep and look like a host-global stall
+            "spark.driver.extraJavaOptions": (
+                "-Xlog:gc:file="
+                + os.path.join(cfg["root"], f"gc-{cfg['shard']}.log")
+                + ":time,uptime"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # pay codegen + shuffle machinery spin-up before declaring ready
+    spark.range(100000).withColumn("b", F.col("id") % 7).groupBy(
+        "b"
+    ).count().collect()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("fid", T.LongType()),
+            T.StructField("target_fid", T.LongType()),
+            T.StructField("updated_at", T.TimestampType()),
+        ]
+    )
+
+    def mk_pipes():
+        return [
+            ImportPipeline(
+                spark,
+                TableSpec(name=n, schema=schema, primary_key=("id",)),
+                cfg["srcs"][n],
+                cfg["lake"],
+                incremental_duration=duration,
+                publish_eta_offset=0.05,
+                poll_interval=0.05,
+            )
+            for n in names
+        ]
+
+    pipes = {p.spec.name: p for p in mk_pipes()}
+
+    def parent_alive() -> bool:
+        # an aborted parent must not leave orphan importers: a stale
+        # child sharing (recreated) harness paths with a later run is
+        # two processes importing the same table — measured once as
+        # same-epoch staging collisions before per-run roots + this
+        # check existed
+        try:
+            os.kill(int(cfg["parent_pid"]), 0)
+            return True
+        except OSError:
+            return False
+
+    # readiness handshake: the parent writes snapshots and the shared t0
+    # only after every shard reports a warm session
+    with open(cfg["ready_flag"], "w") as f:
+        f.write(str(time.time()))
+    while not os.path.exists(cfg["t0_file"]):
+        if os.path.exists(cfg["stop_flag"]) or not parent_alive():
+            spark.stop()
+            return
+        time.sleep(0.05)
+    with open(cfg["t0_file"]) as f:
+        t0 = int(f.read().strip())
+
+    commits = open(cfg["commits_out"], "a", buffering=1)
+    done_upto = {n: 0 for n in names}
+    stop_monitor = threading.Event()
+
+    def sweep() -> None:
+        now = time.time()
+        for n in names:
+            rp = pipes[n].ledger.resume_point()
+            if rp is None:
+                continue
+            hi = min(int((rp - t0) // duration), n_windows)
+            for i in range(done_upto[n], hi):
+                commits.write(
+                    json.dumps(
+                        {
+                            "table": n,
+                            "i": i,
+                            "t": now,
+                            "pid": os.getpid(),
+                            "thr": threading.current_thread().name,
+                        }
+                    )
+                    + "\n"
+                )
+            done_upto[n] = max(done_upto[n], hi)
+
+    def monitor():
+        while not stop_monitor.is_set():
+            sweep()
+            time.sleep(0.02)
+
+    mon_thread = threading.Thread(target=monitor, daemon=True)
+    mon_thread.start()
+
+    while True:
+        shutdown = threading.Event()
+        box: dict = {}
+
+        def run(ev=shutdown):
+            box["reports"] = run_tables_forever(
+                list(pipes.values()), shutdown=ev
+            )
+
+        daemon = threading.Thread(target=run, daemon=True)
+        daemon.start()
+        action = None
+        while action is None:
+            if os.path.exists(cfg["stop_flag"]) or not parent_alive():
+                action = "stop"
+            elif os.path.exists(cfg["crash_flag"]):
+                action = "crash"
+            else:
+                time.sleep(0.05)
+        k0 = time.time()
+        shutdown.set()
+        daemon.join(timeout=30)
+        if action == "stop":
+            break
+        # in-JVM supervisor bounce: fresh pipelines over the persisted
+        # ledgers; the SIGKILL variant never reaches this branch
+        for p in mk_pipes():
+            pipes[p.spec.name] = p
+        with open(cfg["outage_out"], "w") as f:
+            json.dump(
+                {
+                    "outage_sec": round(time.time() - k0, 3),
+                    "daemon_joined": box.get("reports") is not None,
+                },
+                f,
+            )
+        os.replace(cfg["crash_flag"], cfg["crash_flag"] + ".done")
+    stop_monitor.set()
+    mon_thread.join(timeout=5)  # never two writers racing in sweep()
+    sweep()  # a commit landing between monitor polls must not be lost
+    commits.close()
+    spark.stop()
+
+
+def daemon_soak_sharded_checks(
+    n_tables: int = 18,
+    n_shards: int = 3,
+    n_windows: int = 330,
+    duration: int = 1,
+    crash_after: int = 150,
+    crash_mode: str = "bounce",
+    shuffle_partitions: int = 4,
+    child_cpus: int = 8,
+) -> dict:
+    """Parent/supervisor of the sharded soak. Stays Spark-free: spawns
+    one ``--soak-child`` process per shard, publishes every table's
+    1-second windows in real time via pyarrow (never competing for any
+    shard's scheduler), induces one mid-run crash in shard 0 ('bounce' =
+    the in-JVM fence+join+fresh-pipelines crash model of the
+    single-process soak; 'sigkill' = SIGKILL the whole shard process and
+    respawn it cold, so the outage includes a full JVM+session start),
+    then joins the shards' commit logs against its publication log.
+
+    The SLA row mirrors the single-process soak: steady-state (window
+    >= 10) pooled p99 across ALL tables, crash windows included, must
+    come in under the 1-second window duration."""
+    import shutil
+    import subprocess
+    import sys as _sys
+    import threading
+
+    if crash_mode not in ("bounce", "sigkill"):
+        raise ValueError(f"unknown crash_mode {crash_mode!r}")
+    load_start = round(_load1(), 1)
+    names = _soak_names(n_tables)
+    shards = [names[k::n_shards] for k in range(n_shards)]
+    # per-RUN root: paths are never recreated across runs, so a stale
+    # child from an aborted run can never alias a later run's tables
+    # (measured once: two child sets importing the same table produced
+    # same-epoch staging collisions); children also watch parent_pid and
+    # exit when the supervisor dies, so stale runs self-clean
+    shutil.rmtree(_SOAK_SHARDED_ROOT, ignore_errors=True)
+    root = os.path.join(
+        _SOAK_SHARDED_ROOT, time.strftime("run-%Y%m%dT%H%M%S")
+    )
+    os.makedirs(root)
+    srcs = {n: os.path.join(root, f"src_{n}") for n in names}
+    for d in srcs.values():
+        os.makedirs(d)
+    lake = os.path.join(root, "lake")
+    here = os.path.abspath(__file__)
+
+    cfgs = []
+    for k, shard in enumerate(shards):
+        cfg = {
+            "shard": k,
+            "tables": shard,
+            "srcs": {n: srcs[n] for n in shard},
+            "lake": lake,
+            "root": root,
+            "duration": duration,
+            "n_windows": n_windows,
+            "cpus": child_cpus,
+            "shuffle_partitions": shuffle_partitions,
+            "commits_out": os.path.join(root, f"commits-{k}.jsonl"),
+            "ready_flag": os.path.join(root, f"ready-{k}"),
+            "stop_flag": os.path.join(root, "stop"),
+            "crash_flag": os.path.join(root, f"crash-{k}"),
+            "outage_out": os.path.join(root, f"outage-{k}.json"),
+            "t0_file": os.path.join(root, "t0"),
+            "parent_pid": os.getpid(),
+        }
+        with open(os.path.join(root, f"cfg-{k}.json"), "w") as f:
+            json.dump(cfg, f)
+        cfgs.append(cfg)
+
+    def spawn(k: int):
+        log = open(os.path.join(root, f"shard-{k}.log"), "a")
+        return subprocess.Popen(
+            [
+                _sys.executable,
+                here,
+                "--soak-child",
+                os.path.join(root, f"cfg-{k}.json"),
+            ],
+            stdout=log,
+            stderr=log,
+            cwd=os.path.dirname(here),
+        )
+
+    procs = [spawn(k) for k in range(n_shards)]
+    spawn_t = time.time()
+    ready_deadline = spawn_t + 240
+    while time.time() < ready_deadline and not all(
+        os.path.exists(c["ready_flag"]) for c in cfgs
+    ):
+        time.sleep(0.2)
+    ready_wait = round(time.time() - spawn_t, 1)
+    if not all(os.path.exists(c["ready_flag"]) for c in cfgs):
+        for p in procs:
+            p.kill()
+        raise SystemExit(
+            f"sharded soak: shards not ready after {ready_wait}s; "
+            f"see {root}/shard-*.log"
+        )
+
+    t0 = int(time.time()) + 3
+    for n in names:
+        _soak_write_window(
+            n, os.path.join(srcs[n], f"nindexer-{n}-0-{t0}.parquet"), 0, t0
+        )
+    with open(cfgs[0]["t0_file"] + ".tmp", "w") as f:
+        f.write(str(t0))
+    os.replace(cfgs[0]["t0_file"] + ".tmp", cfgs[0]["t0_file"])
+
+    pub_time: dict[str, dict[int, float]] = {n: {} for n in names}
+
+    def publisher():
+        # real-time publication, unaffected by the crash: the exporter
+        # keeps shipping while an importer shard is down
+        for i in range(n_windows):
+            target = t0 + (i + 1) * duration
+            nap = target - time.time()
+            if nap > 0:
+                time.sleep(nap)
+            for name in names:
+                fn = (
+                    f"nindexer-{name}-{t0 + i * duration}"
+                    f"-{t0 + (i + 1) * duration}.parquet"
+                )
+                _soak_write_window(
+                    name, os.path.join(srcs[name], fn), i + 1, t0
+                )
+                pub_time[name][i] = time.time()
+
+    pub = threading.Thread(target=publisher, daemon=True)
+    pub.start()
+
+    # induced crash in shard 0 while an import is typically in flight
+    # (same +0.15 offset as the single-process soak); crash_after past
+    # the run length = no crash (diagnostic mode)
+    crash_meta: dict = {
+        "mode": crash_mode,
+        "crash_after_window": crash_after,
+        "shard": 0,
+        "tables": shards[0],
+    }
+    kill_window = None
+    if crash_after >= n_windows:
+        crash_meta["mode"] = "none"
+        crash_mode = "none"
+    else:
+        crash_at = t0 + crash_after * duration + 0.15
+        nap = crash_at - time.time()
+        if nap > 0:
+            time.sleep(nap)
+    k0 = time.time()
+    if crash_mode == "none":
+        pass
+    elif crash_mode == "bounce":
+        with open(cfgs[0]["crash_flag"] + ".tmp", "w") as f:
+            f.write("1")
+        os.replace(cfgs[0]["crash_flag"] + ".tmp", cfgs[0]["crash_flag"])
+        bounce_deadline = time.time() + 90
+        while time.time() < bounce_deadline and not os.path.exists(
+            cfgs[0]["crash_flag"] + ".done"
+        ):
+            time.sleep(0.05)
+        try:
+            with open(cfgs[0]["outage_out"]) as f:
+                crash_meta.update(json.load(f))
+        except OSError:
+            crash_meta["outage_sec"] = None
+    else:
+        procs[0].kill()  # SIGKILL: no drain, no goodbye — supervisor model
+        procs[0].wait(timeout=30)
+        os.remove(cfgs[0]["ready_flag"])
+        procs[0] = spawn(0)
+        respawn_deadline = time.time() + 240
+        while time.time() < respawn_deadline and not os.path.exists(
+            cfgs[0]["ready_flag"]
+        ):
+            time.sleep(0.1)
+        crash_meta["outage_sec"] = round(time.time() - k0, 3)
+        crash_meta["outage_includes"] = "full JVM + SparkSession cold start"
+        kill_window = (k0, time.time())
+    pub.join(timeout=n_windows * duration + 300)
+
+    def n_committed() -> int:
+        seen = set()
+        for c in cfgs:
+            try:
+                with open(c["commits_out"]) as f:
+                    for ln in f:
+                        if ln.strip():
+                            rec = json.loads(ln)
+                            seen.add((rec["table"], rec["i"]))
+            except OSError:
+                pass
+        return len(seen)
+
+    want = n_tables * n_windows
+    drain_deadline = time.time() + 120
+    while time.time() < drain_deadline and n_committed() < want:
+        time.sleep(0.2)
+    with open(os.path.join(root, "stop.tmp"), "w") as f:
+        f.write("1")
+    os.replace(os.path.join(root, "stop.tmp"), cfgs[0]["stop_flag"])
+    for p in procs:
+        try:
+            p.wait(timeout=90)
+        except subprocess.TimeoutExpired:
+            p.kill()
+
+    # join commit logs against the publication log; first line per
+    # (table, window) wins, so a SIGKILL respawn's re-emissions never
+    # overwrite pre-kill observations
+    commit_lat: dict[str, dict[int, float]] = {n: {} for n in names}
+    for c in cfgs:
+        with open(c["commits_out"]) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                rec = json.loads(ln)
+                tname, i = rec["table"], rec["i"]
+                if i in pub_time[tname] and i not in commit_lat[tname]:
+                    commit_lat[tname][i] = rec["t"] - pub_time[tname][i]
+
+    pooled = sorted(x for n in names for x in commit_lat[n].values())
+    steady = sorted(
+        x
+        for n in names
+        for i, x in commit_lat[n].items()
+        if i >= 10
+    )
+    per_shard = {}
+    for k, shard in enumerate(shards):
+        xs = sorted(
+            x for n in shard for i, x in commit_lat[n].items() if i >= 10
+        )
+        per_shard[f"shard{k}"] = {
+            "tables": len(shard),
+            "n_steady": len(xs),
+            "p50": _pct(xs, 0.50),
+            "p99": _pct(xs, 0.99),
+            "max": round(xs[-1], 3) if xs else None,
+        }
+    block = {
+        "n_tables": n_tables,
+        "n_shards": n_shards,
+        "tables_per_shard": [len(s) for s in shards],
+        "child_cpus": child_cpus,
+        "shuffle_partitions": shuffle_partitions,
+        "n_windows_per_table": n_windows,
+        "window_duration_sec": duration,
+        "n_committed_total": len(pooled),
+        "n_published_total": want,
+        "latency_p50": _pct(pooled, 0.50),
+        "latency_p95": _pct(pooled, 0.95),
+        "latency_p99": _pct(pooled, 0.99),
+        "latency_max": round(pooled[-1], 3) if pooled else None,
+        "n_over_window": sum(1 for x in pooled if x > duration),
+        "steady_state": {
+            "from_window": 10,
+            "n": len(steady),
+            "p50": _pct(steady, 0.50),
+            "p95": _pct(steady, 0.95),
+            "p99": _pct(steady, 0.99),
+            "max": round(steady[-1], 3) if steady else None,
+            "crash_included": True,
+        },
+        "per_shard": per_shard,
+        "crash": crash_meta,
+        "met_p99_under_window": bool(steady)
+        and _pct(steady, 0.99) < duration,
+        "shard_ready_wait_sec": ready_wait,
+        "monitor_poll_sec": 0.02,
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(_load1(), 1),
+    }
+    if kill_window is not None:
+        # transparency row for the SIGKILL variant: the steady
+        # distribution with the killed shard's outage-published windows
+        # excluded, so the cold-restart pileup is separable from the
+        # steady-state keep-up claim (both are reported; neither is
+        # hidden)
+        excl = set()
+        for n in shards[0]:
+            for i, tp in pub_time[n].items():
+                if kill_window[0] <= tp <= kill_window[1]:
+                    excl.add((n, i))
+        kept = sorted(
+            x
+            for n in names
+            for i, x in commit_lat[n].items()
+            if i >= 10 and (n, i) not in excl
+        )
+        block["steady_excl_outage_windows"] = {
+            "n_excluded": len(excl),
+            "n": len(kept),
+            "p50": _pct(kept, 0.50),
+            "p99": _pct(kept, 0.99),
+            "max": round(kept[-1], 3) if kept else None,
+        }
+    return block
+
+
 def zorder_skip_checks(spark, sf1_dir: str) -> dict:
     """Measured row-group skip ratios of the z-order WRITE path at sf1
     (r6 verdict #6): the 1M-row events table written three ways —
@@ -1635,7 +2217,47 @@ def _main_incremental(names: list[str]) -> None:
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+    if sys.argv[1:2] == ["--soak-child"]:
+        # one shard of the sharded daemon soak, spawned by
+        # daemon_soak_sharded_checks; owns its SparkSession
+        soak_child_main(sys.argv[2])
+    elif sys.argv[1:2] in (
+        ["--daemon-soak-sharded"],
+        ["--daemon-soak-sharded-sigkill"],
+    ):
+        # round-10 verdict #1: measure the scale-out story — the 18-table
+        # topology sharded across 3 processes, each its own SparkSession
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit(
+                "--daemon-soak-sharded needs an existing BENCH_SCALING.json"
+            )
+        mode = (
+            "sigkill" if sys.argv[1] == "--daemon-soak-sharded-sigkill"
+            else "bounce"
+        )
+        # quiet-host gate (same rationale as bench.py's): the soak is a
+        # LATENCY measurement — one loadavg-20 background burst on this
+        # shared host turns a 0.8s p99 into 4.4s (measured). Bounded
+        # wait; proceeds loud with the start load stamped either way.
+        thr = float(os.environ.get("SPARK_GRAFT_SOAK_QUIET", "4"))
+        deadline = time.time() + 600
+        while thr > 0 and _load1() >= thr and time.time() < deadline:
+            time.sleep(15)
+        block = daemon_soak_sharded_checks(crash_mode=mode)
+        key = (
+            "daemon_soak_18t_sharded"
+            if mode == "bounce"
+            else "daemon_soak_18t_sharded_sigkill"
+        )
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks[key] = block
+        checks[key + "_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--single":
         _measure_single(
             sys.argv[2],
             sys.argv[3],

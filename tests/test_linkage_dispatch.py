@@ -294,3 +294,116 @@ def test_ceiling_conf_path_by_master(spark):
     assert lk.passjoin_candidate_ceiling(
         _Stub("local", spark._jvm)
     ) == max(1_000_000, heap // 128)
+
+
+# ---------------------------------------------------------------------------
+# round-10: the fine-key third arm
+# ---------------------------------------------------------------------------
+
+_FK = [
+    ("substr(dname, 1, 5)", "substr(cname, 1, 5)"),
+    ("substr(dname, 6, 4)", "substr(cname, 6, 4)"),
+]
+
+
+def test_fine_arm_wins_low_entropy_and_is_lossless_for_its_family(spark):
+    """On the zero-padded corpus the fine keys (first-5 / last-4 by
+    position) shrink blocks massively, so the three-way dispatch must
+    pick fine_block — and because the perturbation is a single
+    substitution (position <= 5 preserves the tail key, position >= 6
+    preserves the head key), every true pair must survive: the declared
+    completeness contract, checked."""
+    d, c = _low_entropy(spark)
+    decision: dict = {}
+    out = lk.auto_pairs(
+        d, c, ["blk"], "did", "cid", "dname", "cname", 2,
+        sample_target=200, decision_out=decision, fine_keys=_FK,
+    )
+    assert decision["strategy"] == "fine_block"
+    assert decision["fine_budget"] * decision["fine_overhead"] < (
+        decision["blocked_budget"]
+    )
+    got = {tuple(r) for r in out.collect()}
+    blocked = {
+        tuple(r)
+        for r in lk.blocked_pairs(
+            d, c, ["blk"], "did", "cid", "dname", "cname", 2
+        ).collect()
+    }
+    # fine-key pairs are exactly the blocked pairs whose texts agree on
+    # at least one declared key — a subset, never new pairs
+    assert got <= blocked
+    # lossless for the corpus's single-substitution family
+    true_pairs = {(i, i) for i in range(400)}
+    assert true_pairs <= {(a, b) for a, b, _ in got}
+    # operator == dispatch arm
+    ref = {
+        tuple(r)
+        for r in lk.fine_blocked_pairs(
+            d, c, ["blk"], "did", "cid", "dname", "cname", 2, _FK
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_two_way_behavior_unchanged_without_fine_keys(spark):
+    """fine_keys undeclared -> the decision dict has no fine fields and
+    the strategy follows the original two-way rule bit-exactly."""
+    d, c = _low_entropy(spark)
+    decision = lk.decide_pairs_strategy(
+        d, c, ["blk"], "did", "cid", "dname", "cname", 2,
+        sample_target=200,
+    )
+    assert "fine_budget" not in decision
+    old_rule = (
+        "passjoin"
+        if decision["passjoin_feasible"]
+        and decision["passjoin_est_candidates"]
+        * decision["passjoin_overhead"]
+        < decision["blocked_budget"]
+        else "blocked"
+    )
+    assert decision["strategy"] == old_rule
+
+
+def test_three_way_oracle_assumption_passjoin_out_of_contention(spark):
+    """The linkage_dispatch_3way oracle twin re-derives the argmin from
+    the two SQL-exact budgets only; that is valid iff the PassJoin arm
+    can never undercut both on this corpus family. Pinned here on the
+    same low-entropy shape: the weighted PassJoin cost must exceed the
+    winning arm's cost."""
+    d, c = _low_entropy(spark)
+    decision = lk.decide_pairs_strategy(
+        d, c, ["blk"], "did", "cid", "dname", "cname", 2,
+        sample_target=200, fine_keys=_FK,
+    )
+    winning = min(
+        decision["blocked_budget"],
+        decision["fine_budget"] * decision["fine_overhead"],
+    )
+    assert (
+        decision["passjoin_est_candidates"] * decision["passjoin_overhead"]
+        > winning
+    )
+    # and the engine argmin equals the twin's two-arm CASE expression
+    sql_arm = (
+        "fine_block"
+        if 3 * decision["fine_budget"] < 2 * decision["blocked_budget"]
+        else "blocked"
+    )
+    assert decision["strategy"] == sql_arm
+
+
+def test_fine_arm_max_block_parity(spark):
+    """The coarse max_block drop applies identically in the fine arm,
+    so dispatch + cap can never change which left rows participate."""
+    d, c = _low_entropy(spark, n=400, n_blocks=4)
+    cap = 60  # every 100-row block dropped -> empty everywhere
+    fine = lk.fine_blocked_pairs(
+        d, c, ["blk"], "did", "cid", "dname", "cname", 2, _FK,
+        max_block=cap,
+    )
+    blocked = lk.blocked_pairs(
+        d, c, ["blk"], "did", "cid", "dname", "cname", 2, max_block=cap,
+    )
+    assert fine.count() == 0 and blocked.count() == 0
