@@ -133,16 +133,22 @@ class ImportLedger:
         return e is not None and e.completed
 
     # -- resume probes (db.py:165-258 semantics) ----------------------------
+    # every probe iterates a list() SNAPSHOT of the entry dict: the
+    # importer thread owns writes, but freshness monitors and metrics
+    # observers legitimately probe another table's ledger cross-thread,
+    # and a dict resize mid-iteration raises RuntimeError (measured:
+    # a soak monitor died silently on it). list(dict.values()) is
+    # GIL-atomic, so no lock is needed for these read-only probes.
     def newest_completed_incremental(self) -> LedgerEntry | None:
         done = [
             e
-            for e in self._entries.values()
+            for e in list(self._entries.values())
             if e.completed and e.file_type == "incremental"
         ]
         return max(done, key=lambda e: e.end_timestamp, default=None)
 
     def newest_full(self) -> LedgerEntry | None:
-        fulls = [e for e in self._entries.values() if e.file_type == "full"]
+        fulls = [e for e in list(self._entries.values()) if e.file_type == "full"]
         return max(fulls, key=lambda e: e.end_timestamp, default=None)
 
     def resume_point(self) -> int | None:
@@ -165,7 +171,7 @@ class ImportLedger:
         done = sorted(
             (
                 e
-                for e in self._entries.values()
+                for e in list(self._entries.values())
                 if e.completed and e.file_type == "incremental"
             ),
             key=lambda e: (e.start_timestamp, e.end_timestamp),
@@ -184,7 +190,7 @@ class ImportLedger:
     def earliest_start(self) -> int | None:
         """Start of the oldest incremental window ever recorded — the
         natural lower bound for a forced backfill re-scan."""
-        incs = [e for e in self._entries.values() if e.file_type == "incremental"]
+        incs = [e for e in list(self._entries.values()) if e.file_type == "incremental"]
         return min((e.start_timestamp for e in incs), default=None)
 
     def is_stale(self, now: float, max_age_s: float = 21 * 24 * 3600) -> bool:

@@ -1308,6 +1308,14 @@ def soak_child_main(cfg_path: str) -> None:
             "spark.sql.warehouse.dir": os.path.join(
                 cfg["root"], f"wh-{cfg['shard']}"
             ),
+            # daemon-session GC cadence: session.py's 5-min periodic
+            # System.gc() exists for long ANALYTICS sequences (big dead
+            # shuffle/broadcast blocks); a window daemon generates tiny
+            # debris, and the measured ~1s Full-GC pause put an 8-11s
+            # latency bump across every table at the 5-min mark. 30 min
+            # bounds cleaner backlog while the pause lands on ~0.06% of
+            # 1-second windows — below the p99 the SLA row tracks.
+            "spark.cleaner.periodicGC.interval": "30min",
             # gc attribution for latency spikes: the shards start in the
             # same second and run identical workloads, so per-JVM pauses
             # land in lockstep and look like a host-global stall
@@ -1674,6 +1682,9 @@ def daemon_soak_sharded_checks(
                 tname, i = rec["table"], rec["i"]
                 if i in pub_time[tname] and i not in commit_lat[tname]:
                     commit_lat[tname][i] = rec["t"] - pub_time[tname][i]
+
+    with open(os.path.join(root, "pub_times.json"), "w") as f:
+        json.dump(pub_time, f)  # post-hoc latency forensics per run
 
     pooled = sorted(x for n in names for x in commit_lat[n].values())
     steady = sorted(
@@ -2529,6 +2540,28 @@ if __name__ == "__main__":
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))
         spark.stop()
+    elif sys.argv[1:2] == ["--canon-sensitivity"]:
+        # round-10 verdict #3: mutation-audit the COMPARE layer — seed
+        # compare-side mutants (coarsened rounding, dropped column,
+        # set-not-multiset, positional columns) and record that each is
+        # killed: the real compare catches the paired defect, the
+        # mutant provably misses it. Pure python, no Spark.
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit(
+                "--canon-sensitivity needs an existing BENCH_SCALING.json"
+            )
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from test_canon_sensitivity import run_audit
+
+        block = run_audit()
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["canon_sensitivity"] = block
+        checks["canon_sensitivity_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
     elif sys.argv[1:2] == ["--zorder-skip"]:
         # incremental checks run: z-order write-path skip ratios at sf1
         if not os.path.exists("BENCH_SCALING.json"):

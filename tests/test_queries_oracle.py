@@ -6,8 +6,6 @@ driver's CORRECTNESS gate (at sf0.001 for speed; the driver uses sf0.01).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -37,34 +35,10 @@ def duck():
     con.close()
 
 
-def _canon(v):
-    """Order-insensitive value canonicalization. Floats round to 7
-    SIGNIFICANT digits, capped at 6 decimals — identical to the old
-    fixed 6-decimal grain for |v| < 10, strictly coarser above it, so
-    the relative grain stays ~1e-6 at every magnitude. The fixed grain
-    flaked at sf1 where group sums reach ~1e10 and double-summation
-    error (~1e-5 absolute = 1e-15 relative) exceeds 1e-6 absolute
-    (round-7 verdict #1)."""
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if math.isinf(v):
-            return "Inf" if v > 0 else "-Inf"
-        av = abs(v)
-        d = 6 if av < 10 else 6 - int(math.floor(math.log10(av)))
-        r = round(v, d)
-        if r == 0:
-            return "0"
-        s = f"{r:.{max(d, 0)}f}"
-        return s.rstrip("0").rstrip(".") if "." in s else s
-    if v is None:
-        return "NULL"
-    return str(v)
-
-
-def _multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+# the compare layer lives in canon_replica so the sensitivity audit
+# (test_canon_sensitivity.py, scale_study --canon-sensitivity) audits
+# THE code this harness runs, not a copy
+from canon_replica import canon as _canon, multiset as _multiset  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
