@@ -128,7 +128,20 @@ def run_tables_forever(
     ``spark.sql.shuffle.partitions`` on the shared session for the
     daemon's lifetime — the daemon process owns its session in the
     reference deployment, so the conf is the daemon's to set; leave it
-    None when the session is shared with analytics queries."""
+    None when the session is shared with analytics queries.
+
+    Daemon-session conf notes (measured, round 10): a session built for
+    a window daemon should also stretch
+    ``spark.cleaner.periodicGC.interval`` (session.py's 5-min default
+    serves long analytics sequences; the forced Full GC pauses ~1s and
+    put an 8-11s latency bump across every table at the 5-min mark of
+    the 18-table soak — window debris is tiny, so 30min+ is safe and
+    the pause then lands on ~0.06% of 1-second windows). At >8-12
+    tables of 1-second windows per driver, scale OUT with processes
+    (the reference's own deployment shape): the sharded soak
+    (scale_study.daemon_soak_sharded_checks) measures 18 tables across
+    3 sessions at steady p99 0.99s, crash included
+    (checks.daemon_soak_18t_sharded)."""
     if shuffle_partitions is not None and pipelines:
         pipelines[0].spark.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)

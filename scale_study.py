@@ -402,6 +402,17 @@ SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
 # Several carry their EXACT witness in-row (countDistinct /
 # confirmation join) — that leg is ~linear too, so exponents <= ~1.0
 # remain the claim being measured.
+# round-10 verdict #5: the most expensive bench families, one decade
+# past sf1 — engine-side scaling only (no oracle at sf10). Each is the
+# family's costliest registered query.
+HEAVY_SF10_QUERIES = [
+    "pagerank_supplier_rank",
+    "cosupplier_triangle_stats",
+    "fuzzy_customer_linkage_fine_block",
+    "dedup_prefix_filter_pairs",
+    "dedup_containment_pairs",
+]
+
 SKETCH_SF10_QUERIES = [
     "hll_distinct_users",
     "hll_register_union",
@@ -2410,6 +2421,69 @@ if __name__ == "__main__":
             json.dump(payload, f, indent=1)
         print(json.dumps(block, indent=1))
         spark.stop()
+    elif sys.argv[1:2] == ["--heavy-sf10"]:
+        # round-10 verdict #5: sf1 -> sf10 exponents for the heavy
+        # bench families (pagerank / triangles / fine-block linkage /
+        # prefix-filter / containment), same fresh-JVM-per-(query,scale)
+        # discipline as --sketch-sf10; longer per-subprocess ceiling
+        # (the graph legs are minutes per pass at sf10).
+        import math as _math
+        import subprocess
+
+        if not os.path.exists("BENCH_SCALING.json"):
+            raise SystemExit(
+                "--heavy-sf10 needs an existing BENCH_SCALING.json"
+            )
+        if not os.path.exists(os.path.join(SF1_DIR, "customer.parquet")):
+            print("generating sf1 corpus ...", flush=True)
+            generate_sf1_relational(SF1_DIR)
+            generate_sf1(SF1_DIR)
+        if not os.path.exists(os.path.join(SF10_DIR, "lineitem.parquet")):
+            print("generating sf10 corpus ...", flush=True)
+            generate_sf10(SF10_DIR)
+        here = os.path.abspath(__file__)
+        rows = {}
+        for name in HEAVY_SF10_QUERIES:
+            per_scale = {}
+            for scale in ("sf1", "sf10"):
+                proc = subprocess.run(
+                    [sys.executable, here, "--single", name, scale, "2"],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(here), timeout=3900,
+                )
+                line = next(
+                    (ln for ln in proc.stdout.splitlines()
+                     if ln.startswith(_RESULT_PREFIX)), None,
+                )
+                if proc.returncode != 0 or line is None:
+                    raise SystemExit(
+                        f"{name}@{scale} failed:\n{proc.stdout[-2000:]}"
+                        f"\n{proc.stderr[-2000:]}"
+                    )
+                per_scale[scale] = json.loads(
+                    line[len(_RESULT_PREFIX):]
+                )[scale]
+            t1 = min(per_scale["sf1"]["passes"])
+            t10 = min(per_scale["sf10"]["passes"])
+            rows[name] = {
+                "sf1_sec": t1,
+                "sf10_sec": t10,
+                "exponent_log10": round(_math.log10(t10 / t1), 2),
+                "loadavg_1m": {
+                    s: per_scale[s]["loadavg_1m"] for s in per_scale
+                },
+            }
+            print(f"{name}: {t1}s -> {t10}s "
+                  f"exp {rows[name]['exponent_log10']}", flush=True)
+        block = {"queries": rows}
+        with open("BENCH_SCALING.json") as f:
+            payload = json.load(f)
+        checks = payload.setdefault("checks", {})
+        checks["heavy_sf10"] = block
+        checks["heavy_sf10_run_at"] = time.strftime("%Y%m%dT%H%M%S")
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(block, indent=1))
     elif sys.argv[1:2] == ["--sketch-sf10"]:
         # round-9 verdict #6: one decade further for the bounded-state
         # sketch families. Measures each registered sketch build/fold
