@@ -419,3 +419,60 @@ def test_meta_missing_version_column_upgrades_in_place(spark, tmp_path):
     reopened.upsert(_df(spark, [(1, "b", _ts(2))]), epoch=2)
     with open(meta_path) as f:
         assert json.load(f)["version_column"] == "updated_at"
+
+
+def test_ledger_deferred_sync_batches_fsyncs(tmp_path, monkeypatch):
+    """deferred_sync: appends inside the block skip their per-line
+    fsync and exactly ONE fsync lands at exit; durability contract
+    unchanged (every line is in the file and reloads)."""
+    import os as _os
+
+    import neynar_parquet_importer_spark.sinks.ledger as ledger_mod
+
+    calls = []
+    real_fsync = _os.fsync
+    monkeypatch.setattr(
+        ledger_mod.os, "fsync", lambda fd: (calls.append(1), real_fsync(fd))
+    )
+    path = str(tmp_path / "ledger.jsonl")
+    led = ImportLedger(path)
+
+    def entry(name, start, end):
+        return LedgerEntry(
+            file_name=name, file_type="incremental", file_version="v3",
+            file_duration_s=end - start, start_timestamp=start,
+            end_timestamp=end,
+        )
+
+    with led.deferred_sync():
+        for i in range(5):
+            led.record_file(entry(f"s-t-{i}-{i+1}.parquet", i, i + 1))
+        led.mark_completed("s-t-0-1.parquet")
+        assert calls == []  # no per-append fsync inside the block
+    assert len(calls) == 1  # one batched fsync at exit
+
+    # outside the block the per-append fsync is back
+    led.record_file(entry("s-t-9-10.parquet", 9, 10))
+    assert len(calls) == 2
+
+    led2 = ImportLedger(path)  # everything durable + replayable
+    assert led2.is_completed("s-t-0-1.parquet")
+    assert led2.resume_point() == 1
+    assert not led2.is_completed("s-t-4-5.parquet")
+
+
+def test_ledger_deferred_sync_no_writes_no_fsync(tmp_path, monkeypatch):
+    """An empty deferred block must not fsync (and must not create the
+    file): catch-ups with nothing pending stay zero-IO."""
+    import neynar_parquet_importer_spark.sinks.ledger as ledger_mod
+
+    calls = []
+    monkeypatch.setattr(ledger_mod.os, "fsync", lambda fd: calls.append(1))
+    path = str(tmp_path / "ledger.jsonl")
+    led = ImportLedger(path)
+    with led.deferred_sync():
+        pass
+    assert calls == []
+    import os as _os
+
+    assert not _os.path.exists(path)
