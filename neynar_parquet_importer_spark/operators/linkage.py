@@ -389,17 +389,77 @@ def fine_blocked_pairs(
     multiply only the linear expansion, never the pair scan. Measured
     sf0.1 -> sf1 exponent 0.10 vs 1.95 for the coarse nation block
     (BENCH_SCALING.checks)."""
-    if not fine_keys:
-        raise ValueError("fine_keys must name at least one pass")
+    text_pairs = fine_blocked_text_pairs(
+        left, right, block_cols, left_text, right_text, max_distance,
+        fine_keys, max_block=max_block,
+    )
     l = left.select(
         *block_cols,
         F.col(left_id).alias("_lid"),
         F.col(left_text).alias("_ltxt"),
     )
+    r = right.select(
+        *block_cols,
+        F.col(right_id).alias("_rid"),
+        F.col(right_text).alias("_rtxt"),
+    )
+    tp = text_pairs.select(
+        *block_cols,
+        F.col(left_text).alias("_ltxt"),
+        F.col(right_text).alias("_rtxt"),
+        "distance",
+    )
+    # row expansion: output-proportional by construction — on
+    # duplicate-heavy corpora the PAIR SET itself is quadratic in the
+    # duplication factor (100x-replicated texts mean 10,000 row pairs
+    # per matched text pair; 1.5e9 rows at the sf10 study corpus).
+    # Callers that only need aggregates over the pairs should aggregate
+    # THROUGH the expansion instead: per-text weights x text pairs (see
+    # plans fuzzy_customer_linkage_fine_block) — never this stream.
+    return (
+        tp.join(l, [*block_cols, "_ltxt"])
+        .join(r, [*block_cols, "_rtxt"])
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+def fine_blocked_text_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_text: str,
+    right_text: str,
+    max_distance: int,
+    fine_keys: list[tuple[str, str]],
+    max_block: int | None = None,
+) -> DataFrame:
+    """The fine-key arm's DISTINCT-TEXT core: ``(block_cols...,
+    left_text, right_text, distance)`` — one row per matched text pair,
+    never expanded to row pairs. On duplicate-heavy corpora this is the
+    scalable surface: the text-pair population is duplication-invariant
+    (measured: identical candidate counts at sf0.1/sf1/sf10 on the
+    100x-replicated study corpus), while the row-pair expansion grows
+    with the square of the duplication factor. Aggregations over row
+    pairs should join per-text weights (count / sum-of-ids per (block,
+    text)) against this frame and multiply — the aggregate-through-join
+    pattern — rather than consuming :func:`fine_blocked_pairs`.
+
+    ``max_block`` applies blocked_pairs' oversized-coarse-block drop on
+    the raw LEFT rows before the distinct, so arm dispatch never
+    changes which rows participate."""
+    if not fine_keys:
+        raise ValueError("fine_keys must name at least one pass")
+    if left_text == right_text:
+        raise ValueError(
+            "left_text and right_text must differ (they name the output "
+            "pair columns); alias one side before calling"
+        )
+    l = left.select(*block_cols, F.col(left_text).alias("_ltxt"))
     if max_block is not None and block_cols:
-        # same oversized-coarse-block drop as blocked_pairs, applied to
-        # raw LEFT rows, so dispatch among arms never changes which rows
-        # participate
         sizes = (
             l.groupBy(*block_cols)
             .agg(F.count(F.lit(1)).alias("_bn"))
@@ -407,13 +467,10 @@ def fine_blocked_pairs(
             .drop("_bn")
         )
         l = l.join(F.broadcast(sizes), block_cols, "left_semi")
-    r = right.select(
-        *block_cols,
-        F.col(right_id).alias("_rid"),
-        F.col(right_text).alias("_rtxt"),
-    )
-    dl = l.select(*block_cols, "_ltxt").distinct()
-    dr = r.select(*block_cols, "_rtxt").distinct()
+    dl = l.distinct()
+    dr = right.select(
+        *block_cols, F.col(right_text).alias("_rtxt")
+    ).distinct()
 
     def _pass(lexpr: str, rexpr: str) -> DataFrame:
         lk_ = dl.withColumn(
@@ -429,20 +486,17 @@ def fine_blocked_pairs(
     cand = _pass(*fine_keys[0])
     for lexpr, rexpr in fine_keys[1:]:
         cand = cand.unionByName(_pass(lexpr, rexpr))
-    text_pairs = (
+    return (
         cand.distinct()
         .filter(F.abs(F.length("_ltxt") - F.length("_rtxt")) <= max_distance)
         .withColumn(
             "distance", F.levenshtein("_ltxt", "_rtxt", max_distance)
         )
         .filter(F.col("distance") >= 0)
-    )
-    return (
-        text_pairs.join(l, [*block_cols, "_ltxt"])
-        .join(r, [*block_cols, "_rtxt"])
         .select(
-            F.col("_lid").alias(left_id),
-            F.col("_rid").alias(right_id),
+            *block_cols,
+            F.col("_ltxt").alias(left_text),
+            F.col("_rtxt").alias(right_text),
             F.col("distance").cast("int").alias("distance"),
         )
     )
