@@ -89,13 +89,18 @@ def pagerank(
         teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
         mass = nodes.withColumn("mass", F.lit(base).cast("long")).persist()
         for _ in range(n_iter):
-            contrib = (
-                e.join(mass.withColumnRenamed("node", "src"), "src")
+            # per-src contribution computed ON THE NODE-SIZED frame
+            # (mass div out_deg is constant per src), so the edge join
+            # attaches one ready value instead of dragging a second
+            # (deg) join across the edge list every iteration —
+            # identical integer arithmetic, one less edge-wide join
+            per_src = (
+                mass.withColumnRenamed("node", "src")
                 .join(deg, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr("mass div out_deg").alias("c"),
-                )
+                .select("src", F.expr("mass div out_deg").alias("c"))
+            )
+            contrib = e.join(per_src, "src").select(
+                F.col("dst").alias("node"), "c"
             )
             inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
             prev = mass
@@ -111,13 +116,10 @@ def pagerank(
                         )
                     ).cast("long").alias("mass"),
                 )
-                # the rank frame is (node, mass) — tiny next to the edge
-                # list — but each join/agg would otherwise inherit the
-                # session's shuffle width (observed 400-800 tasks per
-                # iteration under a default-conf session at sf0.01);
-                # pinning it to the cluster parallelism keeps the 5
-                # iterations' scheduling overhead flat
-                .repartition(par, "node")
+                # no per-iteration repartition: AQE coalescing already
+                # bounds the node-sized frame's partitions under any
+                # conf, and the former .repartition(par, "node") guard
+                # cost one full exchange + stage per iteration
                 .persist()
             )
             # materialize before releasing the previous step so the new

@@ -28,6 +28,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
+
 
 def morton_z(x: Column, y: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` of two non-negative ints: x in even
@@ -198,10 +200,16 @@ def write_zordered(
     then a per-partition sort; both scale linearly. At 100 TB pick
     n_buckets so a bucket ~ a few row groups (the same sizing rule as
     the lake sink's hash buckets)."""
-    base = df.select(
-        "*",
-        F.col(x_col).cast("long").alias("__zx"),
-        F.col(y_col).cast("long").alias("__zy"),
+    # the Morton interleave is ~64 bitwise terms per row over quantize
+    # subexpressions — compute-dense relative to bytes, so a single-split
+    # input must be spread before the map stage (parallelism.fan_out is
+    # a no-op once the input arrives multi-split)
+    base = fan_out(
+        df.select(
+            "*",
+            F.col(x_col).cast("long").alias("__zx"),
+            F.col(y_col).cast("long").alias("__zy"),
+        )
     )
     rng = base.agg(
         F.min("__zx").alias("__xmin"),

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
+
 
 def blocked_pairs(
     left: DataFrame,
@@ -58,10 +60,17 @@ def blocked_pairs(
     cross-product (the shape auto_pairs' ceiling term can pick when
     PassJoin's candidate set would not fit in memory), and ``max_block``
     caps that single global block."""
-    l = left.select(
-        *block_cols,
-        F.col(left_id).alias("_lid"),
-        F.col(left_text).alias("_ltxt"),
+    # the join below typically broadcasts the right side, so the LEFT
+    # frame's partitioning IS the stage parallelism of the quadratic
+    # block scan — and a dimension-sized parquet input is one split
+    # (fan_out module doc). Measured at sf0.1: the whole 9M-pair banded
+    # Levenshtein ran in ONE task before this.
+    l = fan_out(
+        left.select(
+            *block_cols,
+            F.col(left_id).alias("_lid"),
+            F.col(left_text).alias("_ltxt"),
+        )
     )
     if max_block is not None:
         if block_cols:
@@ -263,6 +272,11 @@ def _passjoin_candidates(
     candidates on hash samples through the IDENTICAL plan the real join
     runs."""
     k = tau + 1
+    # both sides explode 1->O(tau^2) rows and feed the candidate
+    # equi-join; a single-split scan would run that fan-out serially
+    # (see parallelism.fan_out — no-op once inputs arrive multi-split)
+    l = fan_out(l)
+    r = fan_out(r)
 
     # ---- index side: tau+1 segments per right record (len >= k) -------
     # one literal plan per possible (n, i): segment bounds depend only on
@@ -529,25 +543,33 @@ def fine_block_budget(
         l = l.join(F.broadcast(sizes), block_cols, "left_semi")
     dl = l.distinct()
     dr = right.select(*block_cols, F.col(right_text).alias("_t")).distinct()
-    total = 0
-    for lexpr, rexpr in fine_keys:
+    # ONE driver-blocking job for every pass (was one per pass): tag each
+    # pass's (block, fine-key) aggregates with the pass index so the
+    # joins can't cross passes, union, and take a single grand sum —
+    # arithmetic identical to summing per-pass results (integer adds
+    # commute), job-launch overhead paid once.
+    per_pass = []
+    for i, (lexpr, rexpr) in enumerate(fine_keys):
         lb = (
             dl.withColumn("_fk", F.expr(lexpr.replace(left_text, "_t")))
             .groupBy(*block_cols, "_fk")
             .agg(F.count(F.lit(1)).alias("_ln"))
+            .withColumn("_pass", F.lit(i))
         )
         rb = (
             dr.withColumn("_fk", F.expr(rexpr.replace(right_text, "_t")))
             .groupBy(*block_cols, "_fk")
             .agg(F.count(F.lit(1)).alias("_rn"))
+            .withColumn("_pass", F.lit(i))
         )
-        row = (
-            lb.join(rb, [*block_cols, "_fk"])
-            .agg(F.coalesce(F.sum(F.col("_ln") * F.col("_rn")), F.lit(0)))
-            .first()
-        )
-        total += int(row[0])
-    return total
+        per_pass.append(lb.join(rb, [*block_cols, "_fk", "_pass"]))
+    unioned = per_pass[0]
+    for j in per_pass[1:]:
+        unioned = unioned.unionByName(j)
+    row = unioned.agg(
+        F.coalesce(F.sum(F.col("_ln") * F.col("_rn")), F.lit(0))
+    ).first()
+    return int(row[0])
 
 
 def blocked_pair_budget(
@@ -588,6 +610,39 @@ def _parse_mem(s: str) -> int:
         i -= 1
     num, suffix = int(s[:i]), s[i:]
     return num * _MEM_SUFFIX.get(suffix, 1024**2)
+
+
+def _budget_and_counts(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    max_block: int | None,
+) -> tuple[int, int, int]:
+    """(blocked budget, |left|, |right|) in ONE driver-blocking job —
+    value-identical to ``blocked_pair_budget`` + two ``count()`` calls
+    (the dispatch previously paid three job launches for three scalar
+    aggregates over the same grouped frames). Full-outer join keeps
+    every block so the row counts cover both sides; the budget term
+    keeps the inner-join semantics (both sides present, left size under
+    ``max_block``)."""
+    lb = left.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_ln"))
+    rb = right.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_rn"))
+    joined = (
+        lb.join(rb, block_cols, "full_outer")
+        if block_cols
+        else lb.crossJoin(rb)
+    )
+    keep = F.col("_ln").isNotNull() & F.col("_rn").isNotNull()
+    if max_block is not None:
+        keep = keep & (F.col("_ln") <= max_block)
+    row = joined.agg(
+        F.coalesce(
+            F.sum(F.when(keep, F.col("_ln") * F.col("_rn"))), F.lit(0)
+        ).alias("budget"),
+        F.coalesce(F.sum("_ln"), F.lit(0)).alias("n_l"),
+        F.coalesce(F.sum("_rn"), F.lit(0)).alias("n_r"),
+    ).first()
+    return int(row[0]), int(row[1]), int(row[2])
 
 
 def passjoin_candidate_ceiling(spark) -> int:
@@ -688,9 +743,9 @@ def decide_pairs_strategy(
       caller-declared completeness assumption (see
       :func:`fine_blocked_pairs`).
     """
-    budget = blocked_pair_budget(left, right, block_cols, max_block)
-    n_l = left.count()
-    n_r = right.count()
+    budget, n_l, n_r = _budget_and_counts(
+        left, right, block_cols, max_block
+    )
     d_l = max(1, n_l // sample_target)
     d_r = max(1, n_r // sample_target)
     blocks = list(block_cols or [])

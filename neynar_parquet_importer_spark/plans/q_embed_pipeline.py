@@ -42,6 +42,7 @@ from .queries import (  # noqa: E501
     tss,
     tx,
 )
+from ..operators.parallelism import fan_out
 
 
 def _query_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,7 +986,7 @@ def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-04-01"))
     )
-    li = (
+    li = fan_out(
         _t(spark, sf_dir, "lineitem")
         .join(
             orders.select("o_orderkey"),
@@ -1054,8 +1055,12 @@ def zorder_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer bit arithmetic end to end; static SQL replay."""
     ev = _t(spark, sf_dir, "events")
     secs = _ntz_epoch_seconds("ts")
-    base = ev.select(
-        F.col("user_id").cast("long").alias("uid"), secs.alias("secs")
+    # Morton interleave = ~64 bitwise terms/row: spread the single-split
+    # scan before the map stage (no-op on multi-split inputs)
+    base = fan_out(
+        ev.select(
+            F.col("user_id").cast("long").alias("uid"), secs.alias("secs")
+        )
     )
     rng = base.agg(
         F.min("uid").alias("umin"),
@@ -1256,7 +1261,9 @@ def pagerank_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same edge set and the top-20 (mass desc, suppkey) must agree
     exactly (graph/pagerank.py). Top-k via orderBy+limit
     (TakeOrderedAndProject — no single-task window)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])

@@ -1,0 +1,135 @@
+"""Round-10 optimization measurement harness.
+
+Three modes, all sharing bench.py's session + warmup discipline so the
+numbers are comparable with the official bench:
+
+  # one timed pass over a subset (or all) bench queries at $SPARK_GRAFT_SF_DIR
+  python scripts/profile_r10.py time [query ...]
+
+  # .explain("formatted") for the named queries -> plans/r10/<q>_<tag>.txt
+  python scripts/profile_r10.py explain <tag> <query> [query ...]
+
+  # per-job wall-clock breakdown of ONE query (job descriptions + durations
+  # via the status tracker REST-free API): where do multi-job queries spend?
+  python scripts/profile_r10.py jobs <query>
+
+Timing methodology matches bench.py: .count() on the result after a
+sf0.001 warmup pass, release_cached()+clearCache()+System.gc() between
+queries. Not a replacement for bench.py — a faster inner loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neynar_parquet_importer_spark.operators.dedup import release_cached
+from neynar_parquet_importer_spark.plans.queries import QUERIES, reset_model_caches
+from neynar_parquet_importer_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _spark():
+    s = get_spark(
+        app_name="profile_r10",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _quiesce(spark):
+    release_cached()
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
+def mode_time(names: list[str]) -> None:
+    from bench import BENCH_QUERIES
+
+    names = names or BENCH_QUERIES
+    spark = _spark()
+    for n in names:
+        try:
+            QUERIES[n](spark, WARM_DIR).count()
+        except Exception:
+            pass
+    _quiesce(spark)
+    out = {}
+    for n in names:
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        QUERIES[n](spark, SF_DIR).count()
+        out[n] = round(time.perf_counter() - t0, 3)
+        print(f"{out[n]:8.3f}  {n}", flush=True)
+    print(json.dumps({"total": round(sum(out.values()), 3), "queries": out}))
+    spark.stop()
+
+
+def mode_explain(tag: str, names: list[str]) -> None:
+    spark = _spark()
+    os.makedirs("plans/r10", exist_ok=True)
+    for n in names:
+        df = QUERIES[n](spark, SF_DIR)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        txt = df._jdf.queryExecution().explainString(mode)
+        path = f"plans/r10/{n}_{tag}.txt"
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} chars)")
+    spark.stop()
+
+
+def mode_jobs(name: str) -> None:
+    spark = _spark()
+    try:
+        QUERIES[name](spark, WARM_DIR).count()
+    except Exception:
+        pass
+    _quiesce(spark)
+    reset_model_caches()
+    sc = spark.sparkContext
+    t0 = time.perf_counter()
+    QUERIES[name](spark, SF_DIR).count()
+    total = time.perf_counter() - t0
+    # pull job info from the Java status store (AppStatusStore via statusTracker)
+    tracker = sc.statusTracker()
+    jobs = sorted(tracker.getJobIdsForGroup() or [])
+    print(f"total {total:.3f}s, {len(jobs)} jobs")
+    store = sc._jsc.sc().statusStore()
+    for jid in jobs:
+        ji = store.job(jid)
+        if ji.isEmpty():
+            continue
+        j = ji.get()
+        sub = j.submissionTime()
+        comp = j.completionTime()
+        dur = None
+        if sub.isDefined() and comp.isDefined():
+            dur = (comp.get().getTime() - sub.get().getTime()) / 1000.0
+        print(
+            f"job {jid:4d}  {dur if dur is not None else '?':>7}s "
+            f"stages={j.stageIds().size()}  {j.name()[:100]}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "time"
+    if mode == "time":
+        mode_time(sys.argv[2:])
+    elif mode == "explain":
+        mode_explain(sys.argv[2], sys.argv[3:])
+    elif mode == "jobs":
+        mode_jobs(sys.argv[2])
+    else:
+        raise SystemExit(f"unknown mode {mode}")
