@@ -54,7 +54,9 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def oriented_edges(
-    edges: DataFrame, broadcast_degrees: bool = True
+    edges: DataFrame,
+    broadcast_degrees: bool = True,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """(u, v): each canonical edge directed from the lower-(deg, id)
     endpoint to the higher — the skew-bounding orientation.
@@ -65,8 +67,18 @@ def oriented_edges(
     billion-node follows graph pass False and let the two decorations
     shuffle-join — the explicit hint would otherwise force an OOM
     regardless of autoBroadcastJoinThreshold (same knob discipline as
-    ``bloom.bloom_probe``'s broadcast_words)."""
-    deg = degrees(edges)
+    ``bloom.bloom_probe``'s broadcast_words).
+
+    ``deg``: pass an already-(persisted) ``degrees(edges)`` frame to
+    share it; without one the two broadcast decorations below are
+    DISTINCT exchanges (different projections), so each would rebuild
+    the degree aggregate from scratch — measured as the bulk of the
+    orientation's cost at sf0.1 (r10). The default persists through the
+    shared registry that ``release_cached()`` drains."""
+    if deg is None:
+        from ..operators.dedup import _persist
+
+        deg = _persist(degrees(edges))
     da = deg.select(
         F.col("node").alias("a"), F.col("deg").alias("deg_a")
     )
@@ -85,14 +97,18 @@ def oriented_edges(
     )
 
 
-def triangles(edges: DataFrame, broadcast_degrees: bool = True) -> DataFrame:
+def triangles(
+    edges: DataFrame,
+    broadcast_degrees: bool = True,
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """(x, y, z): one row per triangle, each exactly once, as the sorted
     node triple. Wedge join on the common oriented source; the closure
     is an EQUI-join against the canonical edge set — the wedge's open
     pair is emitted id-ordered (v1 < v2), which is exactly the canonical
     form, so no OR-of-directions condition (which would plan as a
     nested-loop join) is ever needed."""
-    o = oriented_edges(edges, broadcast_degrees)
+    o = oriented_edges(edges, broadcast_degrees, deg=deg)
     w1 = o.select(F.col("u"), F.col("v").alias("v1"))
     w2 = o.select(F.col("u"), F.col("v").alias("v2"))
     # out-neighbor pairs of u, ordered v1 < v2 to emit each wedge once
@@ -128,7 +144,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     from ..operators.dedup import _persist
 
     edges = _persist(edges)
-    deg = degrees(edges)
+    # one persisted degree frame shared by the wedge stats AND the
+    # orientation's two broadcast decorations (r10: each broadcast is a
+    # distinct exchange, so an unpersisted deg was rebuilt twice)
+    deg = _persist(degrees(edges))
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         # integer `div`, not float /: sum(deg*(deg-1)) passes 2^53 on a
@@ -138,7 +157,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.expr("sum(deg * (deg - 1)) div 2").alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_tri = triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_tri = triangles(edges, deg=deg).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
     return (
         base.crossJoin(n_edges)
         .crossJoin(n_tri)

@@ -1150,39 +1150,38 @@ def _verified_pairs_from_ranked(
     so counting and verifying share ONE evaluation of the join (the most
     expensive stage) instead of rebuilding it."""
     n, d = _threshold_fraction(threshold)
-    # consumed twice (the id semi-join and the pair semi-join)
     if cand is None:
         cand = _persist(prefix_filter_candidates(ranked, threshold))
-    # NO forced broadcast on the candidate frames: at high thresholds
-    # they are small and AQE broadcasts them at runtime, but on a
-    # vocabulary-dense corpus at a LOW threshold (t <= 0.5 keeps half of
-    # every set as prefix) candidates can reach tens of millions — a
-    # forced broadcast there is a driver OOM, a shuffle semi-join is
-    # merely a bigger join. Measured: 18M candidates on the 50k-doc sf1
-    # replica corpus at t=0.5.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
+    # CANDIDATE-FIRST intersection (round-10): attach each candidate
+    # pair's a-side set rows, then equi-join the b-side on
+    # (id_b, shingle) — every intermediate row is one (candidate pair,
+    # shared shingle), so the volume is bounded by |cand| x capped set
+    # size. The previous shape self-joined the candidate DOCS' posting
+    # lists on shingle and semi-joined pairs down afterwards — i.e. it
+    # re-enumerated every shared-token pair among candidate docs (the
+    # naive-join population restricted to candidate ids) before the
+    # filter. Same exact-integer acceptance; values identical (A/B'd
+    # row-for-row at sf0.1); measured 2.8 s -> 1.3 s on the t=0.8
+    # corpus. NO forced broadcast on cand: at low thresholds candidates
+    # reach tens of millions (measured 18M at t=0.5 on the 50k-doc sf1
+    # replica) and AQE picks the join strategy from real sizes.
+    sets = ranked.select("id", "shingle", "sz")
+    a_rows = cand.join(
+        sets.select(
+            F.col("id").alias("id_a"),
+            "shingle",
+            F.col("sz").alias("sz_a"),
+        ),
+        "id_a",
     )
-    sets = ranked.select("id", "shingle", "sz").join(
-        cand_ids, "id", "left_semi"
-    )
-    l, r = sets.alias("l"), sets.alias("r")
-    pair_rows = l.join(
-        r,
-        (F.col("l.shingle") == F.col("r.shingle"))
-        & (F.col("l.id") < F.col("r.id")),
-    ).select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        F.col("l.sz").alias("sz_a"),
-        F.col("r.sz").alias("sz_b"),
-    )
-    # cut the pair aggregate to candidates before it shuffles (AQE
-    # broadcasts the candidate side when it is actually small)
-    pair_rows = pair_rows.join(cand, ["id_a", "id_b"], "left_semi")
-    common = pair_rows.groupBy("id_a", "id_b").agg(
+    common = a_rows.join(
+        sets.select(
+            F.col("id").alias("id_b"),
+            "shingle",
+            F.col("sz").alias("sz_b"),
+        ),
+        ["id_b", "shingle"],
+    ).groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_common"),
         F.min("sz_a").alias("sz_a"),
         F.min("sz_b").alias("sz_b"),
@@ -1305,27 +1304,23 @@ def containment_pairs(
         .select(F.col("a.id").alias("id_contained"), F.col("b.id").alias("id_container"))
         .distinct()
     )
-    pair_ids = (
-        cand.select(F.col("id_contained").alias("id"))
-        .union(cand.select(F.col("id_container").alias("id")))
-        .distinct()
+    # candidate-first intersection, same reshape as
+    # _verified_pairs_from_ranked (round-10): intermediate rows are
+    # (candidate pair, shared shingle) — bounded by |cand| x capped set
+    # size instead of all shared-token pairs among candidate docs
+    sets = ranked.select("id", "shingle", "sz")
+    a_rows = cand.join(
+        sets.select(
+            F.col("id").alias("id_contained"),
+            "shingle",
+            F.col("sz").alias("sz_a"),
+        ),
+        "id_contained",
     )
-    sets = ranked.select("id", "shingle", "sz").join(pair_ids, "id", "left_semi")
-    l, r = sets.alias("l"), sets.alias("r")
-    pair_rows = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.id") != F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_contained"),
-            F.col("r.id").alias("id_container"),
-            F.col("l.sz").alias("sz_a"),
-        )
-        .join(cand, ["id_contained", "id_container"], "left_semi")
-    )
-    common = pair_rows.groupBy("id_contained", "id_container").agg(
+    common = a_rows.join(
+        sets.select(F.col("id").alias("id_container"), "shingle"),
+        ["id_container", "shingle"],
+    ).groupBy("id_contained", "id_container").agg(
         F.count(F.lit(1)).alias("n_common"), F.min("sz_a").alias("sz_a")
     )
     return common.filter(

@@ -986,14 +986,19 @@ def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-04-01"))
     )
-    li = fan_out(
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_semi",
+    # persisted: the self-join below consumes this frame TWICE (probe +
+    # broadcast build are distinct subtrees, so an unpersisted li pays
+    # the lineitem scan + semi-join twice — r10 job breakdown)
+    li = dd._persist(
+        fan_out(
+            _t(spark, sf_dir, "lineitem")
+            .join(
+                orders.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_semi",
+            )
+            .select("l_orderkey", "l_suppkey")
         )
-        .select("l_orderkey", "l_suppkey")
     )
     l2 = li.select(
         F.col("l_orderkey"), F.col("l_suppkey").alias("s2")
