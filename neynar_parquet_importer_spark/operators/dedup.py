@@ -555,6 +555,12 @@ def capped_distinct_shingles(
         .distinct()
     )
     if max_shingle_df is not None:
+        # persisted: the hot-list aggregate (broadcast build side) and
+        # the anti-join probe are DISTINCT subtrees, so an unpersisted
+        # dist pays the tokenize/explode/hash/distinct chain twice —
+        # only the pre-window repartition exchange is shared (r10 plan
+        # audit; guide §5 persist-when-reused)
+        dist = _persist(dist)
         hot = _hot_from_dist(dist, df, max_shingle_df)
         dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
     return dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
