@@ -49,6 +49,9 @@ def pagerank(
     n_iter: int = 5,
     src: str = "src",
     dst: str = "dst",
+    symmetric: bool = False,
+    materialize_every: int = 2,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` damped integer-PageRank steps.
 
@@ -58,77 +61,110 @@ def pagerank(
     whatever long ids the caller encoded; isolated nodes (no edges)
     don't participate by construction.
 
-    Why materialize (persist + count) EVERY iteration instead of
-    chaining one lazy plan: measured A/B at sf1 (700k directed edges,
-    5 iterations, fresh JVMs) — per-iteration materialization 10.1 s vs
-    a single lazy chained plan 23.9 s. Chained, AQE must plan each
-    iteration's rank-frame join with unknown statistics and the edge
-    list is re-read from shuffle files per reference (ReusedExchange
-    dedups the computation, not the reads); materialized, the edge list
-    stays pinned in executor memory and every per-iteration join sees
-    exact sizes (the node-sized rank frame broadcasts). The five extra
-    driver-blocking jobs cost far less than the planning quality they
-    buy — the reverse of the k-core lesson, where rounds were pure
-    overhead because the data was TINY and the fix was to leave Spark
-    entirely (kcore.py local_below), not to chain plans."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    par = e.sparkSession.sparkContext.defaultParallelism
-    e = e.repartition(par, "src").persist()
+    ``symmetric``: caller's promise that the edge set contains BOTH
+    directions of every edge (the union form above), i.e. every node
+    appears as a src AND as a dst. Then the node set is exactly
+    ``distinct src`` (no union-distinct over both endpoints) and every
+    node receives an inflow row, so the per-iteration
+    ``nodes LEFT JOIN inflow`` completion is the identity and is
+    skipped — the update is computed straight off the inflow aggregate.
+    Identical integers by construction; A/B'd row-identical on the
+    supplier graph. Leave False for general directed graphs (a node
+    with out-edges but no in-edges would otherwise vanish from the
+    result instead of holding teleport mass).
+
+    ``materialize_every``: how many iterations to chain per persist +
+    count. 1 materializes every step; large values approach one lazy
+    plan. Measured (sf0.1 supplier graph, 1.17M directed edges, fresh
+    JVMs, min of 2): every-step 8.1 s, every-2 5.9 s, and the round-8
+    sf1 A/B showed all-5-chained at 23.9 s vs 10.1 s — chaining PAIRS
+    keeps AQE's stats fresh enough (the edge frame is persisted with
+    exact sizes either way) while halving the driver-blocking
+    materialization jobs; chaining everything starves the planner.
+
+    The out-degree is folded into the persisted edge frame — (src, dst,
+    out_deg), +8 bytes/edge in cache — so an iteration is ONE
+    broadcast-hash join (the node-sized mass frame onto the edge frame)
+    plus one partial-aggregated shuffle of (dst, c): the former
+    per-iteration ``mass JOIN deg`` node join is gone and ``mass div
+    out_deg`` is evaluated per edge (same floor-division integers, just
+    evaluated on the attached column).
+
+    ``pre_partitioned``: caller's promise that ``edges`` is already
+    hash-partitioned by ``src`` (e.g. it ended in
+    ``.repartition(par, src).dropDuplicates()`` — the dedup then shares
+    that exchange by the subset rule); pagerank then skips its own
+    repartition instead of paying a second full exchange of the edge
+    list."""
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    par = e0.sparkSession.sparkContext.defaultParallelism
+    if not pre_partitioned:
+        e0 = e0.repartition(par, "src")
+    # deg shares e0's exchange (groupBy on the partition key); the fold
+    # join is co-partitioned — no extra shuffle of the edge list, and
+    # deg itself is consumed exactly once so it is not persisted
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e0.join(deg, "src").persist()
     try:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .persist()
-        )
+        ed.count()
+        if symmetric:
+            nodes = ed.select(F.col("src").alias("node")).distinct().persist()
+        else:
+            nodes = (
+                ed.select(F.col("src").alias("node"))
+                .union(ed.select(F.col("dst").alias("node")))
+                .distinct()
+                .persist()
+            )
         n = nodes.count()
         if n == 0:
             return nodes.withColumn("mass", F.lit(0).cast("long"))
         base = SCALE // n
         teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
         mass = nodes.withColumn("mass", F.lit(base).cast("long")).persist()
-        for _ in range(n_iter):
-            # per-src contribution computed ON THE NODE-SIZED frame
-            # (mass div out_deg is constant per src), so the edge join
-            # attaches one ready value instead of dragging a second
-            # (deg) join across the edge list every iteration —
-            # identical integer arithmetic, one less edge-wide join
-            per_src = (
-                mass.withColumnRenamed("node", "src")
-                .join(deg, "src")
-                .select("src", F.expr("mass div out_deg").alias("c"))
+
+        def step(m: DataFrame) -> DataFrame:
+            contrib = ed.join(
+                m.withColumnRenamed("node", "src"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr("mass div out_deg").alias("c"),
             )
-            contrib = e.join(per_src, "src").select(
-                F.col("dst").alias("node"), "c"
+            inflow = contrib.groupBy("node").agg(
+                F.sum("c").alias("inflow")
             )
-            inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-            prev = mass
-            mass = (
-                nodes.join(inflow, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(teleport)
-                        + F.expr(
-                            f"({DAMP_NUM} * coalesce(inflow, 0L))"
-                            f" div {DAMP_DEN}"
-                        )
-                    ).cast("long").alias("mass"),
+            upd = (
+                F.lit(teleport)
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(inflow, 0L))"
+                    f" div {DAMP_DEN}"
                 )
-                # no per-iteration repartition: AQE coalescing already
-                # bounds the node-sized frame's partitions under any
-                # conf, and the former .repartition(par, "node") guard
-                # cost one full exchange + stage per iteration
-                .persist()
+            ).cast("long")
+            if symmetric:
+                return inflow.select("node", upd.alias("mass"))
+            # general graphs: complete to the full node set (a node
+            # with no in-edges holds teleport mass)
+            return nodes.join(inflow, "node", "left").select(
+                "node", upd.alias("mass")
             )
+
+        done = 0
+        while done < n_iter:
+            k = min(max(1, materialize_every), n_iter - done)
+            prev = mass
+            for _ in range(k):
+                mass = step(mass)
+            # no per-iteration repartition: AQE coalescing already
+            # bounds the node-sized frame's partitions under any conf
+            mass = mass.persist()
             # materialize before releasing the previous step so the new
             # frame never recomputes through an unpersisted parent
             mass.count()
             prev.unpersist()
+            done += k
         return mass
     finally:
-        e.unpersist()
+        ed.unpersist()
         try:
             nodes.unpersist()
         except NameError:

@@ -1270,18 +1270,32 @@ def pagerank_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    raw = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
     )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # both directions from ONE subtree (a union of pairs + reversed
+    # pairs evaluates the join+distinct twice — r10 A/B: 3.5s -> 2.2s
+    # edge build), deduped AFTER the src repartition so the distinct
+    # shares pagerank's partitioning (subset rule) instead of adding
+    # its own (src, dst) exchange
+    both = raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    par = spark.sparkContext.defaultParallelism
+    edges = both.repartition(par, "src").dropDuplicates()
+    # symmetric=True: edges contains both directions by construction,
+    # so the node set is distinct src and every node receives inflow —
+    # pagerank skips the per-iteration completion join
+    # (value-identical; see pagerank docstring A/B)
+    ranks = pgr.pagerank(
+        edges, n_iter=5, symmetric=True, pre_partitioned=True
     )
-    ranks = pgr.pagerank(edges, n_iter=5)
     return (
         ranks.filter(F.col("node") % 2 == 1)
         .select(F.expr("(node - 1) div 2").alias("suppkey"), "mass")

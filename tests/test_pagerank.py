@@ -100,3 +100,37 @@ def test_replay_np_bitequal_to_dict_replay():
         got = pagerank_replay_np(src, dst, n_iter=5)
         assert got == want, f"seed {seed}"
     assert pagerank_replay_np([], []) == {}
+
+
+def test_symmetric_fast_path_matches_general_and_replay(spark):
+    """symmetric=True (round-10: node set = distinct src, no
+    per-iteration completion join) must be row-identical to the general
+    path AND the replay on a both-directions graph, for every
+    materialization granularity."""
+    rows = _hub_edges()  # already contains both directions of each edge
+    df = spark.createDataFrame(rows, EDGE_SCHEMA)
+    want = pagerank_replay(rows, n_iter=5)
+    for mat in (1, 2, 5):
+        got = {
+            r["node"]: r["mass"]
+            for r in pagerank(
+                df, n_iter=5, symmetric=True, materialize_every=mat
+            ).collect()
+        }
+        assert got == want, f"materialize_every={mat}"
+    general = {
+        r["node"]: r["mass"] for r in pagerank(df, n_iter=5).collect()
+    }
+    assert general == want
+
+
+def test_general_path_keeps_no_inflow_nodes(spark):
+    """A node with out-edges but NO in-edges (asymmetric graph) must
+    stay in the general-path result holding teleport mass — the row the
+    symmetric shortcut would drop if misused."""
+    rows = [(1, 2), (2, 1), (3, 1)]  # 3 has an out-edge, no in-edge
+    df = spark.createDataFrame(rows, EDGE_SCHEMA)
+    got = {r["node"]: r["mass"] for r in pagerank(df, n_iter=4).collect()}
+    want = pagerank_replay(rows, n_iter=4)
+    assert got == want
+    assert 3 in got
