@@ -38,32 +38,51 @@ def label_propagation(
     n_iter: int = 4,
     src: str = "src",
     dst: str = "dst",
+    materialize_every: int = 2,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(node, label) after ``n_iter`` synchronous rounds.
 
     ``edges`` is DIRECTED adjacency: pass both directions of each
     undirected edge (which also makes every node appear as a ``src``,
-    so no node is ever without an update)."""
+    so no node is ever without an update).
+
+    ``materialize_every``: rounds chained per persist + count (the
+    pagerank discipline — chaining PAIRS halves the driver-blocking
+    materializations while each persisted state still gives AQE exact
+    sizes; chaining everything starves the planner). The former
+    per-round ``.repartition(par, "node")`` of the label frame is gone
+    for the same reason it left pagerank: the label frame is node-sized
+    and AQE already bounds its partitions — the explicit exchange was a
+    full extra stage per round.
+
+    ``pre_partitioned``: the per-round label join broadcasts the
+    node-sized side, so the edge frame's partitioning is only about
+    stage parallelism — when the caller's edge stream already comes
+    through a shuffle (e.g. the distinct of a canonical edge build),
+    pass True to skip the extra exchange; leave False for scan-rooted
+    inputs, where the repartition doubles as the single-split spread."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     par = e.sparkSession.sparkContext.defaultParallelism
-    e = e.repartition(par, "src").persist()
+    if not pre_partitioned:
+        e = e.repartition(par, "src")
+    e = e.persist()
     try:
         labels = (
             e.select(F.col("src").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("label"))
-            .repartition(par, "node")
             .persist()
         )
         labels.count()
-        for _ in range(n_iter):
+
+        def step(lab: DataFrame) -> DataFrame:
             nbr = (
-                e.join(labels.withColumnRenamed("node", "src"), "src")
+                e.join(lab.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"), "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            prev = labels
-            labels = (
+            return (
                 nbr.groupBy("node")
                 .agg(
                     F.max(
@@ -73,11 +92,18 @@ def label_propagation(
                     ).alias("m")
                 )
                 .select("node", (-F.col("m.neg")).alias("label"))
-                .repartition(par, "node")
-                .persist()
             )
+
+        done = 0
+        while done < n_iter:
+            k = min(max(1, materialize_every), n_iter - done)
+            prev = labels
+            for _ in range(k):
+                labels = step(labels)
+            labels = labels.persist()
             labels.count()
             prev.unpersist()
+            done += k
         return labels
     finally:
         e.unpersist()

@@ -1038,12 +1038,20 @@ def lpa_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     an INDEPENDENT single-process replay embedded as the oracle
     (pagerank discipline, not a shared artifact)."""
     edges = _cosupplier_edges(spark, sf_dir)
+    # both directions from ONE subtree (explode of a 2-struct array):
+    # a unionAll of two projections evaluates the co-supplier self-join
+    # twice — the pagerank edge-build lesson (r10)
     directed = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    labels = lpa.label_propagation(directed, n_iter=4)
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # pre_partitioned: directed comes through the canonical distinct's
+    # shuffle, so lpa's broadcast-probe rounds need no re-shuffle
+    labels = lpa.label_propagation(directed, n_iter=4, pre_partitioned=True)
     return lpa.community_sizes(labels).orderBy(
         F.desc("n_members"), "community"
     )
