@@ -56,20 +56,29 @@ def label_propagation(
     and AQE already bounds its partitions — the explicit exchange was a
     full extra stage per round.
 
-    ``pre_partitioned``: the per-round label join broadcasts the
-    node-sized side, so the edge frame's partitioning is only about
-    stage parallelism — when the caller's edge stream already comes
-    through a shuffle (e.g. the distinct of a canonical edge build),
-    pass True to skip the extra exchange; leave False for scan-rooted
-    inputs, where the repartition doubles as the single-split spread."""
+    ``pre_partitioned``: caller's promise that ``edges`` is already
+    hash-partitioned by ``dst`` — the iteration key (below); pass True
+    to skip the build exchange.
+
+    Plan shape (r10, guide §2.4): the persisted edge frame is
+    partitioned by ``dst``, so BOTH per-round aggregates reuse the
+    cached partitioning — hash(dst) clusters (dst, label) for the
+    neighbor-label count and dst for the struct-max — and the label
+    frame (node-sized) joins in as an explicit broadcast: a round costs
+    ZERO exchanges. The node set is ``distinct dst`` (identical to
+    distinct src under the both-directions contract above — each
+    undirected edge contributes (u,v) AND (v,u)), which also reuses the
+    dst partitioning. The node frame must fit a broadcast — the same
+    regime the previous shape's auto-broadcast label join already
+    relied on."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     par = e.sparkSession.sparkContext.defaultParallelism
     if not pre_partitioned:
-        e = e.repartition(par, "src")
+        e = e.repartition(par, "dst")
     e = e.persist()
     try:
         labels = (
-            e.select(F.col("src").alias("node"))
+            e.select(F.col("dst").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("label"))
             .persist()
@@ -78,7 +87,9 @@ def label_propagation(
 
         def step(lab: DataFrame) -> DataFrame:
             nbr = (
-                e.join(lab.withColumnRenamed("node", "src"), "src")
+                e.join(
+                    F.broadcast(lab.withColumnRenamed("node", "src")), "src"
+                )
                 .groupBy(F.col("dst").alias("node"), "label")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )

@@ -91,13 +91,32 @@ def pagerank(
     evaluated on the attached column).
 
     ``pre_partitioned``: caller's promise that ``edges`` is already
-    hash-partitioned by ``src`` (e.g. it ended in
-    ``.repartition(par, src).dropDuplicates()`` — the dedup then shares
+    hash-partitioned by the iteration key (``dst`` on the symmetric fast
+    path, ``src`` on the general path — e.g. it ended in
+    ``.repartition(par, key).dropDuplicates()``, the dedup then shares
     that exchange by the subset rule); pagerank then skips its own
     repartition instead of paying a second full exchange of the edge
-    list."""
+    list.
+
+    Symmetric fast path (r10): the persisted edge frame is partitioned
+    by ``dst``, so the per-iteration inflow ``groupBy(dst)`` reuses the
+    cached partitioning (guide §2.4: operations keyed the same way share
+    one exchange) — an iteration is ONE broadcast-hash join of the
+    node-sized (node, ctr = mass div out_deg) frame onto the edges plus
+    an exchange-FREE aggregate; the degree frame (groupBy(dst) — the
+    in-degree, which IS the out-degree on a symmetric edge set, again
+    no exchange) broadcasts back onto the inflow to thread out_deg into
+    the next round. ZERO per-iteration shuffles. The node frame must fit
+    a broadcast (same regime the general path's mass join already
+    relies on below the autoBroadcast threshold); for graphs whose node
+    set cannot broadcast, use symmetric=False — the general path keeps
+    the src-co-partitioned shuffle-join shape."""
     e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     par = e0.sparkSession.sparkContext.defaultParallelism
+    if symmetric:
+        return _pagerank_symmetric(
+            e0, n_iter, par, materialize_every, pre_partitioned
+        )
     if not pre_partitioned:
         e0 = e0.repartition(par, "src")
     # deg shares e0's exchange (groupBy on the partition key); the fold
@@ -107,15 +126,12 @@ def pagerank(
     ed = e0.join(deg, "src").persist()
     try:
         ed.count()
-        if symmetric:
-            nodes = ed.select(F.col("src").alias("node")).distinct().persist()
-        else:
-            nodes = (
-                ed.select(F.col("src").alias("node"))
-                .union(ed.select(F.col("dst").alias("node")))
-                .distinct()
-                .persist()
-            )
+        nodes = (
+            ed.select(F.col("src").alias("node"))
+            .union(ed.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
         n = nodes.count()
         if n == 0:
             return nodes.withColumn("mass", F.lit(0).cast("long"))
@@ -140,8 +156,6 @@ def pagerank(
                     f" div {DAMP_DEN}"
                 )
             ).cast("long")
-            if symmetric:
-                return inflow.select("node", upd.alias("mass"))
             # general graphs: complete to the full node set (a node
             # with no in-edges holds teleport mass)
             return nodes.join(inflow, "node", "left").select(
@@ -169,6 +183,87 @@ def pagerank(
             nodes.unpersist()
         except NameError:
             pass
+
+
+def _pagerank_symmetric(
+    e0: DataFrame,
+    n_iter: int,
+    par: int,
+    materialize_every: int,
+    pre_partitioned: bool,
+) -> DataFrame:
+    """Symmetric-edge fast path: dst-partitioned persisted edges, zero
+    per-iteration exchanges (module/pagerank docstrings). The broadcast
+    node frame carries ``ctr = mass div out_deg`` precomputed per node,
+    so the edge-side projection is a plain column read; the inflow
+    aggregate and the deg re-attach both reuse the cached hash(dst)
+    partitioning. Integer arithmetic identical to the general path
+    (same formulas, different plan shape)."""
+    if not pre_partitioned:
+        e0 = e0.repartition(par, "dst")
+    ed = e0.persist()
+    # in-degree == out-degree on a symmetric edge set, and groupBy(dst)
+    # reuses the cached partitioning — deg costs no exchange
+    deg = (
+        ed.groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .persist()
+    )
+    try:
+        # one blocking job: materializes ed AND deg caches, returns n
+        # (the former separate ed.count() + nodes.count() pair)
+        n = deg.count()
+        if n == 0:
+            return deg.select("node", F.lit(0).cast("long").alias("mass"))
+        base = SCALE // n
+        teleport = (DAMP_DEN - DAMP_NUM) * SCALE // (DAMP_DEN * n)
+        mass = deg.select(
+            "node",
+            F.lit(base).cast("long").alias("mass"),
+            F.expr(f"CAST({base} AS BIGINT) div out_deg").alias("ctr"),
+        )
+
+        def step(m: DataFrame) -> DataFrame:
+            inflow = (
+                ed.join(
+                    F.broadcast(m.select(F.col("node").alias("src"), "ctr")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("ctr").alias("inflow"))
+            )
+            upd = (
+                F.lit(teleport)
+                + F.expr(f"({DAMP_NUM} * inflow) div {DAMP_DEN}")
+            ).cast("long")
+            return (
+                inflow.join(F.broadcast(deg), "node")
+                .select("node", upd.alias("mass"), "out_deg")
+                .select(
+                    "node",
+                    "mass",
+                    F.expr("mass div out_deg").alias("ctr"),
+                )
+            )
+
+        prev = None
+        done = 0
+        while done < n_iter:
+            k = min(max(1, materialize_every), n_iter - done)
+            for _ in range(k):
+                mass = step(mass)
+            mass = mass.persist()
+            # materialize before releasing the previous step so the new
+            # frame never recomputes through an unpersisted parent
+            mass.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = mass
+            done += k
+        return mass.select("node", "mass")
+    finally:
+        ed.unpersist()
+        deg.unpersist()
 
 
 def pagerank_replay(edge_pairs, n_iter: int = 5) -> dict[int, int]:

@@ -1049,9 +1049,9 @@ def lpa_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # pre_partitioned: directed comes through the canonical distinct's
-    # shuffle, so lpa's broadcast-probe rounds need no re-shuffle
-    labels = lpa.label_propagation(directed, n_iter=4, pre_partitioned=True)
+    # let lpa repartition by dst — one exchange of the small edge frame
+    # buys four exchange-free rounds (lpa docstring plan shape)
+    labels = lpa.label_propagation(directed, n_iter=4)
     return lpa.community_sizes(labels).orderBy(
         F.desc("n_members"), "community"
     )
@@ -1284,9 +1284,11 @@ def pagerank_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # both directions from ONE subtree (a union of pairs + reversed
     # pairs evaluates the join+distinct twice — r10 A/B: 3.5s -> 2.2s
-    # edge build), deduped AFTER the src repartition so the distinct
+    # edge build), deduped AFTER the dst repartition so the distinct
     # shares pagerank's partitioning (subset rule) instead of adding
-    # its own (src, dst) exchange
+    # its own (src, dst) exchange — dst is the symmetric fast path's
+    # iteration key (the per-round inflow groupBy reuses it; zero
+    # per-iteration exchanges)
     both = raw.select(
         F.explode(
             F.array(
@@ -1296,9 +1298,9 @@ def pagerank_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     par = spark.sparkContext.defaultParallelism
-    edges = both.repartition(par, "src").dropDuplicates()
+    edges = both.repartition(par, "dst").dropDuplicates()
     # symmetric=True: edges contains both directions by construction,
-    # so the node set is distinct src and every node receives inflow —
+    # so the node set is distinct dst and every node receives inflow —
     # pagerank skips the per-iteration completion join
     # (value-identical; see pagerank docstring A/B)
     ranks = pgr.pagerank(

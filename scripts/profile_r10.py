@@ -98,28 +98,42 @@ def mode_jobs(name: str) -> None:
     _quiesce(spark)
     reset_model_caches()
     sc = spark.sparkContext
+    wall0 = time.time() * 1000.0  # ms epoch — JobData timestamps are java Dates
     t0 = time.perf_counter()
     QUERIES[name](spark, SF_DIR).count()
     total = time.perf_counter() - t0
-    # pull job info from the Java status store (AppStatusStore via statusTracker)
-    tracker = sc.statusTracker()
-    jobs = sorted(tracker.getJobIdsForGroup() or [])
-    print(f"total {total:.3f}s, {len(jobs)} jobs")
+    # pull per-job wall clock from the AppStatusStore's jobsList (the
+    # per-id store.job() lookup returns empty Options through py4j)
     store = sc._jsc.sc().statusStore()
-    for jid in jobs:
-        ji = store.job(jid)
-        if ji.isEmpty():
-            continue
-        j = ji.get()
+    jl = store.jobsList(None)
+    rows = []
+    for i in range(jl.size()):
+        j = jl.apply(i)
         sub = j.submissionTime()
+        if not sub.isDefined():
+            continue
+        sub_ms = sub.get().getTime()
+        if sub_ms < wall0 - 50:
+            continue  # warmup / earlier queries
         comp = j.completionTime()
-        dur = None
-        if sub.isDefined() and comp.isDefined():
-            dur = (comp.get().getTime() - sub.get().getTime()) / 1000.0
-        print(
-            f"job {jid:4d}  {dur if dur is not None else '?':>7}s "
-            f"stages={j.stageIds().size()}  {j.name()[:100]}"
+        dur = (
+            (comp.get().getTime() - sub_ms) / 1000.0 if comp.isDefined() else None
         )
+        rows.append((sub_ms, j.jobId(), dur, j.stageIds().size(), j.name()))
+    rows.sort()
+    gap_total = 0.0
+    prev_end = wall0
+    print(f"total {total:.3f}s, {len(rows)} jobs in timed region")
+    for sub_ms, jid, dur, nstages, jname in rows:
+        gap = (sub_ms - prev_end) / 1000.0
+        gap_total += max(0.0, gap)
+        if dur is not None:
+            prev_end = sub_ms + dur * 1000.0
+        print(
+            f"job {jid:4d}  {dur if dur is not None else -1:7.3f}s  "
+            f"gap {gap:6.3f}s  stages={nstages}  {jname[:90]}"
+        )
+    print(f"sum of inter-job gaps (driver-side time): {gap_total:.3f}s")
     spark.stop()
 
 
