@@ -144,6 +144,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     from ..operators.dedup import _persist
 
     edges = _persist(edges)
+    # BLOCKING materialization (r10 SQL-tab audit): the stats subtrees
+    # (degree aggregate, edge count, orientation, closure) materialize
+    # CONCURRENTLY under AQE, and on a cold cache each races through the
+    # full edge-build pipeline — the execution graph showed the
+    # edge-build Exchange twice with 5.1 s + 3.1 s of shuffle-write task
+    # time at sf0.1. One eager pass fills the cache before the fan-out.
+    edges.count()
     # one persisted degree frame shared by the wedge stats AND the
     # orientation's two broadcast decorations (r10: each broadcast is a
     # distinct exchange, so an unpersisted deg was rebuilt twice)
@@ -183,6 +190,9 @@ def node_triangle_counts(edges: DataFrame) -> DataFrame:
     from ..operators.dedup import _persist
 
     edges = _persist(edges)
+    # same cold-cache race as triangle_stats: the orientation's degree
+    # build and the closure join materialize concurrently — block once
+    edges.count()
     t = triangles(edges)
     node = F.explode(F.array("x", "y", "z")).alias("node")
     return t.select(node).groupBy("node").agg(

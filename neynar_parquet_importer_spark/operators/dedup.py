@@ -80,6 +80,22 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _persist_eager(df: DataFrame) -> DataFrame:
+    """persist + ONE blocking materialization. For frames whose
+    consumers materialize CONCURRENTLY under AQE (self-join sides, a
+    broadcast build racing a probe subtree): on a cold cache each
+    concurrent query-stage materialization re-runs the frame's full
+    build pipeline — the r10 SQL-tab audit of cosupplier_triangle_stats
+    showed the persisted edge build's Exchange TWICE with 5.1 s + 3.1 s
+    of shuffle-write task time; one eager pass before the fan-out took
+    the query from 6.3 s to 4.3 s (min of 3, sf0.1). Use the lazy
+    :func:`_persist` when consumers are sequential (iterative loops) or
+    the build is trivial — the extra job is pure overhead there."""
+    df = _persist(df)
+    df.count()
+    return df
+
+
 def release_cached() -> None:
     """Unpersist every signature frame cached by THIS THREAD's operators,
     and free any checkpointed iteration states it still holds (the
@@ -441,7 +457,7 @@ def ngram_jaccard_pairs(
         hot = hot_shingles(df, max_shingle_df, text_col, id_col, shingle_n)
     if hot is not None:
         dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
-    exploded = _persist(
+    exploded = _persist_eager(
         dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
     l, r = exploded.alias("l"), exploded.alias("r")
@@ -560,7 +576,7 @@ def capped_distinct_shingles(
         # dist pays the tokenize/explode/hash/distinct chain twice —
         # only the pre-window repartition exchange is shared (r10 plan
         # audit; guide §5 persist-when-reused)
-        dist = _persist(dist)
+        dist = _persist_eager(dist)
         hot = _hot_from_dist(dist, df, max_shingle_df)
         dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
     return dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
@@ -595,7 +611,7 @@ def jaccard_all_pairs(
     exploded = capped_distinct_shingles(
         df, text_col, id_col, shingle_n, max_shingle_df
     )
-    exploded = _persist(exploded)  # read twice by the self-join
+    exploded = _persist_eager(exploded)  # read twice by the self-join
     l, r = exploded.alias("l"), exploded.alias("r")
     common = (
         l.join(
@@ -807,7 +823,7 @@ def winnow_shared_pairs(
     # the fingerprint frame feeds the df count AND both self-join sides;
     # without the persist the shingle explode + window + distinct subtree
     # runs 3-4x (the same rework simhash_near_duplicates pins down)
-    fps = _persist(winnow_fingerprints(df, text_col, id_col, k, w))
+    fps = _persist_eager(winnow_fingerprints(df, text_col, id_col, k, w))
     dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__ndocs"))
     sel = fps.join(
         dfc.filter(

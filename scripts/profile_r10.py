@@ -137,6 +137,57 @@ def mode_jobs(name: str) -> None:
     spark.stop()
 
 
+def mode_stages(name: str) -> None:
+    """Per-stage task counts + wall + summed executor run time for ONE
+    query — separates partition starvation (few tasks, long wall) from
+    genuine compute (exec_run ~ wall x cores)."""
+    spark = _spark()
+    try:
+        QUERIES[name](spark, WARM_DIR).count()
+    except Exception:
+        pass
+    _quiesce(spark)
+    reset_model_caches()
+    t0 = time.perf_counter()
+    QUERIES[name](spark, SF_DIR).count()
+    wall = time.perf_counter() - t0
+    jvm = spark._jvm
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = jvm.java.util.ArrayList()
+    quantiles = spark.sparkContext._gateway.new_array(jvm.double, 0)
+    sl = store.stageList(empty, False, False, quantiles, empty)
+    rows = []
+    for i in range(sl.size()):
+        s = sl.apply(i)
+        if str(s.status()) != "COMPLETE":
+            continue
+        dur = 0.0
+        if (
+            s.completionTime().isDefined()
+            and s.firstTaskLaunchedTime().isDefined()
+        ):
+            dur = (
+                s.completionTime().get().getTime()
+                - s.firstTaskLaunchedTime().get().getTime()
+            ) / 1000.0
+        rows.append(
+            (
+                s.stageId(),
+                s.numCompleteTasks(),
+                dur,
+                s.executorRunTime() / 1000.0,
+            )
+        )
+    rows.sort()
+    print(f"wall {wall:.2f}s, {len(rows)} completed stages")
+    for sid, ntask, dur, run in rows:
+        print(
+            f"stage {sid:4d} tasks={ntask:4d} wall={dur:7.3f}s "
+            f"exec_run_total={run:7.3f}s"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "time"
     if mode == "time":
@@ -145,5 +196,7 @@ if __name__ == "__main__":
         mode_explain(sys.argv[2], sys.argv[3:])
     elif mode == "jobs":
         mode_jobs(sys.argv[2])
+    elif mode == "stages":
+        mode_stages(sys.argv[2])
     else:
         raise SystemExit(f"unknown mode {mode}")
