@@ -248,6 +248,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     hot: DataFrame | None = None,
     hash_family: str = "xxhash64",
+    capped_stream: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) via k universal-hash members.
 
@@ -298,6 +299,38 @@ def minhash_signatures(
     # chain runs once per distinct shingle, not per occurrence (partial
     # hash-aggregation makes the dedup map-side-combining on a stream
     # already clustered by id).
+    #
+    # ``capped_stream``: a precomputed (id, shingle[, sz]) frame from
+    # :func:`capped_distinct_shingles` (64-bit xxhash64 values, hot
+    # shingles already excluded). A pipeline that needs BOTH signatures
+    # and exact shingle sets (LSH + rerank) persists that frame once and
+    # passes it here AND to :func:`ngram_jaccard_pairs.capped_sets` —
+    # one tokenize/explode/hash pass instead of two (r10 guide §2.4:
+    # share the exchange-producing subtree). min over the distinct
+    # stream equals min over the occurrence stream, so signatures are
+    # bit-identical. xxhash64 family only: the md5 members need the
+    # shingle STRING, which the hashed stream no longer carries.
+    if capped_stream is not None:
+        if hash_family != "xxhash64":
+            raise ValueError(
+                "capped_stream requires hash_family='xxhash64' (the md5 "
+                "members hash the shingle string, not its xxhash64)"
+            )
+        base = capped_stream.select("id", F.col("shingle").alias("h"))
+        aggs = [
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        return (
+            base.groupBy("id")
+            .agg(*aggs)
+            .select(
+                "id",
+                F.array(
+                    *[F.col(f"m{i}") for i in range(num_hashes)]
+                ).alias("signature"),
+            )
+        )
     stream = _shingle_stream(df, text_col, id_col, shingle_n)
     if hash_family == "md5":
         dedup_stream = stream.select("id", "shingle").distinct()
@@ -358,9 +391,14 @@ def minhash_lsh_candidates(
     split bounds what remains.
     """
     n = bands * rows_per_band
-    # the banding self-join reads signatures twice; persist so the
-    # signature aggregation (the expensive stage) runs once
-    signatures = _persist(signatures)
+    # the banding self-join reads signatures twice; eager localCheckpoint
+    # (not persist) so (a) the signature aggregation runs once and (b)
+    # BOTH join sides plan as leaves — a persisted frame keeps its full
+    # logical plan, so the 64-member aggregate tree would be re-walked
+    # by Catalyst on every run for each side (r10 interleaved A/B, min
+    # of 4 at sf0.1: ckpt 2.34 s vs persist 2.47 s for the md5 pipeline,
+    # ckpt 3.59 vs 4.10 for the LSH+rerank pipeline)
+    signatures = _ckpt(signatures)
     banded = signatures.select(
         "id",
         "signature",
@@ -419,6 +457,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_shingle_df: int | float | None = None,
     hot: DataFrame | None = None,
+    capped_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs (the rerank step after
     LSH). Joins shingle sets back onto the candidate pairs — candidates are
@@ -437,29 +476,52 @@ def ngram_jaccard_pairs(
     here costs one full-corpus shingle aggregation; pass a precomputed
     ``hot`` frame (from :func:`hot_shingles`, built once per corpus) to
     amortize it the way a production pipeline would."""
-    candidates = _persist(candidates)
+    # eager localCheckpoint: the candidate frame is read three times
+    # (two id projections + the final left join), and its producer is
+    # typically the whole banding pipeline — truncating the plan to a
+    # leaf keeps Catalyst from re-walking that tree per consumer per
+    # run (r10 interleaved A/B — see minhash_lsh_candidates)
+    candidates = _ckpt(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    needed = df.join(
-        F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi"
-    )
-    # same inverted-index machinery as jaccard_all_pairs, restricted to
-    # candidate docs; candidate pairs sharing no shingle get jaccard 0
-    dist = (
-        _shingle_stream(needed, text_col, id_col, shingle_n)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
-    if hot is None and max_shingle_df is not None:
-        hot = hot_shingles(df, max_shingle_df, text_col, id_col, shingle_n)
-    if hot is not None:
-        dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
-    exploded = _persist_eager(
-        dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    )
+    if capped_sets is not None:
+        # the caller already holds a persisted (id, shingle, sz) frame
+        # (capped_distinct_shingles) built for the SAME corpus/cap —
+        # e.g. the one its signature stage aggregated — so the rerank
+        # restricts it to candidate docs with a broadcast semi-join
+        # instead of re-running tokenize/explode/hash/distinct/window
+        # over the corpus (sz over the full corpus is identical to sz
+        # over the candidate subset: it is a per-id count). No extra
+        # persist: the probe over the cached frame is map-side.
+        exploded = capped_sets.join(
+            F.broadcast(cand_ids),
+            capped_sets["id"] == cand_ids["id"],
+            "left_semi",
+        )
+    else:
+        needed = df.join(
+            F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi"
+        )
+        # same inverted-index machinery as jaccard_all_pairs, restricted
+        # to candidate docs; candidate pairs sharing no shingle get
+        # jaccard 0
+        dist = (
+            _shingle_stream(needed, text_col, id_col, shingle_n)
+            .select("id", F.xxhash64("shingle").alias("shingle"))
+            .distinct()
+        )
+        if hot is None and max_shingle_df is not None:
+            hot = hot_shingles(df, max_shingle_df, text_col, id_col, shingle_n)
+        if hot is not None:
+            dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
+        exploded = _persist_eager(
+            dist.withColumn(
+                "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+            )
+        )
     l, r = exploded.alias("l"), exploded.alias("r")
     common = (
         l.join(
@@ -544,6 +606,7 @@ def capped_distinct_shingles(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     max_shingle_df: int | float | None = DEFAULT_MAX_SHINGLE_DF,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle-hash, sz) — each document's distinct shingle set with
     globally hot shingles (document frequency > ``max_shingle_df``,
@@ -570,7 +633,7 @@ def capped_distinct_shingles(
         .select("id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
-    if max_shingle_df is not None:
+    if hot is None and max_shingle_df is not None:
         # persisted: the hot-list aggregate (broadcast build side) and
         # the anti-join probe are DISTINCT subtrees, so an unpersisted
         # dist pays the tokenize/explode/hash/distinct chain twice —
@@ -578,6 +641,10 @@ def capped_distinct_shingles(
         # audit; guide §5 persist-when-reused)
         dist = _persist_eager(dist)
         hot = _hot_from_dist(dist, df, max_shingle_df)
+    if hot is not None:
+        # a precomputed stop-shingle frame (xxhash64 values, the
+        # hot_shingles contract) skips the corpus df aggregation — the
+        # amortized production path (hot list built once per corpus)
         dist = dist.join(F.broadcast(hot), "shingle", "left_anti")
     return dist.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
 
@@ -685,11 +752,30 @@ def simhash(
         F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
-    packed = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return base.groupBy("id").agg(*votes).select("id", packed.alias("simhash"))
+    # pack the sign vector with ONE compact higher-order fold instead of
+    # a 64-term chained when-sum: the chained form is a ~400-node
+    # expression tree the optimizer re-walks on EVERY run (measured
+    # +1.1 s/run of driver time at any data size — r10 micro A/B,
+    # 0.95 s -> 2.01 s with the chained projection). The fold is ~20
+    # nodes; its per-row interpretation cost is irrelevant (one row per
+    # document AFTER the aggregate). Bit i sets via shiftleft(1L, i) —
+    # a bit op, so i = 63 yields exactly the Long.MIN_VALUE sign-bit
+    # encoding the chained form produced; bitwise OR composes the
+    # distinct powers with no arithmetic overflow to reason about.
+    votes_arr = F.array(*[F.col(f"b{i}") for i in range(bits)])
+    # SQL form: pyspark's F.shiftleft only takes a literal shift amount,
+    # and the shift here is the lambda's index variable
+    packed = F.expr(
+        f"aggregate(zip_with(_votes, sequence(0, {bits - 1}), "
+        "(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), "
+        "0L, (acc, x) -> acc | x)"
+    )
+    return (
+        base.groupBy("id")
+        .agg(*votes)
+        .withColumn("_votes", votes_arr)
+        .select("id", packed.alias("simhash"))
+    )
 
 
 def simhash_near_duplicates(

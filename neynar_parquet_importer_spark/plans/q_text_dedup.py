@@ -160,12 +160,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_operators.py."""
     docs = _t(spark, sf_dir, "documents")
     hot = _hot_shingles_cached(spark, docs, sf_dir, 0.05)
-    # signatures over the CAPPED shingle stream (hot shingles excluded),
-    # so signature agreement estimates the same capped Jaccard the exact
-    # rerank and the all-pairs oracle compute — without this, a pair with
-    # capped jaccard >= 0.8 but boilerplate-diluted raw sets can sit
-    # below every signature/banding threshold and break the recall bound
-    sigs = dd.minhash_signatures(docs, num_hashes=64, shingle_n=3, hot=hot)
+    # ONE persisted capped shingle-set frame feeds BOTH the signature
+    # aggregate and the exact rerank (r10: the two stages previously ran
+    # independent tokenize/explode/hash pipelines over the same corpus —
+    # guide §2.4, share the subtree). Signatures over the CAPPED stream
+    # (hot shingles excluded), so signature agreement estimates the same
+    # capped Jaccard the exact rerank and the all-pairs oracle compute —
+    # without this, a pair with capped jaccard >= 0.8 but boilerplate-
+    # diluted raw sets can sit below every signature/banding threshold
+    # and break the recall bound. min over the distinct stream equals
+    # min over the occurrence stream, so signatures are unchanged.
+    capped = dd._persist_eager(
+        dd.capped_distinct_shingles(
+            docs, "text", "doc_id", 3, max_shingle_df=None, hot=hot
+        )
+    )
+    sigs = dd.minhash_signatures(
+        docs, num_hashes=64, shingle_n=3, capped_stream=capped
+    )
     # estimated-Jaccard pre-filter before the exact rerank (the standard
     # three-stage LSH pipeline): a pair with CAPPED jaccard >= 0.8 has
     # P[signature agreement < 0.5] = P[Binom(64, 0.8) < 32] ~ 1e-8, so
@@ -178,7 +190,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return dd.ngram_jaccard_pairs(
-        docs, cands, "text", "doc_id", hot=hot
+        docs, cands, "text", "doc_id", capped_sets=capped
     ).filter(F.col("jaccard") >= 0.8)
 
 
@@ -400,7 +412,20 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets BEFORE pairing, since one ubiquitous part otherwise
     dominates the pair shuffle exactly like a hot shingle. Exact
     integer counts; id-ordered canonical pairs."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # distinct (order, part) BEFORE pairing, not distinct pairs after:
+    # a part appearing k times in an order multiplies the pair explosion
+    # k-fold only to be deduped post-join, so deduping the linear base
+    # frame moves the distinct from the quadratic pair space to the
+    # input (guide §2.3 "shuffle fewer bytes" — the dedup shuffle
+    # carries 600k 2-int rows instead of every duplicated pair). The
+    # self-join probe is then shuffle-rooted, so its parallelism comes
+    # from AQE instead of the single-row-group scan split (the pairing
+    # stage ran as 3 tasks on 32 cores before this).
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     l2 = li.select(
         F.col("l_orderkey"), F.col("l_partkey").alias("p2")
     )
@@ -412,7 +437,6 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part_a"),
             F.col("p2").alias("part_b"),
         )
-        .distinct()
     )
     return (
         pairs.groupBy("part_a", "part_b")

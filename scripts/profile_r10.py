@@ -137,29 +137,19 @@ def mode_jobs(name: str) -> None:
     spark.stop()
 
 
-def mode_stages(name: str) -> None:
-    """Per-stage task counts + wall + summed executor run time for ONE
-    query — separates partition starvation (few tasks, long wall) from
-    genuine compute (exec_run ~ wall x cores)."""
-    spark = _spark()
-    try:
-        QUERIES[name](spark, WARM_DIR).count()
-    except Exception:
-        pass
-    _quiesce(spark)
-    reset_model_caches()
-    t0 = time.perf_counter()
-    QUERIES[name](spark, SF_DIR).count()
-    wall = time.perf_counter() - t0
+def _stage_rows(spark, min_stage_id: int):
     jvm = spark._jvm
     store = spark.sparkContext._jsc.sc().statusStore()
     empty = jvm.java.util.ArrayList()
     quantiles = spark.sparkContext._gateway.new_array(jvm.double, 0)
     sl = store.stageList(empty, False, False, quantiles, empty)
     rows = []
+    max_sid = min_stage_id
     for i in range(sl.size()):
         s = sl.apply(i)
-        if str(s.status()) != "COMPLETE":
+        sid = s.stageId()
+        max_sid = max(max_sid, sid + 1)
+        if str(s.status()) != "COMPLETE" or sid < min_stage_id:
             continue
         dur = 0.0
         if (
@@ -172,19 +162,40 @@ def mode_stages(name: str) -> None:
             ) / 1000.0
         rows.append(
             (
-                s.stageId(),
+                sid,
                 s.numCompleteTasks(),
                 dur,
                 s.executorRunTime() / 1000.0,
             )
         )
     rows.sort()
-    print(f"wall {wall:.2f}s, {len(rows)} completed stages")
-    for sid, ntask, dur, run in rows:
-        print(
-            f"stage {sid:4d} tasks={ntask:4d} wall={dur:7.3f}s "
-            f"exec_run_total={run:7.3f}s"
-        )
+    return rows, max_sid
+
+
+def mode_stages(names: list[str]) -> None:
+    """Per-stage task counts + wall + summed executor run time, one or
+    more queries in one session — separates partition starvation (few
+    tasks, long wall) from genuine compute (exec_run ~ wall x cores)."""
+    spark = _spark()
+    for name in names:
+        try:
+            QUERIES[name](spark, WARM_DIR).count()
+        except Exception:
+            pass
+    floor_sid = _stage_rows(spark, 0)[1]
+    for name in names:
+        _quiesce(spark)
+        reset_model_caches()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).count()
+        wall = time.perf_counter() - t0
+        rows, floor_sid = _stage_rows(spark, floor_sid)
+        print(f"== {name}: wall {wall:.2f}s, {len(rows)} completed stages")
+        for sid, ntask, dur, run in rows:
+            print(
+                f"stage {sid:4d} tasks={ntask:4d} wall={dur:7.3f}s "
+                f"exec_run_total={run:7.3f}s"
+            )
     spark.stop()
 
 
@@ -197,6 +208,6 @@ if __name__ == "__main__":
     elif mode == "jobs":
         mode_jobs(sys.argv[2])
     elif mode == "stages":
-        mode_stages(sys.argv[2])
+        mode_stages(sys.argv[2:])
     else:
         raise SystemExit(f"unknown mode {mode}")
