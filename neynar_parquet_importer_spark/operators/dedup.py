@@ -656,6 +656,7 @@ def jaccard_all_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | float | None = DEFAULT_MAX_SHINGLE_DF,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs above ``threshold`` — the
     oracle-checkable ground truth the LSH family approximates — computed
@@ -675,8 +676,12 @@ def jaccard_all_pairs(
     # the distinct's hash partitioning on id. The join key is the 64-bit
     # shingle hash, not the string — the shuffle carries 8-byte keys and
     # collisions are negligible (~n²/2^65).
+    # ``hot``: a precomputed stop-shingle frame (hot_shingles contract)
+    # skips the per-query df aggregation AND the extra persisted copy of
+    # the distinct stream it needs — the amortized once-per-corpus path
+    # every registered consumer takes via plans._hot_shingles_cached
     exploded = capped_distinct_shingles(
-        df, text_col, id_col, shingle_n, max_shingle_df
+        df, text_col, id_col, shingle_n, max_shingle_df, hot=hot
     )
     exploded = _persist_eager(exploded)  # read twice by the self-join
     l, r = exploded.alias("l"), exploded.alias("r")

@@ -6,6 +6,9 @@ from .q_relational import (  # noqa: E501
     _embedding_count,
     _embedding_dim,
 )
+from .q_text_dedup import (  # noqa: E501
+    _hot_shingles_cached,
+)
 from .queries import (  # noqa: E501
     DataFrame,
     F,
@@ -315,7 +318,8 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked operators and itself ORACLE-CHECKED."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     ).select(F.col("id_a").alias("anchor"), F.col("id_b").alias("positive"))
     negs = smp.negative_samples(docs, "doc_id", k=2, seed="neg").select(
         F.col("doc_id").alias("anchor"),
@@ -354,7 +358,8 @@ def source_near_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-CHECKED."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     )
     src = docs.select("doc_id", "source")
     joined = (
@@ -422,7 +427,8 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the pair scan dominates, nothing new shuffles."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     )
     splits = docs.select(
         F.col("doc_id"),
@@ -456,7 +462,8 @@ def _near_dup_components(
     makes it large."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     ).select("id_a", "id_b")
     comp = dd.connected_components(pairs, detach=True).withColumnsRenamed(
         {"id": "doc_id"}
