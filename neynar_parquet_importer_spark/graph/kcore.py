@@ -42,6 +42,7 @@ def kcore_edges(
     max_iter: int = 50,
     broadcast_keep: bool = True,
     local_below: int = 200_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Canonical (a, b) edges of the k-core of a canonical undirected
     edge list. Returns an empty frame when no k-core exists.
@@ -92,18 +93,30 @@ def kcore_edges(
     # input with duplicate (a, b) rows the two fixpoints (and output
     # multiplicities) would diverge, and which path runs would depend on
     # local_below. One distinct here makes both paths compute the same
-    # simple-graph core on any input; on an already-canonical list it is
-    # a cheap first-round combine over the same shuffle key the degree
-    # aggregate uses anyway.
-    cur = _ckpt(edges.select("a", "b").distinct())
-    n = cur.count()
+    # simple-graph core on any input. ``assume_canonical=True`` skips
+    # BOTH the distinct and the round-0 checkpoint copy for callers
+    # whose edges are already the canonical distinct form (e.g.
+    # triangles.canonical_edges output, typically persisted) — the
+    # distinct was a full extra exchange + aggregate over the edge list
+    # plus one materialized copy, per run (r10). Round STATES still
+    # checkpoint inside the loop; round 0 reads the caller's frame.
+    if assume_canonical:
+        cur = edges.select("a", "b")
+        n = cur.count()
+    else:
+        cur = _ckpt(edges.select("a", "b").distinct())
+        n = cur.count()
     for _ in range(max_iter):
         if local_below and n <= local_below:
+            pdf = cur.toPandas()  # Arrow columns, not Row objects
             core = _local_kcore_bucket(
-                [(r.a, r.b) for r in cur.collect()], k
+                list(zip(pdf["a"].tolist(), pdf["b"].tolist())), k
             )
+            import pandas as pd
+
             out = edges.sparkSession.createDataFrame(
-                sorted(core), schema=cur.schema
+                pd.DataFrame(sorted(core), columns=["a", "b"]),
+                schema=cur.schema,
             )
             _release_ckpt(cur)
             return out
@@ -140,11 +153,13 @@ def kcore_edges(
     )
 
 
-def kcore_stats(edges: DataFrame, k: int) -> DataFrame:
+def kcore_stats(
+    edges: DataFrame, k: int, assume_canonical: bool = False
+) -> DataFrame:
     """One row: k, surviving node/edge counts, and an id-sum checksum of
     the core's node set (exact integers throughout — a single wrongly
     peeled node moves the checksum)."""
-    core = kcore_edges(edges, k)
+    core = kcore_edges(edges, k, assume_canonical=assume_canonical)
     nodes = (
         core.select(F.col("a").alias("node"))
         .unionAll(core.select(F.col("b").alias("node")))

@@ -81,9 +81,10 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
             .join(visited, ["root", "node"], "left_anti")
             .select("root", "node", F.lit(d).cast("int").alias("dist"))
         )
+        # _ckpt is EAGER (localCheckpoint(eager=True)) — the union is
+        # fully materialized by the checkpoint itself, so it is safe to
+        # drop the frame it read without any extra count job
         new_visited = _ckpt(visited.unionAll(nxt))
-        # materialize the union before dropping the frame it reads
-        new_visited.count()
         _release_ckpt(visited)
         visited = new_visited
         # the new frontier is exactly this round's additions

@@ -1202,7 +1202,9 @@ def kcore_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     k = max(1, (14 * n_edges) // (10 * max(n_nodes, 1)))
-    return kcr.kcore_stats(edges, k=k)
+    # edges ARE canonical distinct (triangles.canonical_edges) and
+    # persisted above — skip kcore's defensive re-distinct + copy
+    return kcr.kcore_stats(edges, k=k, assume_canonical=True)
 
 
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

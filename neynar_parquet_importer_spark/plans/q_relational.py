@@ -468,21 +468,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_eur = ps.join(
         F.broadcast(eur), ps.l_suppkey == eur.s_suppkey
     ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
-    mc = ps_eur.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
     parts = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD"))
         .select("p_partkey", "p_name")
     )
+    # the correlated-MIN semantics as a window-min filter, not an
+    # aggregate + equality self-join: the self-join form evaluated the
+    # whole lineitem (part, supplier) cost aggregate TWICE (the min
+    # subtree and the probe subtree differ in pushed null-filters, so
+    # neither Spark's ReusedExchange nor AQE stage dedup fires — r10
+    # plan audit: Scan parquet (lineitem) + the 600k-row aggregate
+    # appeared on both sides). rows where supplycost equals the window
+    # min over l_partkey are exactly the rows the equality join kept —
+    # same doubles (one MIN computation either way), same multiset.
+    w = Window.partitionBy("l_partkey")
+    min_rows = ps_eur.withColumn(
+        "min_cost", F.min("supplycost").over(w)
+    ).filter(F.col("supplycost") == F.col("min_cost"))
     return (
-        ps_eur.join(
-            mc,
-            (ps_eur.l_partkey == F.col("mk"))
-            & (ps_eur.supplycost == F.col("min_cost")),
-        )
-        .join(F.broadcast(parts), ps_eur.l_partkey == parts.p_partkey)
+        min_rows
+        .join(F.broadcast(parts), min_rows.l_partkey == parts.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",

@@ -59,6 +59,24 @@ def get_spark(
         # 1000-executor cluster (not config'd per-file like the reference's
         # one-thread-per-row-group model).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-split floor (round-10, guide §6/§2.5): Spark sizes splits
+        # as min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)),
+        # so the stock 4 MiB open-cost floors every sub-128 MiB FILE at
+        # 1-3 splits — which serializes scan-rooted compute (explodes,
+        # broadcast-probe pair cores) exactly like the AQE floor case
+        # below, but on the SCAN side. 128 KiB keeps small files
+        # ~cores-wide; at cluster scale bytes/minPartitionNum >> 4 MiB so
+        # the floor is inert for big tables, and for many-tiny-file
+        # tables it packs MORE files per split (fewer, denser tasks).
+        # Measured (r10 A/B, 38-query heavy subset, fresh JVM per
+        # config, min of 2): stock 86.0 s, 512k 80.3 s, 128k 76.3 s with
+        # the TPC-H spot checks flat. Env-overridable for deployments
+        # whose per-file open cost is genuinely high (cold object
+        # stores).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ContextCleaner releases shuffle files / broadcast blocks only
