@@ -87,6 +87,15 @@ def bm25_scores(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf (never negative, unlike
     the raw Robertson form).  ``score`` is rounded to 4 dp — the
     cross-engine ranking contract, see module doc."""
+    # postings is consumed three times (document lengths, per-term df,
+    # the score join). A persist here LOST the r10 interleaved A/B
+    # (min of 3: none 2.10 s / lazy 2.39 / eager 2.30 for the top-k
+    # query) — the three subtrees overlap on idle cores and two of the
+    # consumers reduce through broadcast joins, so the cache barrier
+    # costs more than the recompute. At a corpus scale where the
+    # tokenize scan is IO-bound, materialize postings ONCE as a table
+    # (the standard inverted-index build) rather than caching inside
+    # this operator.
     dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
