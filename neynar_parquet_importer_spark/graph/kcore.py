@@ -96,16 +96,23 @@ def kcore_edges(
     # simple-graph core on any input. ``assume_canonical=True`` skips
     # BOTH the distinct and the round-0 checkpoint copy for callers
     # whose edges are already the canonical distinct form (e.g.
-    # triangles.canonical_edges output, typically persisted) — the
-    # distinct was a full extra exchange + aggregate over the edge list
-    # plus one materialized copy, per run (r10). Round STATES still
-    # checkpoint inside the loop; round 0 reads the caller's frame.
-    if assume_canonical:
-        cur = edges.select("a", "b")
-        n = cur.count()
-    else:
-        cur = _ckpt(edges.select("a", "b").distinct())
-        n = cur.count()
+    # triangles.canonical_edges output) — the distinct was a full
+    # extra exchange + aggregate over the edge list plus one
+    # materialized copy, per run (r10). PRECONDITION: the caller should
+    # also have PERSISTED (or checkpointed) the frame — round 1
+    # references it three times (two degree legs + the semi-join left
+    # side) and the sub-cap path collects it, so an unpersisted
+    # upstream plan would re-execute per reference. Round STATES still
+    # checkpoint inside the loop; round 0 reads the caller's frame
+    # (cur_is_ckpt guards the release calls, which must only touch
+    # frames this function checkpointed).
+    cur_is_ckpt = not assume_canonical
+    cur = (
+        edges.select("a", "b")
+        if assume_canonical
+        else _ckpt(edges.select("a", "b").distinct())
+    )
+    n = cur.count()
     for _ in range(max_iter):
         if local_below and n <= local_below:
             pdf = cur.toPandas()  # Arrow columns, not Row objects
@@ -118,7 +125,8 @@ def kcore_edges(
                 pd.DataFrame(sorted(core), columns=["a", "b"]),
                 schema=cur.schema,
             )
-            _release_ckpt(cur)
+            if cur_is_ckpt:
+                _release_ckpt(cur)
             return out
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -140,14 +148,16 @@ def kcore_edges(
         if m == n:
             _release_ckpt(nxt)
             return cur
-        _release_ckpt(cur)
-        cur, n = nxt, m
+        if cur_is_ckpt:
+            _release_ckpt(cur)
+        cur, n, cur_is_ckpt = nxt, m, True
         if n == 0:
             return cur
     # release the live round before raising: every other exit path
     # frees its checkpoint, and a caller retrying after the guard fires
     # must not accumulate one materialized edge copy per attempt
-    _release_ckpt(cur)
+    if cur_is_ckpt:
+        _release_ckpt(cur)
     raise RuntimeError(
         f"k-core peeling did not converge within {max_iter} rounds"
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import threading
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -316,6 +317,13 @@ def minhash_signatures(
                 "capped_stream requires hash_family='xxhash64' (the md5 "
                 "members hash the shingle string, not its xxhash64)"
             )
+        if hot is not None:
+            raise ValueError(
+                "hot must be None with capped_stream — apply the "
+                "stop-shingle exclusion when BUILDING the stream "
+                "(capped_distinct_shingles(hot=...)); silently dropping "
+                "it here would break the capped-Jaccard recall bound"
+            )
         base = capped_stream.select("id", F.col("shingle").alias("h"))
         aggs = [
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
@@ -397,8 +405,16 @@ def minhash_lsh_candidates(
     # logical plan, so the 64-member aggregate tree would be re-walked
     # by Catalyst on every run for each side (r10 interleaved A/B, min
     # of 4 at sf0.1: ckpt 2.34 s vs persist 2.47 s for the md5 pipeline,
-    # ckpt 3.59 vs 4.10 for the LSH+rerank pipeline)
-    signatures = _ckpt(signatures)
+    # ckpt 3.59 vs 4.10 for the LSH+rerank pipeline). A frame the
+    # CALLER already persisted/checkpointed (the streaming fold's
+    # per-batch signature frame) is used as-is — re-checkpointing it
+    # would build a second full copy plus one blocking job per batch.
+    # NOTE (release_cached contract): when the checkpoint is taken, the
+    # returned pairs' lineage is truncated to checkpoint blocks —
+    # consume the result BEFORE release_cached(), as with
+    # connected_components' iterative path.
+    if signatures.storageLevel == StorageLevel.NONE:
+        signatures = _ckpt(signatures)
     banded = signatures.select(
         "id",
         "signature",
@@ -480,14 +496,24 @@ def ngram_jaccard_pairs(
     # (two id projections + the final left join), and its producer is
     # typically the whole banding pipeline — truncating the plan to a
     # leaf keeps Catalyst from re-walking that tree per consumer per
-    # run (r10 interleaved A/B — see minhash_lsh_candidates)
-    candidates = _ckpt(candidates)
+    # run (r10 interleaved A/B — see minhash_lsh_candidates, including
+    # the already-persisted skip and the consume-before-release_cached
+    # contract note, both of which apply here too)
+    if candidates.storageLevel == StorageLevel.NONE:
+        candidates = _ckpt(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
     if capped_sets is not None:
+        if hot is not None or max_shingle_df is not None:
+            raise ValueError(
+                "hot/max_shingle_df must be None with capped_sets — the "
+                "cap is a property of the precomputed frame; passing a "
+                "different one here would be silently ignored and the "
+                "jaccard values would no longer match the frame's cap"
+            )
         # the caller already holds a persisted (id, shingle, sz) frame
         # (capped_distinct_shingles) built for the SAME corpus/cap —
         # e.g. the one its signature stage aggregated — so the rerank

@@ -189,6 +189,10 @@ def mode_stages(names: list[str]) -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).count()
         wall = time.perf_counter() - t0
+        # drain the async listener bus before snapshotting, or the last
+        # stages' completion events are missed and misattributed to the
+        # NEXT query once floor_sid advances past them
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
         rows, floor_sid = _stage_rows(spark, floor_sid)
         print(f"== {name}: wall {wall:.2f}s, {len(rows)} completed stages")
         for sid, ntask, dur, run in rows:
