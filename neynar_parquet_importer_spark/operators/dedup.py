@@ -406,9 +406,14 @@ def minhash_lsh_candidates(
     # by Catalyst on every run for each side (r10 interleaved A/B, min
     # of 4 at sf0.1: ckpt 2.34 s vs persist 2.47 s for the md5 pipeline,
     # ckpt 3.59 vs 4.10 for the LSH+rerank pipeline). A frame the
-    # CALLER already persisted/checkpointed (the streaming fold's
-    # per-batch signature frame) is used as-is — re-checkpointing it
-    # would build a second full copy plus one blocking job per batch.
+    # CALLER already PERSISTED (the streaming fold's per-batch
+    # signature frame) is used as-is — re-checkpointing it would build
+    # a second full copy plus one blocking job per batch. NOTE: the
+    # storageLevel probe only detects persisted frames — a caller-
+    # localCheckpoint'ed frame reports StorageLevel.NONE (verified
+    # empirically in this session's Spark) and would get a redundant
+    # second materialized copy; no current caller passes one (r10
+    # advisor).
     # NOTE (release_cached contract): when the checkpoint is taken, the
     # returned pairs' lineage is truncated to checkpoint blocks —
     # consume the result BEFORE release_cached(), as with
@@ -654,6 +659,17 @@ def capped_distinct_shingles(
     The hot list itself is tiny (it's the df > cap tail), so it ships as
     a broadcast anti-join — no extra shuffle of the shingle stream.
     """
+    if hot is not None and max_shingle_df is not None \
+            and max_shingle_df is not DEFAULT_MAX_SHINGLE_DF:
+        # matching ngram_jaccard_pairs' capped_sets contract (r10
+        # advisor): the cap is a property of the precomputed hot frame —
+        # a DIFFERENT cap passed alongside it would be silently ignored
+        # and the output labeled with the wrong cap. The module default
+        # counts as unset so `hot=`-only calls stay valid.
+        raise ValueError(
+            "max_shingle_df must be None when a precomputed hot frame is "
+            "supplied — the cap is a property of that frame"
+        )
     dist = (
         _shingle_stream(df, text_col, id_col, shingle_n)
         .select("id", F.xxhash64("shingle").alias("shingle"))

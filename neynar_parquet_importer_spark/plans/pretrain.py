@@ -96,8 +96,21 @@ def pretrain_pipeline(
     )
 
     if benchmark is not None:
+        # contamination is per-document (its own shingles vs the
+        # broadcast benchmark set), so computing it over GATED instead
+        # of DEDUPED yields the identical value for every surviving doc
+        # — the left join still matches exactly one contam row per id —
+        # while rooting this branch ABOVE the window dedup: previously
+        # the scan -> project -> filter -> full-text shuffle -> sort ->
+        # row_number subtree was evaluated twice (once under the shingle
+        # aggregate, once as the join-back left side; the two differ in
+        # pruned columns, so neither ReusedExchange nor AQE stage dedup
+        # fires — the q2 failure mode, r10 plan audit). The extra
+        # shingle rows for dup docs it now processes are bounded by the
+        # dup rate; the saved full-corpus exchange+sort is not
+        # (optimization guide §2.4).
         contam = ngram_contamination(
-            deduped, benchmark, text_col, id_col, shingle_n
+            gated, benchmark, text_col, id_col, shingle_n
         ).select(id_col, "contamination")
         deduped = deduped.join(contam, id_col, "left").filter(
             F.coalesce("contamination", F.lit(0.0)) <= max_contamination

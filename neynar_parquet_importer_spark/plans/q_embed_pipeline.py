@@ -96,7 +96,12 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
-    return sim.lsh_near_dup_pairs(emb, dim, threshold=0.5).orderBy("id_a", "id_b")
+    # the corpus-count probe feeding the auto-plane rule comes from the
+    # same per-corpus memo embedding_dedup_clusters_lsh already consumes
+    # (one count job per corpus per process, not one per run)
+    return sim.lsh_near_dup_pairs(
+        emb, dim, threshold=0.5, n_rows=_embedding_count(emb, sf_dir)
+    ).orderBy("id_a", "id_b")
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +323,7 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked operators and itself ORACLE-CHECKED."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=None,
         hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     ).select(F.col("id_a").alias("anchor"), F.col("id_b").alias("positive"))
     negs = smp.negative_samples(docs, "doc_id", k=2, seed="neg").select(
@@ -358,7 +363,7 @@ def source_near_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-CHECKED."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=None,
         hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     )
     src = docs.select("doc_id", "source")
@@ -427,7 +432,7 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the pair scan dominates, nothing new shuffles."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=None,
         hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     )
     splits = docs.select(
@@ -462,7 +467,7 @@ def _near_dup_components(
     makes it large."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.5, max_shingle_df=0.05,
+        docs, "text", "doc_id", threshold=0.5, max_shingle_df=None,
         hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     ).select("id_a", "id_b")
     comp = dd.connected_components(pairs, detach=True).withColumnsRenamed(

@@ -482,6 +482,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appeared on both sides). rows where supplycost equals the window
     # min over l_partkey are exactly the rows the equality join kept —
     # same doubles (one MIN computation either way), same multiset.
+    # Equivalence assumes NON-NULL l_partkey (true in TPC-H and this
+    # schema): partitionBy groups NULL keys together and would KEEP a
+    # NULL-key row at that partition's min where the old equality join
+    # dropped it — add isNotNull if this pattern is lifted to nullable
+    # join keys (r10 advisor).
     w = Window.partitionBy("l_partkey")
     min_rows = ps_eur.withColumn(
         "min_cost", F.min("supplycost").over(w)
@@ -975,6 +980,18 @@ def reset_model_caches() -> None:
     _PCA_MODEL_CACHE.clear()
     _BPE_MERGE_CACHE.clear()
     _BPE_STABLE_CACHE.clear()
+
+
+def reset_shingle_cache() -> None:
+    """Drop ONLY the per-corpus hot-shingle memo — the bench's cold-leg
+    reset for the jaccard-family consumers (r10 verdict #2: the memo
+    moved a full corpus shingle aggregation out of the timed region for
+    six queries with no cold leg recorded; the bench now times those
+    queries cold+warm, same discipline as the trained-model artifacts).
+    Narrower than :func:`reset_corpus_caches`: the embedding dim/count
+    probes and trained-model memos are consumed by queries outside this
+    split and must stay warm through a shingle cold leg."""
+    _HOT_SHINGLE_CACHE.clear()
 
 
 def reset_corpus_caches() -> None:

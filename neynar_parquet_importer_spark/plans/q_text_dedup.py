@@ -204,7 +204,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_all_pairs(
-        docs, "text", "doc_id", threshold=0.7, max_shingle_df=0.05,
+        docs, "text", "doc_id", threshold=0.7, max_shingle_df=None,
         hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     ).select("id_a", "id_b")
     return dd.dedup_cluster_keepers(docs, pairs, "doc_id")
@@ -764,6 +764,6 @@ def dedup_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.jaccard_all_pairs(
         docs, "text", "doc_id", shingle_n=3, threshold=0.5,
-        max_shingle_df=0.05,
+        max_shingle_df=None,
         hot=_hot_shingles_cached(spark, docs, sf_dir, 0.05),
     )

@@ -48,6 +48,11 @@ def get_spark(
         # scale-adaptive by construction, env-overridable for clusters
         # that want the stock value. Measured (r10 A/B, 37-query heavy
         # subset, fresh JVM per config, min of 2): 141.3 s -> 119.5 s.
+        # Re-validated in the r11 four-arm decomposition (scripts/
+        # ab_floor_r11.py): this floor alone is within noise of stock on
+        # the 32-query small set (27.0 vs 26.7 s; tpch22 15.4 vs 15.6)
+        # and carries the heavy-family win (61.5 vs 64.6 s) — the r10
+        # small-query tax came from the open-cost floor, reverted below.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_BYTES", "64k"),
@@ -59,23 +64,24 @@ def get_spark(
         # 1000-executor cluster (not config'd per-file like the reference's
         # one-thread-per-row-group model).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # Scan-split floor (round-10, guide §6/§2.5): Spark sizes splits
-        # as min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)),
-        # so the stock 4 MiB open-cost floors every sub-128 MiB FILE at
-        # 1-3 splits — which serializes scan-rooted compute (explodes,
-        # broadcast-probe pair cores) exactly like the AQE floor case
-        # below, but on the SCAN side. 128 KiB keeps small files
-        # ~cores-wide; at cluster scale bytes/minPartitionNum >> 4 MiB so
-        # the floor is inert for big tables, and for many-tiny-file
-        # tables it packs MORE files per split (fewer, denser tasks).
-        # Measured (r10 A/B, 38-query heavy subset, fresh JVM per
-        # config, min of 2): stock 86.0 s, 512k 80.3 s, 128k 76.3 s with
-        # the TPC-H spot checks flat. Env-overridable for deployments
-        # whose per-file open cost is genuinely high (cold object
-        # stores).
+        # Scan-split open cost: STOCK 4 MiB (round-11 revert of the
+        # round-10 128 KiB floor). The r10 floor split every sub-128 MiB
+        # file cores-wide, which helped scan-rooted dense compute — but
+        # the r11 four-arm interleaved same-JVM A/B (scripts/
+        # ab_floor_r11.py: stock / r10 / aqe-floor-only / open-floor-
+        # only over 32 small + 24 heavy queries, 4 passes, arm order
+        # rotated) showed the open-cost floor was the ENTIRE small-query
+        # tax the r10 driver bench measured (tpch22: stock 15.6 s,
+        # open-floor 18.0, both-floors 18.5, aqe-floor-only 15.4) while
+        # the AQE floor below alone captures the heavy-family win
+        # (heavy-24: stock 64.6 s, aqe-only 61.5, both 61.2): extra
+        # mostly-empty scan tasks on single-row-group KB files tax every
+        # query, and the dense cores the floor used to widen are covered
+        # operator-side by fan_out. Env knob kept for deployments that
+        # measured a different trade.
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -182,6 +182,11 @@ def mode_stages(names: list[str]) -> None:
             QUERIES[name](spark, WARM_DIR).count()
         except Exception:
             pass
+    # drain the async listener bus BEFORE the initial snapshot too (r10
+    # advisor): warmup stages with in-flight completion events would
+    # otherwise land above the floor and be misattributed to the first
+    # timed query
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
     floor_sid = _stage_rows(spark, 0)[1]
     for name in names:
         _quiesce(spark)
