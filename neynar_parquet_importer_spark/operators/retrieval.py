@@ -64,6 +64,28 @@ def term_postings(
     )
 
 
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl): document length as ONE codegen'd projection over the
+    corpus scan — no explode, no aggregate, no shuffle.
+
+    Exactly equal to ``postings.groupBy(doc_id).sum(tf)``: summing tf
+    over a document's distinct terms counts its non-empty tokens, which
+    is the size of the split-token array with empties removed. Docs with
+    zero non-empty tokens have no posting rows, so they are filtered out
+    here too. Passing this to :func:`bm25_scores` removes the full-corpus
+    (doc, term) aggregate from the dl branch (r11, guide §2.1: the dl
+    subtree was one of three independent evaluations of that aggregate
+    per scoring run)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    dl = F.size(F.filter(toks, lambda t: t != ""))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), dl.alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
+
+
 def query_frame(spark: SparkSession, queries: dict[str, list[str]]) -> DataFrame:
     """(query_id, term) from a literal query set — lowercased through
     the same convention as the postings so a mixed-case query term
@@ -82,11 +104,26 @@ def bm25_scores(
     *,
     k1: float = K1,
     b: float = B,
+    doc_lengths: DataFrame | None = None,
+    prune_terms: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score): Okapi BM25 with the standard
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf (never negative, unlike
     the raw Robertson form).  ``score`` is rounded to 4 dp — the
-    cross-engine ranking contract, see module doc."""
+    cross-engine ranking contract, see module doc.
+
+    ``doc_lengths``: a precomputed (doc_id, dl) frame (:func:`doc_lengths`
+    — a pure projection over the corpus); without it dl is aggregated
+    from ``postings``.  ``prune_terms``: the literal query-term values —
+    when supplied, an ``isin`` filter on term is applied to ``postings``
+    for the df and score branches, which Catalyst pushes BELOW the
+    (doc, term) aggregate so only query-term tokens are aggregated at
+    all (a broadcast join cannot be pushed through the aggregate, so
+    without the literal list both branches re-aggregate the full
+    corpus).  Results are identical either way: non-query-term posting
+    rows only ever fed the dl sum.  With both supplied, no full-corpus
+    (doc, term) aggregate remains in the plan — the "seek the posting
+    lists" shape the module doc promises (r11, guide §2.1/§2.3)."""
     # postings is consumed three times (document lengths, per-term df,
     # the score join). A persist here LOST the r10 interleaved A/B
     # (min of 3: none 2.10 s / lazy 2.39 / eager 2.30 for the top-k
@@ -96,12 +133,21 @@ def bm25_scores(
     # tokenize scan is IO-bound, materialize postings ONCE as a table
     # (the standard inverted-index build) rather than caching inside
     # this operator.
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if prune_terms is not None:
+        pruned = postings.filter(
+            F.col("term").isin([t.strip().lower() for t in prune_terms])
+        )
+    else:
+        pruned = postings
+    if doc_lengths is not None:
+        dl = doc_lengths
+    else:
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     dfreq = (
-        postings.join(F.broadcast(query_terms.select("term").distinct()), "term")
+        pruned.join(F.broadcast(query_terms.select("term").distinct()), "term")
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
@@ -117,7 +163,7 @@ def bm25_scores(
         )
     )
     matched = (
-        postings.join(F.broadcast(query_terms), "term")
+        pruned.join(F.broadcast(query_terms), "term")
         .join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
     )
@@ -140,11 +186,21 @@ def bm25_topk(
     *,
     k1: float = K1,
     b: float = B,
+    doc_lengths: DataFrame | None = None,
+    prune_terms: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): top-k docs per query by rounded
     score, doc_id tie-break.  Window per query_id — see module doc for
-    when to switch to chunked top-k."""
-    scores = bm25_scores(postings, query_terms, k1=k1, b=b)
+    when to switch to chunked top-k.  ``doc_lengths``/``prune_terms``
+    forward to :func:`bm25_scores`."""
+    scores = bm25_scores(
+        postings,
+        query_terms,
+        k1=k1,
+        b=b,
+        doc_lengths=doc_lengths,
+        prune_terms=prune_terms,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("doc_id")
     )

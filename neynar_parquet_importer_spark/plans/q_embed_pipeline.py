@@ -892,6 +892,14 @@ _BM25_QUERIES = {
     "q_cust": ["customer", "vector"],
 }
 
+# the distinct literal term values, lowercased through query_frame's
+# convention — fed to bm25_scores(prune_terms=...) so the term filter
+# pushes BELOW the postings aggregate (an equivalent broadcast join
+# cannot be pushed through it)
+_BM25_TERMS = sorted(
+    {t.strip().lower() for ts in _BM25_QUERIES.values() for t in ts}
+)
+
 
 def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch algebra, the estimated leg: |A∩B| by inclusion-exclusion
@@ -948,8 +956,15 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, the cross-engine ranking contract."""
     docs = _t(spark, sf_dir, "documents")
     postings = rtr.term_postings(docs)
+    # dl as a projection + literal-term prune below the aggregate: no
+    # full-corpus (doc, term) aggregate remains in the plan (r11;
+    # bm25_scores docstring) — identical scores, one corpus pass less
     return rtr.bm25_topk(
-        postings, rtr.query_frame(spark, _BM25_QUERIES), k=5
+        postings,
+        rtr.query_frame(spark, _BM25_QUERIES),
+        k=5,
+        doc_lengths=rtr.doc_lengths(docs),
+        prune_terms=_BM25_TERMS,
     ).orderBy("query_id", "rank")
 
 
@@ -959,13 +974,17 @@ def bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently of the score composition so a regression localizes."""
     docs = _t(spark, sf_dir, "documents")
     postings = rtr.term_postings(docs)
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # same r11 restructure as bm25_topk_docs: dl is a projection (equal
+    # to the postings sum by construction — doc_lengths docstring), and
+    # the literal-term prune pushes below the (doc, term) aggregate
+    dl = rtr.doc_lengths(docs)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("dl"), 4).alias("avgdl")
     )
     terms = rtr.query_frame(spark, _BM25_QUERIES).select("term").distinct()
     dfreq = (
-        postings.join(F.broadcast(terms), "term")
+        postings.filter(F.col("term").isin(_BM25_TERMS))
+        .join(F.broadcast(terms), "term")
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )

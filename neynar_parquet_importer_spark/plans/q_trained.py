@@ -3,6 +3,7 @@ from __future__ import annotations
 
 from .q_embed_pipeline import (  # noqa: E501
     _BM25_QUERIES,
+    _BM25_TERMS,
 )
 from .q_oracle_artifact import (  # noqa: E501
     _ivf_knn_join_oracle_sql,
@@ -207,8 +208,15 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     postings = rtr.term_postings(docs)
+    # r11: dl as a projection + literal-term prune below the postings
+    # aggregate (see bm25_topk_docs) — the lexical leg no longer
+    # aggregates the full corpus vocabulary
     lex = rtr.bm25_topk(
-        postings, rtr.query_frame(spark, _BM25_QUERIES), k=10
+        postings,
+        rtr.query_frame(spark, _BM25_QUERIES),
+        k=10,
+        doc_lengths=rtr.doc_lengths(docs),
+        prune_terms=_BM25_TERMS,
     ).select("query_id", "doc_id", "rank")
     qmap = spark.createDataFrame(
         sorted(_HYBRID_QUERY_VECS.items()), "query_id string, qvec_id long"
