@@ -387,12 +387,18 @@ def lsh_near_dup_pairs(
         for t in range(n_tables)
         for plane in make_planes(dim, n_planes, seed=1009 + 7919 * t)
     ]
-    # no repartition before the UDF: one Arrow batch per input split is
-    # the right granularity (a matmul over a split is microseconds; extra
-    # tiny tasks just pay Python-worker spin-up per partition)
+    # fan_out before the bucket UDF (r11): on a single-split corpus the
+    # whole bucket pipeline — Python-worker hop, n_tables*n_planes
+    # matmul, persist write — serialized through ONE task (stage
+    # profile: 1 task, ~2.0 s wall of a ~3.0 s query at sf0.1 once the
+    # r10 session-wide scan-split floor was reverted). The conditional
+    # repartition moves only (id, vector) rows and is a no-op on
+    # multi-split inputs, i.e. at any real corpus scale.
+    from .parallelism import fan_out
+
     base = _persist(
-        df.select(
-            F.col(id_col).alias("id"),
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col))).select(
+            "id",
             _multitable_bucket_udf(planes_all, n_planes, n_tables)(
                 F.col(vec_col)
             ).alias("bs"),
