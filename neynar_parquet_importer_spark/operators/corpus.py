@@ -425,9 +425,17 @@ def passage_chunks(
     line/passage dedup generalized to fixed word windows).
 
     Pure Column expressions: split → sequence → transform → posexplode,
-    all inside whole-stage codegen. No shuffle; each document expands in
-    place on its own partition.
+    all inside whole-stage codegen. No shuffle on multi-split inputs;
+    each document expands in place on its own partition. A single-split
+    input is fanned out first (r11): the chunking arithmetic runs inside
+    the scan stage and its consumers (the dedup aggregate build AND the
+    probe side) each re-run it, so one split serializes two full
+    chunking passes through one core (stage profile: 2 stages x 1 task
+    x ~0.6 s at sf0.1); the conditional repartition moves (id, text)
+    rows once and no-ops at any real corpus scale.
     """
+    from .parallelism import fan_out
+
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
     idxs = F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1)
@@ -435,7 +443,7 @@ def passage_chunks(
         idxs,
         lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
     )
-    return df.select(
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
 

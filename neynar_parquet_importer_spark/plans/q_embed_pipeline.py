@@ -343,8 +343,14 @@ def lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions. One scan + one grouped count; ORACLE-CHECKED (the oracle
     recomputes the stopword-vote prediction in SQL)."""
     docs = _t(spark, sf_dir, "documents")
+    # the stopword-panel regex votes are ~|panels| regex passes per
+    # document INSIDE the scan stage — on a single-split corpus the
+    # whole query ran as one task (r11 stage profile: 1 task / 1.7 s of
+    # a 2.1 s wall); fan_out spreads the (lang, text) projection and
+    # no-ops on multi-split inputs
     return (
-        docs.select(
+        fan_out(docs.select("lang", "text"))
+        .select(
             F.col("lang").alias("declared"),
             tx.language_id("text").alias("predicted"),
         )
