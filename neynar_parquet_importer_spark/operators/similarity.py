@@ -1470,7 +1470,15 @@ def ivf_knn_join(
         .filter(F.col("__rn") <= nprobe)
         .select(query_id_col, "__qv", F.col("__cid").alias("__cell"))
     )
-    cells = corpus.select(
+    # fan_out before the assignment fold (r11): cell assignment is
+    # n_centroids dot-product folds per row and the candidate cosine is
+    # another, all inside the scan stage — a single-split corpus ran the
+    # whole probe as ONE task (warm stage profile: 1 task / 0.69 s of a
+    # 1.63 s wall at sf0.1). Moves (id, vector) rows only; no-op on
+    # multi-split inputs.
+    from .parallelism import fan_out
+
+    cells = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         qv.alias("__v"),
         ivf_assign(vec_col, centroids).alias("__cell"),
