@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
+
 from .dedup import _shingle_stream
 
 
@@ -434,8 +436,6 @@ def passage_chunks(
     x ~0.6 s at sf0.1); the conditional repartition moves (id, text)
     rows once and no-ops at any real corpus scale.
     """
-    from .parallelism import fan_out
-
     w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
     idxs = F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1)

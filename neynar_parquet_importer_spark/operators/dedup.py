@@ -579,6 +579,25 @@ def ngram_jaccard_pairs(
 
 DEFAULT_MAX_SHINGLE_DF = 1000
 
+# sentinel distinguishing "caller left max_shingle_df at its default"
+# from an explicit value (r11 review: int identity against the module
+# constant was silently bypassable and interning-dependent). Unset
+# resolves to DEFAULT_MAX_SHINGLE_DF normally, and to None when a
+# precomputed `hot` frame is supplied (the cap is a property of that
+# frame); an EXPLICIT non-None cap alongside `hot` raises.
+_CAP_UNSET = object()
+
+
+def _resolve_cap(max_shingle_df, hot, fn_name):
+    if max_shingle_df is _CAP_UNSET:
+        return None if hot is not None else DEFAULT_MAX_SHINGLE_DF
+    if hot is not None and max_shingle_df is not None:
+        raise ValueError(
+            f"{fn_name}: max_shingle_df must be None when a precomputed "
+            "hot frame is supplied - the cap is a property of that frame"
+        )
+    return max_shingle_df
+
 
 def hot_shingles(
     df: DataFrame,
@@ -636,7 +655,7 @@ def capped_distinct_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    max_shingle_df: int | float | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | float | None = _CAP_UNSET,  # type: ignore[assignment]
     hot: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle-hash, sz) — each document's distinct shingle set with
@@ -659,17 +678,12 @@ def capped_distinct_shingles(
     The hot list itself is tiny (it's the df > cap tail), so it ships as
     a broadcast anti-join — no extra shuffle of the shingle stream.
     """
-    if hot is not None and max_shingle_df is not None \
-            and max_shingle_df is not DEFAULT_MAX_SHINGLE_DF:
-        # matching ngram_jaccard_pairs' capped_sets contract (r10
-        # advisor): the cap is a property of the precomputed hot frame —
-        # a DIFFERENT cap passed alongside it would be silently ignored
-        # and the output labeled with the wrong cap. The module default
-        # counts as unset so `hot=`-only calls stay valid.
-        raise ValueError(
-            "max_shingle_df must be None when a precomputed hot frame is "
-            "supplied — the cap is a property of that frame"
-        )
+    # matching ngram_jaccard_pairs' capped_sets contract (r10 advisor):
+    # the cap is a property of the precomputed hot frame — a DIFFERENT
+    # cap passed alongside it would be silently ignored and the output
+    # labeled with the wrong cap. The sentinel default counts as unset
+    # so `hot=`-only calls stay valid.
+    max_shingle_df = _resolve_cap(max_shingle_df, hot, "capped_distinct_shingles")
     dist = (
         _shingle_stream(df, text_col, id_col, shingle_n)
         .select("id", F.xxhash64("shingle").alias("shingle"))
@@ -697,7 +711,7 @@ def jaccard_all_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | float | None = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: int | float | None = _CAP_UNSET,  # type: ignore[assignment]
     hot: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs above ``threshold`` — the

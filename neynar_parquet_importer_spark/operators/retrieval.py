@@ -120,8 +120,13 @@ def bm25_scores(
     (doc, term) aggregate so only query-term tokens are aggregated at
     all (a broadcast join cannot be pushed through the aggregate, so
     without the literal list both branches re-aggregate the full
-    corpus).  Results are identical either way: non-query-term posting
-    rows only ever fed the dl sum.  With both supplied, no full-corpus
+    corpus).  CONTRACT: ``prune_terms`` must be a SUPERSET of
+    ``query_terms``' term values (derive both from the same literal
+    dict, as the registered plans do via ``_BM25_TERMS``) — a term in
+    ``query_terms`` but missing here is silently scored as absent from
+    the corpus.  Under that contract results are identical either way:
+    non-query-term posting rows only ever fed the dl sum, and extra
+    prune terms are dropped by the query join.  With both supplied, no full-corpus
     (doc, term) aggregate remains in the plan — the "seek the posting
     lists" shape the module doc promises (r11, guide §2.1/§2.3)."""
     # postings is consumed three times (document lengths, per-term df,

@@ -22,6 +22,8 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .parallelism import fan_out
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -394,8 +396,6 @@ def lsh_near_dup_pairs(
     # r10 session-wide scan-split floor was reverted). The conditional
     # repartition moves only (id, vector) rows and is a no-op on
     # multi-split inputs, i.e. at any real corpus scale.
-    from .parallelism import fan_out
-
     base = _persist(
         fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col))).select(
             "id",
@@ -1476,8 +1476,6 @@ def ivf_knn_join(
     # whole probe as ONE task (warm stage profile: 1 task / 0.69 s of a
     # 1.63 s wall at sf0.1). Moves (id, vector) rows only; no-op on
     # multi-split inputs.
-    from .parallelism import fan_out
-
     cells = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         qv.alias("__v"),

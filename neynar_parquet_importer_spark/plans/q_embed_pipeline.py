@@ -96,12 +96,12 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb, sf_dir)
-    # the corpus-count probe feeding the auto-plane rule comes from the
-    # same per-corpus memo embedding_dedup_clusters_lsh already consumes
-    # (one count job per corpus per process, not one per run)
-    return sim.lsh_near_dup_pairs(
-        emb, dim, threshold=0.5, n_rows=_embedding_count(emb, sf_dir)
-    ).orderBy("id_a", "id_b")
+    # NOTE: the auto-plane rule's corpus count is deliberately NOT fed
+    # from the per-corpus count memo here — that would move a timed
+    # count job out of this bench query's min-of-N with no cold leg
+    # recorded, the exact r10-verdict pattern the shingle cold/warm
+    # split unwinds (r11 review). The count is one tiny job per run.
+    return sim.lsh_near_dup_pairs(emb, dim, threshold=0.5).orderBy("id_a", "id_b")
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1002,7 +1002,7 @@ def reset_corpus_caches() -> None:
     _EMB_COUNT_CACHE.clear()
     _IVF_CENTROID_CACHE.clear()
     _PQ_CODEBOOK_CACHE.clear()
-    _HOT_SHINGLE_CACHE.clear()
+    reset_shingle_cache()  # keep the shingle-memo reset in one place
     _ARTIFACT_ORACLE_CACHE.clear()
     _KMEANS_CENT_CACHE.clear()
     _PCA_MODEL_CACHE.clear()

@@ -126,6 +126,7 @@ def test_pretrain_contamination_over_gated_matches_deduped(spark, docs):
         for r in new.select("doc_id", F.round("contamination", 6)).collect()
     )
     old_map = dict(old_rows)
+    assert new_rows, "pipeline output is empty - the equivalence pin would pass vacuously"
     assert new_rows.keys() <= old_map.keys()
     for k, v in new_rows.items():
         assert old_map[k] == v, (k, old_map[k], v)
